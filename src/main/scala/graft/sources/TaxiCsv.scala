@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NYC TLC Yellow-taxi CSV ingest with the reference's exact line-accept
+  * contract (see /root/reference/ServerlessMapReduce/Sample.cs:146-166):
+  *
+  *   - the unit of input is a raw text line (Sample.cs:146-151);
+  *   - a line is KEPT iff it splits on ',' into exactly 17 fields AND
+  *     field 0 parses as an int (Sample.cs:153-157) — this silently drops
+  *     the header row, blank lines, and any malformed record;
+  *   - only fields 0 (probe), 1 (pickup ts), 2 (dropoff ts) and
+  *     4 (trip_distance) are ever consumed (Sample.cs:154-166).
+  *
+  * Spark-first design notes (100 TB posture):
+  *   - `spark.read.text` keeps the source splittable: a 800 MB CSV becomes
+  *     many input splits instead of the reference's one-activity-per-file
+  *     (Sample.cs:69-75, host.json:17 pins one mapper per node ≈ 1 MB/s).
+  *   - The 17-field/int-probe filter and the 4-column projection run
+  *     inside WholeStageCodegen in a single pass over each split — the
+  *     same fused scan→filter→project the reference hand-codes in its
+  *     mapper loop, but vectorized and parallel per split.
+  *   - `input_file_name()` materializes the reference's implicit
+  *     per-file grouping key (one mapper activity = one file) as an
+  *     ordinary column, so the two-level mean (SURVEY.md §2.2) is plain
+  *     relational algebra downstream.
+  *
+  * Note on Split semantics: Spark's `split(col, ",")` uses limit = -1,
+  * keeping trailing empty strings — identical to C# `string.Split(',')`.
+  *
+  * All casts use `try_cast` / `try_to_timestamp` so the accept-probe is
+  * null-on-failure under Spark 4's default ANSI mode (the reference's
+  * `int.TryParse` probe, Sample.cs:154).
+  */
+object TaxiCsv {
+
+  /** The full TLC Yellow 2017 header, positionally (FIXTURES.md §A). */
+  val columns: Seq[String] = Seq(
+    "vendor_id", "tpep_pickup_datetime", "tpep_dropoff_datetime",
+    "passenger_count", "trip_distance", "ratecode_id", "store_and_fwd_flag",
+    "pu_location_id", "do_location_id", "payment_type", "fare_amount",
+    "extra", "mta_tax", "tip_amount", "tolls_amount",
+    "improvement_surcharge", "total_amount")
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Raw accepted lines, still as a field array, with the source file.
+    * Exactly the reference's accept rule: 17 fields + int-parsable field 0.
+    */
+  def acceptedLines(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .select(input_file_name().as("file"), col("value"))
+    lines
+      .withColumn("fields", split(col("value"), ","))
+      .filter(size(col("fields")) === 17 &&
+        element_at(col("fields"), 1).try_cast("int").isNotNull)
+  }
+
+  /** Typed trips projection: only the columns the reference consumes.
+    * Output: (file string, pickup_ts timestamp, dropoff_ts timestamp,
+    * trip_distance double).
+    */
+  def trips(spark: SparkSession, path: String): DataFrame =
+    acceptedLines(spark, path).select(
+      col("file"),
+      try_to_timestamp(element_at(col("fields"), 2), lit(TsFmt)).as("pickup_ts"),
+      try_to_timestamp(element_at(col("fields"), 3), lit(TsFmt)).as("dropoff_ts"),
+      element_at(col("fields"), 5).try_cast("double").as("trip_distance"))
+
+  /** Fully-typed wide projection of all 17 columns (beyond the reference's
+    * 4-column consumption — for the generalized engine surface).
+    */
+  def tripsWide(spark: SparkSession, path: String): DataFrame = {
+    val f = col("fields")
+    val typed = Seq(
+      element_at(f, 1).try_cast("int").as("vendor_id"),
+      try_to_timestamp(element_at(f, 2), lit(TsFmt)).as("tpep_pickup_datetime"),
+      try_to_timestamp(element_at(f, 3), lit(TsFmt)).as("tpep_dropoff_datetime"),
+      element_at(f, 4).try_cast("int").as("passenger_count"),
+      element_at(f, 5).try_cast("double").as("trip_distance"),
+      element_at(f, 6).try_cast("int").as("ratecode_id"),
+      element_at(f, 7).as("store_and_fwd_flag"),
+      element_at(f, 8).try_cast("int").as("pu_location_id"),
+      element_at(f, 9).try_cast("int").as("do_location_id"),
+      element_at(f, 10).try_cast("int").as("payment_type"),
+      element_at(f, 11).try_cast("double").as("fare_amount"),
+      element_at(f, 12).try_cast("double").as("extra"),
+      element_at(f, 13).try_cast("double").as("mta_tax"),
+      element_at(f, 14).try_cast("double").as("tip_amount"),
+      element_at(f, 15).try_cast("double").as("tolls_amount"),
+      element_at(f, 16).try_cast("double").as("improvement_surcharge"),
+      element_at(f, 17).try_cast("double").as("total_amount"))
+    acceptedLines(spark, path).select(col("file") +: typed: _*)
+  }
+}
