@@ -72,6 +72,29 @@ object SparkEntry {
           avg("l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── Core relational battery (SURVEY.md §7.2; absent in reference §2.3,
+    //    required for "same capabilities, generalized") ───────────────────
+    "q2_filter_project"    -> (RelationalQueries.filterProject(_, _)),
+    "q3_shipping_priority" -> (RelationalQueries.shippingPriority(_, _)),
+    "q4_star_broadcast"    -> (RelationalQueries.revenueByNation(_, _)),
+    "q5_semi_join"         -> (RelationalQueries.semiJoin(_, _)),
+    "q6_anti_join"         -> (RelationalQueries.antiJoin(_, _)),
+    "q7_left_outer"        -> (RelationalQueries.leftOuterJoin(_, _)),
+    "q8_full_outer"        -> (RelationalQueries.fullOuterJoin(_, _)),
+    "q9_distinct_agg"      -> (RelationalQueries.distinctAgg(_, _)),
+    "q10_rollup"           -> (RelationalQueries.rollupRevenue(_, _)),
+    "q11_grouping_sets"    -> (RelationalQueries.groupingSets(_, _)),
+    "q12_having"           -> (RelationalQueries.havingFilter(_, _)),
+    "q13_case_pivot"       -> (RelationalQueries.casePivot(_, _)),
+    "q14_window_rank"      -> (RelationalQueries.windowRank(_, _)),
+    "q15_window_running"   -> (RelationalQueries.windowRunning(_, _)),
+    "q16_topk"             -> (RelationalQueries.topkOrders(_, _)),
+    "q17_set_ops"          -> (RelationalQueries.setOps(_, _)),
+    "q18_string_funcs"     -> (RelationalQueries.stringFuncs(_, _)),
+    "q19_date_funcs"       -> (RelationalQueries.dateFuncs(_, _)),
+    "q20_math_funcs"       -> (RelationalQueries.mathFuncs(_, _)),
+    "q21_above_avg"        -> (RelationalQueries.aboveNationAvg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +135,187 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue, o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_star_broadcast" ->
+      """SELECT r_name, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem, supplier, nation, region
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2001)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_left_outer" ->
+      """SELECT n_name,
+        |  coalesce(cnt, 0) AS n_customers,
+        |  coalesce(bal, 0.0) AS total_acctbal
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey, count(*) AS cnt, sum(c_acctbal) AS bal
+        |  FROM customer GROUP BY c_nationkey
+        |) c ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q8_full_outer" ->
+      """SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) s
+        |ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+
+    "q9_distinct_agg" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(DISTINCT o_orderpriority) AS n_prios,
+        |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_distinct_cust,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  sum(c_acctbal) AS total_bal, count(*) AS n_custs
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q11_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  sum(o_totalprice) AS total_price, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q12_having" ->
+      """SELECT c_nationkey, sum(c_acctbal) AS total_bal, count(*) AS n_custs
+        |FROM customer GROUP BY c_nationkey
+        |HAVING sum(c_acctbal) > 10000.0
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q13_case_pivot" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END) AS urgent_total,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0.0 END) AS high_total,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0.0 END) AS other_total,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(dense_rank() OVER w AS INT) AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q15_window_running" ->
+      """SELECT user_id, event_id, value,
+        |  sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS delta_prev
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+
+    "q17_set_ops" ->
+      """WITH w95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |     w96 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS tag, o_custkey
+        |  FROM (SELECT * FROM w95 INTERSECT SELECT * FROM w96)
+        |UNION ALL
+        |SELECT 'only95' AS tag, o_custkey
+        |  FROM (SELECT * FROM w95 EXCEPT SELECT * FROM w96)
+        |UNION ALL
+        |SELECT 'only96' AS tag, o_custkey
+        |  FROM (SELECT * FROM w96 EXCEPT SELECT * FROM w95)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q18_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  lower(p_brand) AS lower_brand,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substring(p_name, 1, 5) AS name_pfx,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        |  trim(p_name) AS trimmed,
+        |  contains(p_name, 'a') AS has_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q19_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS n_orders, sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY yr, mo""".stripMargin,
+
+    "q20_math_funcs" ->
+      """SELECT
+        |  sum(abs(l_discount - 0.05)) AS sum_abs,
+        |  sum(sqrt(l_quantity)) AS sum_sqrt,
+        |  sum(ln(l_extendedprice + 1.0)) AS sum_ln,
+        |  sum(pow(l_discount, 2)) AS sum_sq,
+        |  max(greatest(l_tax, l_discount)) AS max_rate,
+        |  min(least(l_tax, l_discount)) AS min_rate
+        |FROM lineitem""".stripMargin,
+
+    "q21_above_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+        |      FROM customer GROUP BY 1) a
+        |ON c.c_nationkey = a.nk
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
