@@ -95,6 +95,27 @@ object SparkEntry {
     "q19_date_funcs"       -> (RelationalQueries.dateFuncs(_, _)),
     "q20_math_funcs"       -> (RelationalQueries.mathFuncs(_, _)),
     "q21_above_avg"        -> (RelationalQueries.aboveNationAvg(_, _)),
+
+    // ── Text analysis (north-star extension ops over `documents`) ────────
+    "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
+    "t2_lang_id"     -> (TextAnalysis.langId(_, _)),
+    "t3_quality"     -> (TextAnalysis.qualityScore(_, _)),
+    "t4_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+
+    // ── Deduplication suite (north-star extension ops) ───────────────────
+    "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
+    "d2_jaccard_pairs"  -> (Dedup.jaccardPairs(_, _)),
+    // LSH prunes candidates; exact verify makes output == d2's oracle
+    "d3_minhash_pairs"  -> (Dedup.minhashLshPairs(_, _)),
+    "d4_simhash"        -> (Dedup.simhashSignatures(_, _)),
+    "d5_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
+    "d6_embedding_dedup" -> (Dedup.embeddingNearDupPairs(_, _)),
+
+    // ── Similarity search (north-star extension ops) ─────────────────────
+    "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
+    // LSH-bucketed ANN: approximate by design → no SQL oracle (driver
+    // records rows-only); recall vs s1 asserted in SimilaritySpec.
+    "s2_ann_topk"    -> (Similarity.lshTopK(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,5 +338,146 @@ object SparkEntry {
         |ON c.c_nationkey = a.nk
         |WHERE c_acctbal > nation_avg
         |ORDER BY c_custkey""".stripMargin,
+
+    "t1_token_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS n_wordpieces,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t2_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, labeled_lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS hits_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS INT) AS hits_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es','un'))) AS INT) AS hits_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','est','une'))) AS INT) AS hits_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS INT) AS hits_zh
+        |  FROM t)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |    WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang,
+        |  hits_en, hits_de, hits_es, hits_fr, hits_zh
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t3_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text) AS upper_ratio,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  0.5 * (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(toks))
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text))
+        |   + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+        |  CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fp_hash64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_doc_id, fp, count(*) AS n_copies FROM (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
+
+    "d2_jaccard_pairs" -> jaccardPairsOracle,
+
+    // The MinHash-LSH operator verifies candidates with exact Jaccard;
+    // with 64 bands x 2 rows the miss probability at the J>=0.9 data
+    // pairs is ~1e-46, so its output equals the exact-pairs oracle.
+    "d3_minhash_pairs" -> jaccardPairsOracle,
+
+    "d4_simhash" ->
+      s"""WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM ($simhashTokenHashes)
+        |  CROSS JOIN (SELECT unnest(range(60)) AS i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d5_simhash_pairs" ->
+      s"""WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM ($simhashTokenHashes)
+        |  CROSS JOIN (SELECT unnest(range(60)) AS i)
+        |  GROUP BY doc_id, i),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d6_embedding_dedup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+        |cos AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM cos)
+        |SELECT query_id, rank, neighbor_id, cos FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** Word-3-gram shingle sets per doc (shared by d2/d3 oracles). */
+  private val shingleSets: String =
+    """WITH words AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+      |      ELSE [] END) AS t
+      |  FROM words),
+      |sz AS (SELECT doc_id, t, len(t) AS n FROM sh WHERE len(t) > 0)""".stripMargin
+
+  private val jaccardPairsOracle: String =
+    s"""$shingleSets
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.t, b.t)) * 1.0 / (a.n + b.n - len(list_intersect(a.t, b.t))) AS jaccard
+      |FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.t, b.t)) * 1.0 / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Distinct-token md5-derived 60-bit hashes (shared by d4/d5 oracles). */
+  private val simhashTokenHashes: String =
+    """SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS t
+      |    FROM documents)""".stripMargin
 }

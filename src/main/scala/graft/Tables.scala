@@ -15,6 +15,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Hash-spread a DataFrame across the configured shuffle parallelism
+    * before CPU-heavy per-row work. The partition count is explicit on
+    * purpose: a bare repartition(col) is an AQE-optimizable hint that
+    * gets coalesced back to ~1 partition when the *bytes* are small,
+    * even though the *compute* per row is the bottleneck (tiny local
+    * files are one row group = one task otherwise).
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n, key)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

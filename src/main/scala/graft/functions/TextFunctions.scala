@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the text-analysis and dedup operators
+  * (north-star extension surface, SURVEY.md §7.2 step 3; the reference
+  * itself has no string processing beyond Split — Sample.cs:151).
+  *
+  * Everything here is built from codegen'd built-in expressions (no
+  * UDFs) and has an exact DuckDB-SQL equivalent, so every op stays
+  * oracle-checkable AND stays inside WholeStageCodegen at scale.
+  *
+  * Hash convention: `hash64(s)` = first 15 hex digits of md5(s) parsed
+  * as a base-16 integer — 60 bits, always positive, identical in DuckDB
+  * via CAST('0x' || substr(md5(s),1,15) AS BIGINT). md5 gives the same
+  * bytes everywhere, making hash-derived operators (fingerprints,
+  * MinHash, SimHash) cross-engine deterministic.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Distinct token set (order not significant downstream). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word n-gram shingles (space-joined), distinct, from an ALREADY
+    * MATERIALIZED token-array column. Empty array for texts shorter
+    * than n words.
+    *
+    * Take a column reference, not a tokenization expression: every
+    * `element_at(w, …)` in the lambda re-evaluates its argument
+    * expression, so passing `tokens(text)` directly re-tokenizes the
+    * document ~3n times per shingle (measured 21s -> 0.7s at sf0.1 for
+    * the dedup pipeline after materializing the tokens first).
+    */
+  def shinglesFromTokens(w: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  /** Convenience form over raw text — only for small inputs/tests; hot
+    * paths should materialize `tokens` in a projection and use
+    * shinglesFromTokens (see its scaladoc).
+    */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
+
+  /** 60-bit positive hash: first 15 hex chars of md5, base-16.
+    * Cross-engine deterministic (see object doc).
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace-normalized text: trim + collapse runs of whitespace. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Count of tokens belonging to a fixed stopword list. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {
+    val set = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Tiny per-language stopword lists for the heuristic language-ID
+    * operator. Precedence order (ties resolve to the earlier entry) is
+    * the Seq order: en, de, es, fr, zh.
+    */
+  val stopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+}

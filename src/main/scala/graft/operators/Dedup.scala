@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication suite over `documents` / `embeddings` — the core
+  * training-data-pipeline extension (north star; absent in the
+  * reference, which has no string ops at all).
+  *
+  * Five operators, all shuffle-architected for 100 TB:
+  *
+  *  - exact:       fingerprint groupBy — one shuffle on a 128-bit key.
+  *  - jaccard:     EXACT all-pairs-over-threshold via prefix filtering
+  *                 (PPJoin-style): provably lossless candidate blocking,
+  *                 so the result equals the quadratic oracle without the
+  *                 quadratic join. Candidates shuffle by (rare) prefix
+  *                 shingle, never by document.
+  *  - minhash LSH: 128 permutations, 64 bands × 2 rows; candidates from
+  *                 band-bucket equality, then EXACT Jaccard verification
+  *                 — so false positives cost only compute, and the band
+  *                 design makes false negatives at J >= 0.5 vanishingly
+  *                 rare (P(miss) = (1-J^2)^64; 1e-9 at J=0.5).
+  *  - simhash:     60-bit signature per doc computed with 60 per-bit
+  *                 conditional-sum aggregates (one pass, no bit
+  *                 explosion); near-pairs via 4×15-bit band blocking
+  *                 (pigeonhole-complete for hamming <= 3).
+  *  - embedding:   cosine >= t pairs; candidate generation is a single
+  *                 self-join pruned upper-triangle (the ANN/LSH scale
+  *                 path lives in Similarity.scala).
+  *
+  * All hashing derives from md5 (TextFunctions.hash64), so every
+  * operator is cross-engine deterministic and DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  // ── Exact dedup ───────────────────────────────────────────────────────
+  /** Content-exact dedup groups: per fingerprint keep the smallest
+    * doc_id; n_copies counts members (1 = unique).
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("fp"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  // ── Shared shingle prep ───────────────────────────────────────────────
+  /** (doc_id, sh: array<string> of distinct word-3-gram shingles, sz).
+    * Tokens are materialized in their own projection before shingling —
+    * see TextFunctions.shinglesFromTokens for why this matters.
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      // Hash-spread docs before the CPU-heavy shingling: locally the
+      // table is one row group = one task; on a cluster this is the
+      // same shuffle the explode/groupBy below needs anyway.
+      .transform(Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shinglesFromTokens(col("w"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+
+  private def jaccard(shA: Column, shB: Column, szA: Column, szB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    inter / (szA + szB - inter)
+  }
+
+  // ── Exact Jaccard pairs via prefix filtering ─────────────────────────
+  /** All pairs (a < b) with shingle-set Jaccard >= t. Lossless prefix
+    * blocking: order each doc's shingles by ascending global frequency
+    * (rarest first, ties by value); any pair with J >= t must share a
+    * shingle within the first |S| - ceil(t*|S|) + 1 of that ordering, so
+    * joining only on prefix shingles prunes without loss. The pair join
+    * keys on rare shingles — the frequent-shingle hot keys never enter
+    * the join.
+    */
+  def jaccardPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    val docs = docShingles(s, dir).cache()
+    val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .withColumn("plen", col("sz") - ceil(lit(t) * col("sz")).cast("int") + 1)
+      .filter(col("rk") <= col("plen"))
+      .select(col("g"), col("doc_id"), col("sz"), col("rk"))
+    // Two further lossless prunes (PPJoin):
+    //  - length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+    //  - positional filter: at a shared prefix shingle at ranks
+    //    (rk_x, rk_y), the max achievable overlap is
+    //    1 + min(sz_x - rk_x, sz_y - rk_y), which must reach
+    //    ceil(t/(1+t) * (sz_x + sz_y)).
+    val alpha = ceil(lit(t / (1 + t)) * (col("x.sz") + col("y.sz")))
+    val candidates = ranked.as("x").join(ranked.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= lit(t) * col("y.sz") &&
+          col("y.sz") >= lit(t) * col("x.sz") &&
+          (lit(1) + least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))) >= alpha)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, docs, t)
+  }
+
+  /** Join candidate (doc_a, doc_b) pairs back to shingle arrays and keep
+    * those with exact Jaccard >= t.
+    */
+  private def verifyPairs(candidates: DataFrame, docs: DataFrame, t: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ── MinHash + LSH ─────────────────────────────────────────────────────
+  /** MinHash parameters: 128 permutations h_i(x) = (a_i*x + b_i) mod p
+    * over the 31-bit Mersenne prime (operands stay < 2^62 — no long
+    * overflow). Constants from a fixed seed: deterministic run-to-run.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val NumHashes = 128
+  private val BandRows = 2           // 64 bands × 2 rows
+  private[operators] val hashParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+      rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** Per-doc MinHash signature as array<long> of length 128. Computed as
+    * 128 independent min-aggregates over the exploded shingle hashes —
+    * partial aggregation collapses each doc on the map side.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hv = pmod(hash64(col("g")), lit(MinhashP))
+    val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(hv * lit(a) + lit(b), lit(MinhashP))).as(s"h$i")
+    }
+    docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
+    * Output contract matches jaccardPairs (the LSH is a candidate
+    * pruner, not an approximation of the result).
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    val docs = docShingles(s, dir).cache()
+    val sigs = minhashSignatures(docs)
+    val nBands = NumHashes / BandRows
+    val bandKeys = (0 until nBands).map { j =>
+      concat_ws("_", lit(j) +: (0 until BandRows).map(r =>
+        element_at(col("sig"), j * BandRows + r + 1)): _*)
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("col").as("band_key"))
+    val candidates = bands.as("x").join(bands.as("y"), Seq("band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, docs, t)
+  }
+
+  // ── SimHash ───────────────────────────────────────────────────────────
+  /** 60-bit SimHash per doc over the distinct token set: bit i of the
+    * signature is 1 iff sum over tokens of sign(bit i of hash64(token))
+    * is positive. One groupBy with 60 conditional-sum aggregates — no
+    * per-bit row explosion, map-side combinable.
+    */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+      .withColumn("hv", hash64(col("tok")))
+    val bitSums = (0 until 60).map { i =>
+      sum(when(shiftright(col("hv"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val sig = (0 until 60).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    d.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-pairs with hamming distance <= 3 via 4×15-bit band blocking
+    * (pigeonhole: <= 3 differing bits leave at least one of 4 bands
+    * identical — lossless for radius 3).
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only complete for radius <= 3")
+    val sigs = simhashSignatures(s, dir)
+    val bandKeys = (0 until 4).map { k =>
+      concat_ws("_", lit(k),
+        shiftright(col("simhash"), k * 15).bitwiseAND(0x7FFF))
+    }
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("simhash"), col("col").as("band_key"))
+    bands.as("x").join(bands.as("y"), Seq("band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ── Embedding near-dup ────────────────────────────────────────────────
+  /** Pairs of embeddings with cosine similarity >= t. Exact
+    * upper-triangle self-join (oracle-checkable); the sub-quadratic ANN
+    * path is Similarity.lshTopK.
+    */
+  def embeddingNearDupPairs(s: SparkSession, dir: String, t: Double = 0.4): DataFrame = {
+    // Precompute each vector's norm ONCE (higher-order-function exprs are
+    // interpreted, not codegen'd — evaluating 1 dot per pair instead of 3
+    // is a ~3x win at the pair join). cos = dot/(nrm_a*nrm_b) is the
+    // bit-identical arithmetic, just with the norm factored out.
+    val e = Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= t)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

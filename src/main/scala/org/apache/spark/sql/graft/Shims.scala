@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column<->Expression
+  * converters, needed to expose custom Catalyst expressions (e.g.
+  * graft.functions.DotProduct) as user-facing Columns on Spark 4 (the
+  * old public `new Column(expr)` constructor is gone). Standard practice
+  * for Spark extension libraries.
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

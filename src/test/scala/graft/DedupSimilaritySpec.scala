@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps every distinct document once") {
+    val d = Dedup.exactDedup(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(d.count() <= total)
+    assert(d.agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .head().getLong(0) === total)
+  }
+
+  test("prefix-filter jaccard equals naive all-pairs jaccard") {
+    // The lossless-blocking claim, checked directly against a plain
+    // quadratic join on the same shingle arrays.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh"))).filter(col("sz") > 0)
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", inter / (col("sz_a") + col("sz_b") - inter))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === naive)
+  }
+
+  test("minhash-LSH pairs equal exact jaccard pairs on this corpus") {
+    val exact = Dedup.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash signatures are 60-bit and pairs respect the radius") {
+    val sigs = Dedup.simhashSignatures(spark, sfDir)
+    assert(sigs.filter(org.apache.spark.sql.functions.col("simhash") < 0).count() === 0)
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+    assert(pairs.filter(org.apache.spark.sql.functions.col("hamming") > 3).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("LSH ANN achieves nontrivial recall while pruning candidates") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall $recall")
+    assert(recall < 1.01)
+  }
+
+  test("brute-force top-k uses WindowGroupLimit (two-phase top-k)") {
+    val p = Similarity.bruteForceTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("native codegen dot product is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val diff = pairs
+      .withColumn("dn", VectorFunctions.dot(col("ea"), col("eb")))
+      .withColumn("dh", VectorFunctions.dotHof(col("ea"), col("eb")))
+      .filter(col("dn") =!= col("dh"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("native dot participates in WholeStageCodegen") {
+    val e = Tables.embeddings(spark, sfDir)
+    val df = e.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    // the "*(n)" prefix marks WholeStageCodegen participation
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [dotproduct"), p)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val bad = e.select(
+        abs(VectorFunctions.cosine(col("embedding"), col("embedding")) - 1.0).as("err"))
+      .filter(col("err") > 1e-12).count()
+    assert(bad === 0L)
+  }
+}
