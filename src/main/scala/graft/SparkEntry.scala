@@ -116,6 +116,15 @@ object SparkEntry {
     // LSH-bucketed ANN: approximate by design → no SQL oracle (driver
     // records rows-only); recall vs s1 asserted in SimilaritySpec.
     "s2_ann_topk"    -> (Similarity.lshTopK(_, _)),
+
+    // ── Multimodal binary-column plumbing ────────────────────────────────
+    "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
+    "m2_media_fingerprint" -> (Multimodal.mediaFingerprint(_, _)),
+
+    // ── Event-time windows (streaming-shaped; batch == readStream) ───────
+    "w1_tumbling_window" -> (graft.streaming.EventsWindows.tumbling(_, _)),
+    "w2_sliding_window"  -> (graft.streaming.EventsWindows.sliding(_, _)),
+    "w3_session_window"  -> (graft.streaming.EventsWindows.sessions(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,6 +461,61 @@ object SparkEntry {
         |  FROM cos)
         |SELECT query_id, rank, neighbor_id, cos FROM rk
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Byte math mirrored via ascii()/substr() — the corpus is ASCII, so
+    // UTF-8 payload bytes == character codes.
+    "m1_media_meta" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        |    CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte,
+        |    CAST(list_sum(list_transform(range(1, least(16, length(text)) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS header_sum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, first_byte, last_byte, header_sum,
+        |  n_bytes % 640 AS fake_width,
+        |  first_byte % 480 AS fake_height,
+        |  CAST(3 AS INT) AS channels
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "m2_media_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "w1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        |  event_type, count(*) AS n, sum(value) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w2_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |x AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM e)
+        |SELECT win_start, event_type, count(*) AS n, sum(value) AS total
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands mirror of Spark session_window: break when the
+    // gap from the previous event is >= 5 minutes; session end is
+    // last event + gap.
+    "w3_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '5 minutes' AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 
   /** Word-3-gram shingle sets per doc (shared by d2/d3 oracles). */

@@ -27,6 +27,12 @@ object Tables {
     df.repartition(n, key)
   }
 
+  /** Typed-Dataset variant of spread (round-robin). */
+  def spreadN[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val n = ds.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    ds.repartition(n)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -81,6 +81,9 @@ object Dedup {
     * the join.
     */
   def jaccardPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    // cache is load-bearing: the prefix self-join and the verify join
+    // each reference the shingle table; uncached, every branch recomputes
+    // the full docs subtree (measured 22s vs 2s warm at sf0.1)
     val docs = docShingles(s, dir).cache()
     val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (north-star extension): media payloads as
+  * opaque `binary` columns + typed metadata, with decode/feature
+  * extraction running as BATCHED partition-local functions over
+  * Dataset[T] (the JVM analog of the mapInPandas batch shape: one
+  * iterator in, one iterator out, nothing collected to the driver).
+  *
+  * The actual media decode is STUBBED (this container has no
+  * image/audio codecs): `decodeStub` derives deterministic pseudo
+  * metadata/features from the raw bytes. The Spark-side contract —
+  * binary column handling, case-class schemas, partition-batched
+  * execution, oracle-checkable determinism — is real and tested; a
+  * production deployment swaps `decodeStub` for a codec call with the
+  * same signature.
+  *
+  * The `documents.text` UTF-8 bytes stand in for media payloads (the
+  * test corpus is ASCII, so the DuckDB oracle can mirror byte math via
+  * ascii()/substr()).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + declared type. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Extracted metadata (deterministic stub of a real decoder). */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, first_byte: Int,
+      last_byte: Int, header_sum: Long, fake_width: Int, fake_height: Int,
+      channels: Int)
+
+  /** documents → media rows: payload = UTF-8 bytes of text. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        concat(lit("fake/"), col("source")).as("media_type"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: deterministic pseudo-decode of a payload.
+    * ??? in a real deployment this calls the image/audio codec; the
+    * container has none, so metadata is derived from the bytes
+    * themselves (and mirrored exactly by the DuckDB oracle).
+    */
+  private[operators] def decodeStub(r: MediaRow): MediaMeta = {
+    val b = r.payload
+    val n = b.length
+    val first = if (n > 0) b(0) & 0xff else 0
+    val last = if (n > 0) b(n - 1) & 0xff else 0
+    var i = 0; var hs = 0L
+    while (i < math.min(16, n)) { hs += (b(i) & 0xff); i += 1 }
+    MediaMeta(r.doc_id, n, first, last, hs,
+      fake_width = n % 640, fake_height = first % 480, channels = 3)
+  }
+
+  /** Batched partition-local metadata extraction: mapPartitions over the
+    * typed Dataset, processing rows in fixed-size batches (the batch
+    * boundary is where a real decoder would amortize model/codec init,
+    * exactly like mapInPandas' Arrow batches).
+    */
+  def extractMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch init would go here (codec handles, model weights)
+        batch.map(decodeStub)
+      }
+    }
+  }
+
+  /** The oracle-checked query: media metadata via the batched decode
+    * path, ordered for the compare.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    extractMeta(Tables.spreadN(mediaTable(s, dir))).toDF().orderBy("doc_id")
+
+  /** Pure-SQL binary ops over the payload column (no decode): byte
+    * length + content digest, staying entirely in codegen'd built-ins.
+    */
+  def mediaFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+}

@@ -10,17 +10,21 @@ import graft.functions.TextFunctions._
   */
 object DevProbeD2 {
   def main(args: Array[String]): Unit = {
-    val spark = TestSpark.spark
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     val t = 0.5
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), shinglesFromTokens(col("w"), 3).as("sh"))
-      .withColumn("sz", size(col("sh"))).filter(col("sz") > 0).cache()
+      .withColumn("sz", size(col("sh"))).filter(col("sz") > 0)
     time("docs+shingles count")(docs.count())
     val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     time("exploded")(println("  rows=" + exploded.count()))

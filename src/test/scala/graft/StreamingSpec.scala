@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsWindows
+
+/** Drives the event-time operators through GENUINE Structured Streaming
+  * (readStream → watermark → window agg → memory sink) and asserts the
+  * result equals the batch formulation the oracle checks — the
+  * batch/stream unification contract.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val srcDir: String = {
+    // Re-materialize events (micros ts) as a stream source dir.
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "stream").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming tumbling-window agg equals the batch result") {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("tumbling_out")
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+    val want = EventsWindows.tumbling(spark, sfDir)
+    // exact on keys/counts; FP tolerance on the sum (accumulation order
+    // differs between batch and incremental execution)
+    val joined = got.as("g").join(want.as("b"),
+      Seq("win_start", "event_type"), "full_outer")
+    assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
+      col("g.n") =!= col("b.n") ||
+      abs(col("g.total") - col("b.total")) > 1e-6).count() === 0)
+    assert(got.count() > 0)
+  }
+
+  test("stateful mapGroupsWithState per-user counts match batch groupBy") {
+    import spark.implicits._
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val counted = stream.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) => {
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (uid, c)
+        })
+      .toDF("user_id", "n")
+    val q = counted.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // single micro-batch source → last update per user is the total
+    val got = spark.table("state_out")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+    val want = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val joined = got.as("g").join(want.as("b"), Seq("user_id"), "full_outer")
+    assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
+      col("g.n") =!= col("b.n")).count() === 0)
+  }
+}
