@@ -57,4 +57,23 @@ object TaxiSpeed {
   def weightedAvgByDow(trips: DataFrame): DataFrame =
     TwoLevelMean.weighted(withSpeed(trips), col("day"), col("speed_mph"),
       keyName = "day", outName = "avg_speed_mph")
+
+  /** R2 — result formatting (Sample.cs:226-234): the reference's output
+    * is this exact format string, typos verbatim ("Tue :", lowercase
+    * "wed"). Runs at the edge on the 7-row result — the engine's result
+    * stays a DataFrame.
+    */
+  def formatResult(byDow: DataFrame): String = {
+    val m = byDow.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def v(d: Int): Double = m.getOrElse(d, 0.0)
+    s"Sun: ${v(0)}, Mon: ${v(1)}, Tue : ${v(2)}, wed: ${v(3)}, " +
+      s"Thu: ${v(4)}, Fri: ${v(5)}, Sat: ${v(6)}"
+  }
+
+  /** R3 — sink write (WriteToBlob, Sample.cs:245-262, dead code in the
+    * reference): persist the per-day result; parquet instead of a text
+    * blob, partition-free (7 rows).
+    */
+  def writeResult(byDow: DataFrame, path: String): Unit =
+    byDow.coalesce(1).write.mode("overwrite").parquet(path)
 }

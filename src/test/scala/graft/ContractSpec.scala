@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TaxiSpeed
+import graft.sources.TaxiCsv
+
+/** Covers the remaining SURVEY.md §2 inventory rows: S2 (prefix source
+  * enumeration), R2 (verbatim result formatting), R3 (sink write), O3
+  * (progress listener).
+  */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val dir = TaxiFixtures.writeDir().toString
+
+  test("S2: prefix glob selects matching files only (GetFileListAsync analog)") {
+    // fixture dir holds yellow_tripdata_2017-01.csv and -02.csv
+    val all = TaxiCsv.trips(spark, s"$dir/yellow_tripdata_2017-*.csv")
+    val one = TaxiCsv.trips(spark, s"$dir/yellow_tripdata_2017-01*.csv")
+    assert(all.select(countDistinct(col("file"))).head().getLong(0) === 2)
+    assert(one.select(countDistinct(col("file"))).head().getLong(0) === 1)
+  }
+
+  test("R2: result string matches the reference's format, typos verbatim") {
+    val out = TaxiSpeed.formatResult(
+      TaxiSpeed.faithfulAvgByDow(TaxiCsv.trips(spark, dir)))
+    assert(out.startsWith("Sun: 25.0, Mon: "))
+    assert(out.contains(", Tue : "))   // Sample.cs:226 "Tue :"
+    assert(out.contains(", wed: "))    // Sample.cs:226 lowercase "wed"
+    assert(out.contains(", Thu: ") && out.contains(", Fri: ") && out.contains(", Sat: "))
+  }
+
+  test("R3: sink write round-trips the result") {
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val out = Files.createTempDirectory(base, "sink").resolve("result").toString
+    val res = TaxiSpeed.faithfulAvgByDow(TaxiCsv.trips(spark, dir))
+    TaxiSpeed.writeResult(res, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 7)
+    assert(back.columns.toSeq === Seq("day", "avg_speed_mph"))
+  }
+
+  test("O3: progress listener records query completions") {
+    val l = ProgressListener.attach(spark)
+    try {
+      SparkEntry.entry(spark).count()
+      // listener delivery is async on the listener bus — poll
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(l.snapshot.nonEmpty)
+      assert(l.snapshot.forall(_.error.isEmpty))
+    } finally spark.listenerManager.unregister(l)
+  }
+}

@@ -26,6 +26,18 @@ object DevProbe {
       ("2,2017-01-02 10:00:00,2017-01-02 11:00:00,1,5.0,1,\"N,N\",1,1,1,1,1,1,1,1,1,1\n" +
        "notanint,2017-01-02 10:00:00,2017-01-02 11:00:00,1,5.0,1,N,1,1,1,1,1,1,1,1,1,1\n").getBytes("UTF-8"))
     println("AFTER_HOSTILE=" + TaxiCsv.trips(spark, dir).count())
+    // R2/R3/O3 surfaces: formatted result, sink round-trip, listener
+    val l = ProgressListener.attach(spark)
+    val res = TaxiSpeed.faithfulAvgByDow(trips)
+    println("FORMATTED=" + TaxiSpeed.formatResult(res))
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target", "test-tmp"), "probe").resolve("r").toString
+    TaxiSpeed.writeResult(res, out)
+    println("SINK_ROWS=" + spark.read.parquet(out).count())
+    val deadline = System.currentTimeMillis() + 5000
+    while (l.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    println("LISTENER_EVENTS=" + l.snapshot.size)
     spark.stop()
   }
 }
