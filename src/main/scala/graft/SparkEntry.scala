@@ -116,6 +116,8 @@ object SparkEntry {
     // LSH-bucketed ANN: approximate by design → no SQL oracle (driver
     // records rows-only); recall vs s1 asserted in SimilaritySpec.
     "s2_ann_topk"    -> (Similarity.lshTopK(_, _)),
+    // IVF-flat ANN: same contract as s2 (approximate, recall-spec'd).
+    "s3_ivf_topk"    -> (Similarity.ivfTopK(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -396,10 +398,16 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
-      """SELECT doc_id,
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
-        |  CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fp_hash64
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fp_hash64,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)),
+        |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_rolling
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, fp, count(*) AS n_copies FROM (

@@ -62,6 +62,20 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalized(c))
 
+  /** Polynomial rolling hash over a MATERIALIZED token-array column:
+    * fold (acc * B + hash64(token) mod P) mod P. Order-sensitive (unlike
+    * the set-based sketches), so it fingerprints the token *sequence*.
+    * P = 2^31-1 keeps every intermediate < 2^52 — no overflow, and the
+    * identical fold runs in DuckDB via list_reduce.
+    */
+  val RollP = 2147483647L // 2^31 - 1
+  val RollB = 1000003L
+  def rollingHash(toks: Column): Column =
+    aggregate(
+      transform(toks, t => pmod(hash64(t), lit(RollP))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(RollB) + h, lit(RollP)))
+
   /** Count of tokens belonging to a fixed stopword list. */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {
     val set = array(stopwords.map(lit): _*)

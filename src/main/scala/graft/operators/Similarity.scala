@@ -68,6 +68,55 @@ object Similarity {
       when(proj >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  // ── IVF (inverted-file) ANN ──────────────────────────────────────────
+  /** IVF-flat: partition the corpus into K cells around fixed centroids
+    * (deterministic pick: the first K vectors — a production build would
+    * run k-means; the *index structure* is what matters here), then
+    * search only the `nprobe` cells nearest to each query, exact cosine
+    * re-rank inside them. Sub-quadratic: each query touches ~nprobe/K of
+    * the corpus; the corpus-side assignment is one scan.
+    */
+  def ivfTopK(s: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id")))
+    // centroids to the driver: K × dim doubles — tiny, one-time
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < nCells)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // squared-L2 distance to each centroid, as literal-array dots
+    def distArr(emb: org.apache.spark.sql.Column) = array(centroids.map { c =>
+      val lits = typedLit(c.toSeq)
+      // |x-c|^2 = |x|^2 - 2<x,c> + |c|^2 ; monotone equivalent for
+      // fixed x across cells: -2<x,c> + |c|^2
+      lit(-2.0) * dot(emb, lits) + lit(c.map(v => v * v).sum)
+    }: _*)
+    val withCell = e
+      .withColumn("dists", distArr(col("embedding")))
+      .withColumn("cell",
+        expr("array_position(dists, array_min(dists))").cast("int"))
+    val corpus = withCell.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("cell"))
+    // queries probe the nProbe nearest cells: sort (dist, idx) structs
+    val q = withCell.filter(col("vec_id") < nQueries)
+      .withColumn("ranked", expr(
+        s"transform(slice(array_sort(transform(sequence(1, ${centroids.length}), " +
+          s"i -> struct(dists[i-1] AS d, i AS idx))), 1, $nProbe), x -> x.idx)"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(col("ranked")).as("cell"))
+      .withColumn("cell", col("cell").cast("int"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Approximate top-k via LSH buckets + multiprobe (flip each single
     * bit of the query signature) + exact cosine re-rank of candidates.
     */

@@ -93,13 +93,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Content fingerprints: md5 of normalized text plus the 60-bit
-    * integer hash used by the sketching operators.
+  /** Content fingerprints: md5 of normalized text, the 60-bit integer
+    * hash used by the sketching operators, and an order-sensitive
+    * polynomial rolling hash over the token sequence.
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
         col("doc_id"),
         fingerprint(col("text")).as("fp_md5"),
-        hash64(normalized(col("text"))).as("fp_hash64"))
+        hash64(normalized(col("text"))).as("fp_hash64"),
+        rollingHash(col("toks")).as("fp_rolling"))
       .orderBy(col("doc_id"))
 }

@@ -64,6 +64,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall < 1.01)
   }
 
+  test("IVF ANN achieves nontrivial recall and touches a corpus subset") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall $recall")
+  }
+
+  test("SQL surface: graft_dot and graft_hash64 registered functions") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(d === 11.0)
+    val h = spark.sql("SELECT graft_hash64('abc') AS h").head().getLong(0)
+    assert(h > 0)
+    // must agree with the Column-API hash64 (oracle-compatible)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq("abc").toDF("s")
+      .select(graft.functions.TextFunctions.hash64(col("s"))).head().getLong(0)
+    assert(h === viaCol)
+  }
+
   test("brute-force top-k uses WindowGroupLimit (two-phase top-k)") {
     val p = Similarity.bruteForceTopK(spark, sfDir)
       .queryExecution.executedPlan.toString
