@@ -95,6 +95,16 @@ object SparkEntry {
     "q19_date_funcs"       -> (RelationalQueries.dateFuncs(_, _)),
     "q20_math_funcs"       -> (RelationalQueries.mathFuncs(_, _)),
     "q21_above_avg"        -> (RelationalQueries.aboveNationAvg(_, _)),
+    "q22_multiset_ops"     -> (RelationalQueries2.multisetOps(_, _)),
+    "q23_pivot"            -> (RelationalQueries2.pivotPriorities(_, _)),
+    "q24_hash_sample"      -> (RelationalQueries2.hashSample(_, _)),
+    "q25_percentiles"      -> (RelationalQueries2.percentiles(_, _)),
+    "q26_stats"            -> (RelationalQueries2.stats(_, _)),
+    // HLL sketch: engines' sketches differ → rows-only check; error
+    // bound vs exact asserted in Relational2Spec.
+    "q27_approx_distinct"  -> (RelationalQueries2.approxDistinct(_, _)),
+    // Salted skew join: result equals the PLAIN join oracle by design.
+    "q28_skew_join"        -> (RelationalQueries2.saltedJoinRevenue(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -349,6 +359,56 @@ object SparkEntry {
         |ON c.c_nationkey = a.nk
         |WHERE c_acctbal > nation_avg
         |ORDER BY c_custkey""".stripMargin,
+
+    "q22_multiset_ops" ->
+      """WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'except_all' AS tag, o_custkey
+        |  FROM (SELECT * FROM c95 EXCEPT ALL SELECT * FROM c96)
+        |UNION ALL
+        |SELECT 'intersect_all' AS tag, o_custkey
+        |  FROM (SELECT * FROM c95 INTERSECT ALL SELECT * FROM c96)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q23_pivot" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS "1-URGENT",
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS "2-HIGH",
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS "3-MEDIUM",
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS "4-NOT SPECIFIED",
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q24_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE CAST('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15) AS BIGINT) % 100 < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q26_stats" ->
+      """SELECT l_returnflag,
+        |  stddev_samp(l_quantity) AS sd_qty,
+        |  var_samp(l_extendedprice) AS var_price,
+        |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
+        |  covar_samp(l_discount, l_tax) AS cov_disc_tax
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q28_skew_join" ->
+      """SELECT o_orderstatus,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.hash64
+
+/** Second relational battery: multiset set-ops, native pivot,
+  * deterministic sampling, exact percentiles, statistical aggregates,
+  * HLL sketches, and an explicitly salted skew join.
+  */
+object RelationalQueries2 {
+
+  /** EXCEPT ALL / INTERSECT ALL — bag semantics (duplicates counted). */
+  def multisetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val c96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val exc = c95.exceptAll(c96).select(lit("except_all").as("tag"), col("o_custkey"))
+    val int = c95.intersectAll(c96).select(lit("intersect_all").as("tag"), col("o_custkey"))
+    exc.unionAll(int).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Native pivot (RelationalGroupedDataset.pivot) with a fixed value
+    * list — the relational form of the reference's dense day vector.
+    */
+  def pivotPriorities(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(col("o_totalprice")))
+      .orderBy(col("o_orderstatus"))
+
+  /** Deterministic 10% sample: hash-mod on the row key instead of
+    * rand() — reproducible across engines/runs, the sampling pattern
+    * that scales (consistent subsets across tables when keyed alike).
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(pmod(hash64(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+        lit(100L)) < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Exact percentiles (linear interpolation) per group. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Statistical aggregates: stddev/variance/corr/covar. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_extendedprice")).as("var_price"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        covar_samp(col("l_discount"), col("l_tax")).as("cov_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch: approx_count_distinct. Approximate → no SQL oracle
+    * (engines' sketches differ); error bound asserted in spec.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  /** Skew-handling: explicit salted equi-join. The left (fact) side gets
+    * a per-row salt; the right (dim) side is replicated across all salt
+    * values — hot keys spread over `salts` reducers instead of one. The
+    * join RESULT is identical to the unsalted join (oracle = plain SQL
+    * join); only the shuffle layout changes. At 100 TB this is the
+    * escape hatch when AQE's skew split isn't available or the skew is
+    * in an aggregation key.
+    */
+  def saltedJoinRevenue(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("_salt",
+        pmod(hash64(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+          lit(salts.toLong)))
+    val o = Tables.orders(s, dir)
+      .withColumn("_salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("_salt") === o("_salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
+  }
+}
