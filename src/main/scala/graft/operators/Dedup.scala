@@ -137,20 +137,20 @@ object Dedup {
       rnd.nextInt(MinhashP.toInt).toLong))
   }
 
-  /** Per-doc MinHash signature as array<long> of length 128. Computed as
-    * 128 independent min-aggregates over the exploded shingle hashes —
-    * partial aggregation collapses each doc on the map side.
+  /** Per-doc MinHash signature as array<long> of length 128, computed
+    * by the one-pass MinHashAgg TypedImperativeAggregate (single long[]
+    * buffer updated per shingle; map-side combinable — see
+    * graft.functions.MinHashAgg).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Shims
     val hv = pmod(hash64(col("g")), lit(MinhashP))
-    val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(hv * lit(a) + lit(b), lit(MinhashP))).as(s"h$i")
-    }
+    val sig = Shims.column(
+      graft.functions.MinHashAgg(Shims.expression(hv), hashParams, MinhashP)
+        .toAggregateExpression())
     docs.select(col("doc_id"), explode(col("sh")).as("g"))
       .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .agg(sig.as("sig"))
   }
 
   /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
