@@ -105,6 +105,8 @@ object SparkEntry {
     "q27_approx_distinct"  -> (RelationalQueries2.approxDistinct(_, _)),
     // Salted skew join: result equals the PLAIN join oracle by design.
     "q28_skew_join"        -> (RelationalQueries2.saltedJoinRevenue(_, _)),
+    "q29_json_extract"     -> (RelationalQueries2.jsonExtract(_, _)),
+    "q30_string_agg"       -> (RelationalQueries2.stringAgg(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -409,6 +411,21 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q29_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+        |  avg(json_extract(props, '$.k')::INT) AS avg_k,
+        |  count(json_extract(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q30_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

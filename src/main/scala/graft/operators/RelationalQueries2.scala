@@ -75,6 +75,32 @@ object RelationalQueries2 {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** JSON scalar functions: parse the events.props JSON payload
+    * (schema'd from_json) and aggregate an extracted field.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), avg(col("k")).as("avg_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  /** Ordered string aggregation (deterministic collect): distinct order
+    * statuses per priority, sorted and joined.
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderpriority"))
+
   /** Skew-handling: explicit salted equi-join. The left (fact) side gets
     * a per-row salt; the right (dim) side is replicated across all salt
     * values — hot keys spread over `salts` reducers instead of one. The
