@@ -26,13 +26,16 @@ object SparkEntry {
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's query shape (avg measure by day-of-week, Sunday=0)
-    * on the events table.
+    * The reference's FULL faithful semantics (two-level zero-filled
+    * avg-of-averages by day-of-week, Sunday=0 — SURVEY.md §2.2) on the
+    * events table, user_id%4 standing in for the per-file grouping.
     */
   def entry(spark: SparkSession): DataFrame =
-    TwoLevelMean.weighted(
-      ev(spark, "/root/testdata/sf0.001"),
-      (dayofweek(col("ts")) - 1).cast("int"), col("value"),
+    TwoLevelMean.faithful(
+      ev(spark, "/root/testdata/sf0.001").select(
+        (col("user_id") % 4).as("grp"),
+        (dayofweek(col("ts")) - 1).cast("int").as("day"), col("value")),
+      col("grp"), col("day"), col("value"), 0 to 6,
       keyName = "day", outName = "avg_value"
     ).orderBy("day")
 
