@@ -34,7 +34,8 @@ object TwoLevelMean {
     */
   def faithful(df: DataFrame, groupCol: Column, keyCol: Column,
       valueCol: Column, keyDomain: Seq[Int],
-      keyName: String = "key", outName: String = "mean"): DataFrame = {
+      keyName: String = "key", outName: String = "mean",
+      groupsOpt: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -42,16 +43,36 @@ object TwoLevelMean {
     // Level 1a: per-(group, key) mean — one shuffle, partial-agg combined.
     val perGroup = facts.groupBy($"_grp", col(keyName))
       .agg(avg($"_v").as("_grp_mean"))
-    // Dense frame: distinct groups × key domain. Groups are few (files);
-    // the cross join output is tiny and broadcast into the left join.
-    val groups = facts.select($"_grp").distinct()
     val keys = keyDomain.toDF(keyName)
-    val dense = groups.crossJoin(broadcast(keys))
-    // Level 1b: zero-fill, then Level 2: unweighted mean across groups.
-    dense.join(perGroup, Seq("_grp", keyName), "left")
-      .select(col(keyName), coalesce($"_grp_mean", lit(0.0)).as("_filled"))
-      .groupBy(col(keyName))
-      .agg(avg($"_filled").as(outName))
+
+    groupsOpt match {
+      // Group domain known up front (e.g. the file LISTING — a file with
+      // zero surviving rows still contributes a zero vector,
+      // Sample.cs:196-199). Then zero-fill + avg collapses algebraically:
+      //   avg over N groups of zero-filled means
+      //     = sum(present per-group means) / N        (zeros add nothing)
+      // — a single linear pipeline, one facts scan, no dense frame and
+      // no multi-branch subplan reuse. N comes from the (driver-built)
+      // groups frame.
+      case Some(g) =>
+        val n = g.count().toDouble
+        val perKey = perGroup.groupBy(col(keyName)).agg(sum($"_grp_mean").as("_s"))
+        broadcast(keys).join(perKey, Seq(keyName), "left")
+          .select(col(keyName), (coalesce($"_s", lit(0.0)) / lit(n)).as(outName))
+
+      // Group domain derived from the data: dense (group × key) frame
+      // left-joined to the aggregates, then the level-2 mean. The groups
+      // branch re-reads the facts (column pruning specializes its scan,
+      // so exchange reuse does not apply) — callers with a known domain
+      // should pass groupsOpt.
+      case None =>
+        val groups = perGroup.select($"_grp").distinct()
+        val dense = groups.crossJoin(broadcast(keys))
+        dense.join(perGroup, Seq("_grp", keyName), "left")
+          .select(col(keyName), coalesce($"_grp_mean", lit(0.0)).as("_filled"))
+          .groupBy(col(keyName))
+          .agg(avg($"_filled").as(outName))
+    }
   }
 
   /** The "corrected" global weighted mean: every input row counts once.

@@ -45,8 +45,44 @@ object TaxiCsv {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** S2 — source enumeration (GetFileListAsync analog,
+    * Sample.cs:109-126): list the files a path/glob resolves to WITHOUT
+    * scanning their bytes — driver-side Hadoop FileSystem listing, the
+    * same metadata-only operation the reference's blob-prefix listing
+    * performs. Needed by faithful mode: files with zero accepted rows
+    * still contribute zero vectors.
+    *
+    * Returns URI strings in `input_file_name()`'s format
+    * (scheme://authority/path, e.g. "file:///x/y.csv") so the two can
+    * join directly — no per-row path normalization in the scan.
+    */
+  def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val statuses =
+      if (path.exists("*?[{".contains(_))) fs.globStatus(p)
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.listStatus(p) else Array(st)
+      }
+    statuses.filter { st =>
+      // skip metadata/hidden files (_SUCCESS, .crc, ...) — same
+      // convention Spark's own file index applies to data sources
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+      .map { st =>
+        val u = st.getPath.toUri
+        s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+      }
+      .toSeq.sorted
+  }
+
   /** Raw accepted lines, still as a field array, with the source file.
     * Exactly the reference's accept rule: 17 fields + int-parsable field 0.
+    * `file` is the raw input_file_name() URI (an opaque per-file key —
+    * kept transform-free in the hot scan).
     */
   def acceptedLines(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)

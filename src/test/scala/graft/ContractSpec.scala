@@ -17,11 +17,14 @@ class ContractSpec extends AnyFunSuite {
   lazy val dir = TaxiFixtures.writeDir().toString
 
   test("S2: prefix glob selects matching files only (GetFileListAsync analog)") {
-    // fixture dir holds yellow_tripdata_2017-01.csv and -02.csv
+    // fixture dir holds yellow_tripdata_2017-{01,02,03}.csv
     val all = TaxiCsv.trips(spark, s"$dir/yellow_tripdata_2017-*.csv")
     val one = TaxiCsv.trips(spark, s"$dir/yellow_tripdata_2017-01*.csv")
-    assert(all.select(countDistinct(col("file"))).head().getLong(0) === 2)
+    assert(all.select(countDistinct(col("file"))).head().getLong(0) === 3)
     assert(one.select(countDistinct(col("file"))).head().getLong(0) === 1)
+    // metadata-only listing agrees with the scan-observed file set
+    assert(TaxiCsv.listFiles(spark, s"$dir/yellow_tripdata_2017-*.csv").size === 3)
+    assert(TaxiCsv.listFiles(spark, dir).size === 3)
   }
 
   test("R2: result string matches the reference's format, typos verbatim") {

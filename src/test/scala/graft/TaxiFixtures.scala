@@ -39,16 +39,33 @@ object TaxiFixtures {
     row("2017-01-08 08:00:00", "2017-01-08 09:00:00", 20.0),  // Sun 20mph
     row("2017-01-03 08:00:00", "2017-01-03 10:00:00", 40.0))  // Tue 20mph
 
+  // File C: every data row is rejected by the value filters (zero
+  // distance) — in the reference this file still contributes an
+  // all-zero day vector to the cross-file mean (Sample.cs:196-199).
+  val fileCLines: Seq[String] = Seq(
+    header,
+    row("2017-01-04 09:00:00", "2017-01-04 10:00:00", 0.0),
+    row("2017-01-05 09:00:00", "2017-01-05 10:00:00", 0.0))
+
   // Hand-computed goldens (Sunday=0 numbering):
   //   file A day-means: d0=30, d1=(10+20-5)/3=25/3, d2..d6=0
   //   file B day-means: d0=20, d2=20, d1,d3..d6=0
+  //   file C day-means: all 0 (no surviving rows)
+  // Data-derived groups (A, B only — C has no surviving rows):
   val faithfulExpected: Map[Int, Double] = Map(
     0 -> 25.0, 1 -> 25.0 / 6.0, 2 -> 10.0, 3 -> 0.0, 4 -> 0.0, 5 -> 0.0, 6 -> 0.0)
+  // Listing-derived groups (A, B, C — reference-exact):
+  val faithfulListedExpected: Map[Int, Double] = Map(
+    0 -> 50.0 / 3.0, 1 -> 25.0 / 9.0, 2 -> 20.0 / 3.0,
+    3 -> 0.0, 4 -> 0.0, 5 -> 0.0, 6 -> 0.0)
   // weighted: only days with surviving rows appear
   val weightedExpected: Map[Int, Double] = Map(
     0 -> 25.0, 1 -> 25.0 / 3.0, 2 -> 20.0)
 
-  /** Writes both fixture files into a fresh dir under target/, returns it. */
+  /** Accepted (17-field, int-probe) data rows across all three files. */
+  val nAcceptedRows: Int = 10 // A: 6, B: 2, C: 2
+
+  /** Writes the fixture files into a fresh dir under target/, returns it. */
   def writeDir(): Path = {
     val base = Paths.get("target", "test-tmp")
     Files.createDirectories(base)
@@ -57,6 +74,8 @@ object TaxiFixtures {
       fileALines.mkString("\n").getBytes("UTF-8"))
     Files.write(dir.resolve("yellow_tripdata_2017-02.csv"),
       fileBLines.mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("yellow_tripdata_2017-03.csv"),
+      fileCLines.mkString("\n").getBytes("UTF-8"))
     dir
   }
 }

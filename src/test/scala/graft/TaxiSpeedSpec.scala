@@ -13,17 +13,17 @@ class TaxiSpeedSpec extends AnyFunSuite {
   test("acceptedLines keeps only 17-field lines with int field 0") {
     val accepted = TaxiCsv.acceptedLines(spark, dir)
     // fileA has 6 valid data rows (incl. the ones later dropped by value
-    // filters), fileB has 2; header/blank/16/18-field lines are gone.
-    assert(accepted.count() === 8)
+    // filters), fileB 2, fileC 2; header/blank/16/18-field lines gone.
+    assert(accepted.count() === TaxiFixtures.nAcceptedRows)
     assert(accepted.filter(col("value").startsWith("VendorID")).count() === 0)
   }
 
   test("trips projects typed pickup/dropoff/distance per file") {
     val t = TaxiCsv.trips(spark, dir)
     assert(t.columns.toSeq === Seq("file", "pickup_ts", "dropoff_ts", "trip_distance"))
-    assert(t.count() === 8)
+    assert(t.count() === TaxiFixtures.nAcceptedRows)
     assert(t.filter(col("pickup_ts").isNull || col("dropoff_ts").isNull).count() === 0)
-    assert(t.select(countDistinct(col("file"))).head().getLong(0) === 2)
+    assert(t.select(countDistinct(col("file"))).head().getLong(0) === 3)
   }
 
   test("withSpeed drops zero-distance and infinite speeds, keeps negative") {
@@ -44,6 +44,14 @@ class TaxiSpeedSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(got.keySet === (0 to 6).toSet)
     TaxiFixtures.faithfulExpected.foreach { case (d, exp) =>
+      assert(math.abs(got(d) - exp) < 1e-12, s"day $d: got ${got(d)} want $exp")
+    }
+  }
+
+  test("faithful listed mode: all-zero file drags the mean (reference-exact)") {
+    val got = graft.operators.TaxiSpeed.faithfulAvgByDowListed(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    TaxiFixtures.faithfulListedExpected.foreach { case (d, exp) =>
       assert(math.abs(got(d) - exp) < 1e-12, s"day $d: got ${got(d)} want $exp")
     }
   }
