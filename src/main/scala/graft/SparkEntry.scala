@@ -110,6 +110,9 @@ object SparkEntry {
     "q28_skew_join"        -> (RelationalQueries2.saltedJoinRevenue(_, _)),
     "q29_json_extract"     -> (RelationalQueries2.jsonExtract(_, _)),
     "q30_string_agg"       -> (RelationalQueries2.stringAgg(_, _)),
+    "q31_explode_words"    -> (RelationalQueries2.explodeWords(_, _)),
+    "q32_arg_max"          -> (RelationalQueries2.argMax(_, _)),
+    "q33_date_arith"       -> (RelationalQueries2.dateArith(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -429,6 +432,35 @@ object SparkEntry {
         |  count(DISTINCT o_custkey) AS n_custs
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_explode_words" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "q32_arg_max" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+        |  max(o_totalprice) AS top_price,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey
+        |FROM r GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q33_date_arith" ->
+      """SELECT o_orderstatus,
+        |  avg(lag_days) AS avg_lag_days,
+        |  max(lag_days) AS max_lag_days,
+        |  min(lag_days) AS min_lag_days
+        |FROM (SELECT o_orderstatus,
+        |    CAST(datediff('day', o_orderdate::DATE, l_shipdate::DATE) AS INT) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

@@ -75,6 +75,45 @@ object RelationalQueries2 {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Generator / lateral-view: explode part names into words, count
+    * occurrences (the word-count classic, relationally).
+    */
+  def explodeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  /** arg-max/arg-min per group with a deterministic struct tiebreak:
+    * the highest-priced order (ties → highest orderkey) per status.
+    */
+  def argMax(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_orderkey"),
+        max(col("o_totalprice")).as("top_price"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("bottom_orderkey"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Date arithmetic battery: day difference, month boundaries. */
+  def dateArith(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"),
+        col("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(avg(col("lag_days")).as("avg_lag_days"),
+        max(col("lag_days")).as("max_lag_days"),
+        min(col("lag_days")).as("min_lag_days"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** JSON scalar functions: parse the events.props JSON payload
     * (schema'd from_json) and aggregate an extracted field.
     */

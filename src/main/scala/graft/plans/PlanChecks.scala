@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan introspection helpers — the assertions the spec suite
+  * uses to PIN the plans we want at scale (pushdown reaching the scan,
+  * bounded dims broadcast, two-phase top-k, codegen participation),
+  * exposed as a small library API so downstream users can gate their
+  * own pipelines the same way.
+  */
+object PlanChecks {
+
+  def executedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Predicate pushed into the file source scan. */
+  def hasPushedFilter(df: DataFrame, fragment: String): Boolean = {
+    val p = executedPlan(df)
+    p.contains("PushedFilters:") && p.contains(fragment)
+  }
+
+  /** A broadcast hash join somewhere in the plan (bounded dim joins). */
+  def hasBroadcastJoin(df: DataFrame): Boolean =
+    executedPlan(df).contains("BroadcastHashJoin")
+
+  /** Global top-k planned as TakeOrderedAndProject (no full sort). */
+  def hasTakeOrdered(df: DataFrame): Boolean =
+    executedPlan(df).contains("TakeOrderedAndProject")
+
+  /** Per-group top-k rank filter rewritten to WindowGroupLimit. */
+  def hasWindowGroupLimit(df: DataFrame): Boolean =
+    executedPlan(df).contains("WindowGroupLimit")
+
+  /** The scan's ReadSchema does not mention the given column (pruned). */
+  def prunesColumn(df: DataFrame, column: String): Boolean =
+    !executedPlan(df).contains(column)
+
+  /** Number of whole-stage-codegen spans. EXECUTES the plan: under AQE
+    * codegen ids are only assigned at runtime, so the final adaptive
+    * plan is the only honest thing to inspect. Wider spans (fewer,
+    * larger) mean more of the plan runs fused and codegen'd.
+    */
+  def wholeStageCodegenSpans(df: DataFrame): Int = {
+    // df.count() would build a NEW QueryExecution; drive THIS plan's RDD
+    // so the adaptive plan we inspect is the one that finalized.
+    df.queryExecution.executedPlan.execute().count()
+    "\\*\\((\\d+)\\)".r.findAllMatchIn(executedPlan(df))
+      .map(_.group(1).toInt).toSet.size
+  }
+
+  /** Count of shuffle exchanges in the plan — the scale-critical number
+    * to watch when composing operators.
+    */
+  def exchangeCount(df: DataFrame): Int =
+    "(?m)^\\s*(?:\\+- |:- )?Exchange ".r
+      .findAllMatchIn(executedPlan(df)).size
+}
