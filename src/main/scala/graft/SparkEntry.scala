@@ -113,6 +113,9 @@ object SparkEntry {
     "q31_explode_words"    -> (RelationalQueries2.explodeWords(_, _)),
     "q32_arg_max"          -> (RelationalQueries2.argMax(_, _)),
     "q33_date_arith"       -> (RelationalQueries2.dateArith(_, _)),
+    // Temporal joins (absent categories in the reference, §2.3)
+    "q34_range_join"       -> (TemporalJoins.rangeJoin(_, _)),
+    "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -461,6 +464,30 @@ object SparkEntry {
         |    CAST(datediff('day', o_orderdate::DATE, l_shipdate::DATE) AS INT) AS lag_days
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q34_range_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS sec
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs, avg(b.sec - a.sec) AS avg_gap_s
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec - a.sec <= 60
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q35_asof_join" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |  last_click_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click'
+        |                    THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators — the join categories the reference lacks
+  * entirely (SURVEY.md §2.3: range joins, as-of joins), built Spark-
+  * first:
+  *
+  *  - rangeJoin: event pairs within a time window, via LOSSLESS
+  *    interval blocking — both sides bucket to fixed-width time cells;
+  *    a pair within `maxGap` spans at most adjacent cells, so
+  *    replicating one side to (cell, cell+1) and equi-joining on
+  *    (user, cell) finds every qualifying pair without the quadratic
+  *    theta-join. The equi-join shuffles on (user, cell) — scalable.
+  *
+  *  - asOfJoin: most-recent-prior match per row, with NO join at all —
+  *    one window pass per user ordered by (ts, event_id) carrying the
+  *    last qualifying timestamp forward (rows-frame ending at
+  *    1 PRECEDING = strictly prior rows). This is the linear-scan
+  *    formulation: one shuffle on user_id, no candidate explosion.
+  *
+  * Timestamps are compared at microsecond precision (Spark's
+  * TimestampType); the DuckDB oracles cast their nanosecond column
+  * down identically.
+  */
+object TemporalJoins {
+
+  /** Pairs of same-user events where 0 < ts_b - ts_a <= maxGapSec,
+    * aggregated per user. Interval blocking with 1-minute cells.
+    */
+  def rangeJoin(s: SparkSession, dir: String, maxGapSec: Int = 60): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("double").as("sec"))
+    val cell = (c: org.apache.spark.sql.Column) =>
+      floor(c / lit(maxGapSec.toDouble)).cast("long")
+    // left side replicated to its own cell and the next one
+    val a = e.select(col("user_id"), col("event_id").as("id_a"),
+        col("sec").as("sec_a"),
+        explode(array(cell(col("sec")), cell(col("sec")) + 1)).as("cell"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"),
+      col("sec").as("sec_b"), cell(col("sec")).as("cell"))
+    a.join(b, Seq("user_id", "cell"))
+      .filter(col("sec_b") > col("sec_a") &&
+        col("sec_b") - col("sec_a") <= maxGapSec)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (col("sec_b") - col("sec_a")).as("gap_s"))
+      // no distinct needed: cell_b is one value, the two replicas are
+      // distinct cells — each qualifying pair matches exactly once
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("gap_s")).as("avg_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: for every purchase event, the user's most recent
+    * strictly-prior click (by (ts, event_id) order), as a window
+    * carry-forward — no join.
+    * Output: (event_id, user_id, purchase_ts, last_click_ts).
+    */
+  def asOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+}
