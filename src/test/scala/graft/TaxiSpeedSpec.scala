@@ -26,6 +26,16 @@ class TaxiSpeedSpec extends AnyFunSuite {
     assert(t.select(countDistinct(col("file"))).head().getLong(0) === 3)
   }
 
+  test("tripsWide types all 17 reference columns") {
+    val w = TaxiCsv.tripsWide(spark, dir)
+    assert(w.columns.length === 18) // file + 17 TLC columns
+    assert(w.columns.contains("total_amount"))
+    assert(w.schema("trip_distance").dataType.typeName === "double")
+    assert(w.schema("tpep_pickup_datetime").dataType.typeName.startsWith("timestamp"))
+    assert(w.count() === TaxiFixtures.nAcceptedRows)
+    assert(w.filter(col("vendor_id").isNull).count() === 0)
+  }
+
   test("withSpeed drops zero-distance and infinite speeds, keeps negative") {
     val s = TaxiSpeed.withSpeed(TaxiCsv.trips(spark, dir))
     val speeds = s.select(col("speed_mph")).collect().map(_.getDouble(0)).sorted
