@@ -116,6 +116,7 @@ object SparkEntry {
     // Temporal joins (absent categories in the reference, §2.3)
     "q34_range_join"       -> (TemporalJoins.rangeJoin(_, _)),
     "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
+    "q36_window_range"     -> (RelationalQueries2.windowRangeFrame(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "d2_jaccard_pairs"  -> (Dedup.jaccardPairs(_, _)),
     // LSH prunes candidates; exact verify makes output == d2's oracle
     "d3_minhash_pairs"  -> (Dedup.minhashLshPairs(_, _)),
+    "d7_chargram_pairs" -> (Dedup.charGramPairs(_, _)),
     "d4_simhash"        -> (Dedup.simhashSignatures(_, _)),
     "d5_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
     "d6_embedding_dedup" -> (Dedup.embeddingNearDupPairs(_, _)),
@@ -489,6 +491,15 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    "q36_window_range" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  sum(o_totalprice) OVER w AS rolling_1k,
+        |  count(*) OVER w AS n_within_1k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
@@ -555,6 +566,22 @@ object SparkEntry {
         |GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
 
     "d2_jaccard_pairs" -> jaccardPairsOracle,
+
+    "d7_chargram_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN length(t) >= 5
+        |      THEN [substr(t, i, 5) for i in range(1, length(t) - 3)]
+        |      ELSE [] END) AS g
+        |  FROM s),
+        |sz AS (SELECT doc_id, g, len(g) AS n FROM sh WHERE len(g) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.g, b.g)) * 1.0 / (a.n + b.n - len(list_intersect(a.g, b.g))) AS jaccard
+        |FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) * 1.0 / (a.n + b.n - len(list_intersect(a.g, b.g))) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // The MinHash-LSH operator verifies candidates with exact Jaccard;
     // with 64 bands x 2 rows the miss probability at the J>=0.9 data

@@ -55,14 +55,32 @@ object Dedup {
     * see TextFunctions.shinglesFromTokens for why this matters.
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShinglesBy(s, dir, tokens, w => shinglesFromTokens(w, 3))
+
+  /** Character n-gram variant: shingles = distinct n-char substrings of
+    * the whitespace-normalized text.
+    */
+  private def docCharShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    docShinglesBy(s, dir, normalized, base =>
+      array_distinct(when(length(base) >= n,
+        transform(sequence(lit(1), length(base) - (n - 1)),
+          i => base.substr(i, lit(n)))).otherwise(array())))
+
+  /** Shingle prep with a two-phase projection: `prep` is materialized
+    * into its own column BEFORE `gram` runs, because lambda bodies
+    * re-evaluate argument *expressions* per element (see
+    * TextFunctions.shinglesFromTokens).
+    */
+  private def docShinglesBy(s: SparkSession, dir: String,
+      prep: Column => Column, gram: Column => Column): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       // Hash-spread docs before the CPU-heavy shingling: locally the
       // table is one row group = one task; on a cluster this is the
       // same shuffle the explode/groupBy below needs anyway.
       .transform(Tables.spread(_, col("doc_id")))
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), shinglesFromTokens(col("w"), 3).as("sh"))
+      .select(col("doc_id"), prep(col("text")).as("base"))
+      .select(col("doc_id"), gram(col("base")).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
 
@@ -80,11 +98,28 @@ object Dedup {
     * keys on rare shingles — the frequent-shingle hot keys never enter
     * the join.
     */
-  def jaccardPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+  def jaccardPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame =
+    prefixFilteredPairs(docShingles(s, dir), t)
+
+  /** Character-5-gram Jaccard near-dup pairs (robust to token-boundary
+    * edits), threshold 0.7. Candidate generation uses MinHash-LSH
+    * banding, NOT prefix filtering: char 5-grams over this corpus's
+    * tiny vocabulary have a flat, high document frequency, so even a
+    * rarest-30% prefix explodes (measured 50-70s at sf0.1), and r=2
+    * banding floods because BACKGROUND pair similarity is ~0.2 (81s).
+    * r=8 x 16 bands: background p99=0.26 -> false-candidate rate
+    * ~1e-5; true pairs >= 0.93 -> miss probability ~2e-6 (1.8s at
+    * sf0.1). Candidates are verified with EXACT Jaccard — output
+    * equals the exact quadratic oracle.
+    */
+  def charGramPairs(s: SparkSession, dir: String, t: Double = 0.7): DataFrame =
+    minhashBandedPairs(docCharShingles(s, dir, 5), t, bandRows = 8)
+
+  private def prefixFilteredPairs(docsRaw: DataFrame, t: Double): DataFrame = {
     // cache is load-bearing: the prefix self-join and the verify join
     // each reference the shingle table; uncached, every branch recomputes
     // the full docs subtree (measured 22s vs 2s warm at sf0.1)
-    val docs = docShingles(s, dir).cache()
+    val docs = docsRaw.cache()
     val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val ranked = exploded.join(freq, "g")
@@ -157,13 +192,27 @@ object Dedup {
     * Output contract matches jaccardPairs (the LSH is a candidate
     * pruner, not an approximation of the result).
     */
-  def minhashLshPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
-    val docs = docShingles(s, dir).cache()
+  def minhashLshPairs(s: SparkSession, dir: String, t: Double = 0.5): DataFrame =
+    minhashBandedPairs(docShingles(s, dir), t)
+
+  /** The MinHash-LSH core over any shingle table: signatures, band
+    * bucketing, candidate self-join, exact verification.
+    *
+    * `bandRows` tunes the S-curve: r=2 (64 bands) catches low
+    * thresholds but floods when the BACKGROUND pair similarity is
+    * non-trivial; r=8 (16 bands) needs J >~ 0.8 to fire reliably but
+    * stays sparse even when unrelated pairs sit at J ~ 0.2-0.3 (the
+    * char-gram case on this corpus: background p99 = 0.26, true pairs
+    * >= 0.93 -> miss probability ~ 2e-6, false-candidate rate ~ 1e-5).
+    */
+  private def minhashBandedPairs(docsRaw: DataFrame, t: Double,
+      bandRows: Int = BandRows): DataFrame = {
+    val docs = docsRaw.cache()
     val sigs = minhashSignatures(docs)
-    val nBands = NumHashes / BandRows
+    val nBands = NumHashes / bandRows
     val bandKeys = (0 until nBands).map { j =>
-      concat_ws("_", lit(j) +: (0 until BandRows).map(r =>
-        element_at(col("sig"), j * BandRows + r + 1)): _*)
+      concat_ws("_", lit(j) +: (0 until bandRows).map(r =>
+        element_at(col("sig"), j * bandRows + r + 1)): _*)
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)))
       .select(col("doc_id"), col("col").as("band_key"))

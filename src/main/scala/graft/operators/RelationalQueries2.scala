@@ -140,6 +140,23 @@ object RelationalQueries2 {
         countDistinct(col("o_custkey")).as("n_custs"))
       .orderBy(col("o_orderpriority"))
 
+  /** Value-based RANGE window frame: rolling sum/count of orders whose
+    * price is within 1000 below the current row's, per status. RANGE
+    * frames are value-determined, so ties are handled identically in
+    * any engine — deterministic without a tiebreak.
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 0L)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        sum(col("o_totalprice")).over(w).as("rolling_1k"),
+        count(lit(1)).over(w).as("n_within_1k"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Skew-handling: explicit salted equi-join. The left (fact) side gets
     * a per-row salt; the right (dim) side is replicated across all salt
     * values — hot keys spread over `salts` reducers instead of one. The
