@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The remaining Structured-Streaming surface: watermarked streaming
+  * dedup and flatMapGroupsWithState custom state.
+  */
+class StreamingStateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val srcDir: String = {
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "stream-state").toString
+    // duplicate the stream on purpose: each event twice
+    val ev = Tables.events(spark, sfDir)
+    ev.unionAll(ev).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming dropDuplicates with watermark removes replayed events") {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dedup_out").head().getLong(0)
+    assert(got === Tables.events(spark, sfDir).count())
+  }
+
+  test("flatMapGroupsWithState: per-user running stats with custom state") {
+    import spark.implicits._
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    // state = (count, sum); emit one row per group per batch
+    val stats = stream.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Double)]) => {
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          Iterator((uid, c, s))
+        })
+      .toDF("user_id", "n", "total")
+    val q = stats.writeStream.outputMode("update")
+      .format("memory").queryName("state_stats_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // single micro-batch: final update per user == batch aggregate over
+    // the DOUBLED source
+    val got = spark.table("state_stats_out")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+    val want = spark.read.parquet(srcDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val joined = got.as("g").join(want.as("b"), Seq("user_id"), "full_outer")
+    assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
+      col("g.n") =!= col("b.n") ||
+      abs(col("g.total") - col("b.total")) > 1e-6).count() === 0)
+  }
+}
