@@ -29,10 +29,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // clearCache after EVERY query: operator-internal cache() calls
+    // (Dedup's shingle table) persist in the session CacheManager, and
+    // a later query with the same subtree (d3 after d2) would otherwise
+    // serve it from cache — each query's time must include ALL of its
+    // own work, nothing of its neighbors'. This also bounds storage
+    // memory across the 57-query run.
     def timeOnce(dir: String): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, dir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name; false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }.toMap
     // Both passes are complete runs at the target SF; reporting the
     // per-query minimum measures steady-state throughput and shields
@@ -41,13 +54,15 @@ object Bench {
     val warm = timeOnce(warmDir)
     val timed = timeOnce(sfDir)
     val results = queries.map { case (name, _) =>
-      name -> (if (warmDir == sfDir) math.min(warm(name), timed(name))
+      name -> (if (failed.contains(name)) -1.0
+               else if (warmDir == sfDir) math.min(warm(name), timed(name))
                else timed(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", name)
+    new ExpressionInfo("graft", null, name, usage, "")
 
   private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) =>

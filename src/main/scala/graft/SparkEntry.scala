@@ -406,13 +406,29 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // Two-pass deviation form mirrored from RelationalQueries2.stats:
+    // both engines sum identical same-sign deviation products, so the
+    // results agree to near-ulp (single-pass moment aggregates diverge
+    // past ~9 significant digits from merge-order cancellation).
     "q26_stats" ->
-      """SELECT l_returnflag,
-        |  stddev_samp(l_quantity) AS sd_qty,
-        |  var_samp(l_extendedprice) AS var_price,
-        |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
-        |  covar_samp(l_discount, l_tax) AS cov_disc_tax
-        |FROM lineitem GROUP BY l_returnflag
+      """WITH mu AS (
+        |  SELECT l_returnflag,
+        |    avg(l_quantity) AS mu_qty, avg(l_extendedprice) AS mu_price,
+        |    avg(l_discount) AS mu_disc, avg(l_tax) AS mu_tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  sqrt(sum((l_quantity - mu_qty) * (l_quantity - mu_qty))
+        |       / (count(*) - 1)) AS sd_qty,
+        |  sum((l_extendedprice - mu_price) * (l_extendedprice - mu_price))
+        |       / (count(*) - 1) AS var_price,
+        |  sum((l_quantity - mu_qty) * (l_extendedprice - mu_price))
+        |    / sqrt(sum((l_quantity - mu_qty) * (l_quantity - mu_qty))
+        |           * sum((l_extendedprice - mu_price) * (l_extendedprice - mu_price)))
+        |    AS corr_qty_price,
+        |  sum((l_discount - mu_disc) * (l_tax - mu_tax))
+        |       / (count(*) - 1) AS cov_disc_tax
+        |FROM lineitem l JOIN mu USING (l_returnflag)
+        |GROUP BY l.l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "q28_skew_join" ->

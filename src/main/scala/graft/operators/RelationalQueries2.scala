@@ -54,16 +54,43 @@ object RelationalQueries2 {
         percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
       .orderBy(col("l_returnflag"))
 
-  /** Statistical aggregates: stddev/variance/corr/covar. */
-  def stats(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  /** Statistical aggregates: stddev/variance/corr/covar, computed in the
+    * two-pass deviation form rather than Spark's single-pass moment
+    * aggregates. The built-ins (`stddev_samp`/`corr`/...) merge partial
+    * M2 moments with a subtraction whose catastrophic cancellation is
+    * merge-order dependent — the result drifts from another engine's
+    * past ~9 significant digits. Two-pass: join each group's mean back
+    * to the rows, then sum same-sign deviation products — no
+    * cancellation, so any engine summing the same terms agrees to
+    * near-ulp. Costs one extra (broadcast) join of a #groups-row frame;
+    * the fact table is still scanned twice, which at 100 TB is the
+    * price of cross-engine bit-stability (use the built-ins when only
+    * self-consistency matters).
+    */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+    val mu = l.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("mu_qty"),
+        avg(col("l_extendedprice")).as("mu_price"),
+        avg(col("l_discount")).as("mu_disc"),
+        avg(col("l_tax")).as("mu_tax"))
+    val dQty   = col("l_quantity") - col("mu_qty")
+    val dPrice = col("l_extendedprice") - col("mu_price")
+    val dDisc  = col("l_discount") - col("mu_disc")
+    val dTax   = col("l_tax") - col("mu_tax")
+    val n1 = (count(lit(1)) - 1).cast("double")
+    l.join(broadcast(mu), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        stddev_samp(col("l_quantity")).as("sd_qty"),
-        var_samp(col("l_extendedprice")).as("var_price"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-        covar_samp(col("l_discount"), col("l_tax")).as("cov_disc_tax"))
+        sqrt(sum(dQty * dQty) / n1).as("sd_qty"),
+        (sum(dPrice * dPrice) / n1).as("var_price"),
+        (sum(dQty * dPrice) / sqrt(sum(dQty * dQty) * sum(dPrice * dPrice)))
+          .as("corr_qty_price"),
+        (sum(dDisc * dTax) / n1).as("cov_disc_tax"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** HLL sketch: approx_count_distinct. Approximate → no SQL oracle
     * (engines' sketches differ); error bound asserted in spec.

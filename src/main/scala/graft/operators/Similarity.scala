@@ -49,9 +49,13 @@ object Similarity {
   }
 
   // ── Random-hyperplane LSH ────────────────────────────────────────────
-  /** Fixed-seed Gaussian hyperplanes: nBits × dim. Deterministic. */
-  private[operators] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
+  /** Fixed-seed Gaussian hyperplanes: nBits × dim. Deterministic;
+    * `table` varies the seed so multi-table LSH gets independent
+    * hyperplane sets.
+    */
+  private[operators] def hyperplanes(nBits: Int, dim: Int,
+      table: Int = 0): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7 + 1000 * table)
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
@@ -77,7 +81,7 @@ object Similarity {
     * the corpus; the corpus-side assignment is one scan.
     */
   def ivfTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 6): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .transform(Tables.spread(_, col("vec_id")))
     // centroids to the driver: K × dim doubles — tiny, one-time
@@ -117,28 +121,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Approximate top-k via LSH buckets + multiprobe (flip each single
-    * bit of the query signature) + exact cosine re-rank of candidates.
+  /** Approximate top-k via MULTI-TABLE LSH buckets + Hamming-1
+    * multiprobe + exact cosine re-rank of the unioned candidates.
+    *
+    * Parameter shape: `nTables` independent hyperplane sets, each
+    * hashing to 2^nBits buckets; a query probes its own bucket and all
+    * Hamming-1 buckets in every table; a neighbor is found if ANY table
+    * collides. Multi-table is what buys recall on a corpus like this
+    * one, whose top-5 neighbors sit at cos 0.4-0.55 (angle 60°+, per-
+    * hyperplane collision ~0.65): one table at any bit width either
+    * misses them or degenerates to a full scan. With b bits, H-1
+    * probing and L tables, a θ-angle neighbor is missed with
+    * ((1-p^b) - b·p^(b-1)(1-p))^L for p = 1-θ/π — the defaults hit
+    * recall ≥ ~0.9 at candidate fraction ~40% on isotropic data, and
+    * prune far harder when the data actually clusters.
+    *
+    * Scale posture: corpus side is hashed once per table (nTables×
+    * replication of (id, bucket) keys — NOT of the vectors... the
+    * embedding rides along only to the bucket join, which is an
+    * equi-join on (table, bucket)); candidates dedup on (query,
+    * neighbor) before the exact re-rank so each pair's cosine is
+    * computed once.
     */
   def lshTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, nBits: Int = 6, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
+      k: Int = 5, nQueries: Int = 5, nBits: Int = 4, nTables: Int = 8,
+      dim: Int = 64): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .transform(Tables.spread(_, col("vec_id")))
-      .select(col("vec_id"), col("embedding"),
-        signature(col("embedding"), planes).as("sig"))
-    // corpus rows keyed by their single bucket
-    val corpus = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"), col("sig").as("bucket"))
-    // queries probe their own bucket plus all Hamming-1 buckets
-    val probes = (0 until nBits).map(i => col("sig").bitwiseXOR(lit(1 << i))) :+ col("sig")
-    val q = e.filter(col("vec_id") < nQueries)
+    val sigs = (0 until nTables).map { t =>
+      signature(col("embedding"), hyperplanes(nBits, dim, t)).as(s"sig$t")
+    }
+    val withSigs = e.select(col("vec_id") +: col("embedding") +: sigs: _*)
+    // corpus rows keyed by (table, bucket) — one key per table
+    val corpusKeys = (0 until nTables).map(t =>
+      concat_ws("_", lit(t), col(s"sig$t")))
+    val corpus = withSigs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"),
+        explode(array(corpusKeys: _*)).as("bucket"))
+    // queries probe own + Hamming-1 buckets in EVERY table
+    val probeKeys = (0 until nTables).flatMap { t =>
+      val own = col(s"sig$t")
+      (own +: (0 until nBits).map(i => own.bitwiseXOR(lit(1 << i))))
+        .map(sig => concat_ws("_", lit(t), sig))
+    }
+    val q = withSigs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(array(probes: _*)).as("bucket"))
+        explode(array(probeKeys: _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair found in several tables is re-ranked once
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("q_emb")).as("q_emb"), first(col("n_emb")).as("n_emb"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

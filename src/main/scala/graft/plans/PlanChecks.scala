@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Physical-plan introspection helpers — the assertions the spec suite
   * uses to PIN the plans we want at scale (pushdown reaching the scan,
@@ -31,9 +33,26 @@ object PlanChecks {
   def hasWindowGroupLimit(df: DataFrame): Boolean =
     executedPlan(df).contains("WindowGroupLimit")
 
-  /** The scan's ReadSchema does not mention the given column (pruned). */
-  def prunesColumn(df: DataFrame, column: String): Boolean =
-    !executedPlan(df).contains(column)
+  /** File scans reachable from a plan, descending into AQE wrappers
+    * (AdaptiveSparkPlanExec is a leaf node — a plain collect stops at
+    * it and would miss every scan under an adaptive plan).
+    */
+  private def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec => Seq(s)
+                case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+              }.flatten
+
+  /** No file scan's read schema contains the given column (pruned).
+    * Inspects the scan nodes' requiredSchema directly — the plan STRING
+    * both truncates ReadSchema ("struct<…tim...") and mentions column
+    * names in unrelated sections (filters, joins), so text matching is
+    * wrong in both directions.
+    */
+  def prunesColumn(df: DataFrame, column: String): Boolean = {
+    val scans = fileScans(df.queryExecution.executedPlan)
+    scans.nonEmpty &&
+      !scans.exists(_.requiredSchema.fieldNames.contains(column))
+  }
 
   /** Number of whole-stage-codegen spans. EXECUTES the plan: under AQE
     * codegen ids are only assigned at runtime, so the final adaptive

@@ -52,7 +52,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
-  test("LSH ANN achieves nontrivial recall while pruning candidates") {
+  // The ANN operators have no SQL oracle (approximate by design) — these
+  // recall gates ARE their correctness story. The corpus is hard for
+  // ANN (top-5 neighbors at cos 0.4-0.55, no cluster structure), which
+  // is exactly why the bar matters: the default parameters must hold
+  // recall on unstructured data, not just on planted duplicates.
+  // Measured at defaults (sweep in DevR2ProbeAnn): s2 multi-table LSH
+  // (4 bits × 8 tables, H-1 probing) recall = 1.00 at sf0.001 AND
+  // sf0.01; s3 IVF (16 cells, nProbe 6) recall = 0.92 at both.
+  test("LSH ANN recall@5 >= 0.8 vs brute force") {
     val exact = Similarity.bruteForceTopK(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -60,11 +68,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ann).size.toDouble / exact.size
-    assert(recall >= 0.1, s"recall $recall")
+    info(s"s2 lshTopK recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
     assert(recall < 1.01)
   }
 
-  test("IVF ANN achieves nontrivial recall and touches a corpus subset") {
+  test("IVF ANN recall@5 >= 0.8 vs brute force, touching a corpus subset") {
     val exact = Similarity.bruteForceTopK(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -72,7 +81,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.1, s"recall $recall")
+    info(s"s3 ivfTopK recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val naive = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiled = Dedup.embeddingNearDupPairs(spark, sfDir)
+    assert(tiled.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === naive)
+    // the tiled layout must plan as an equi-join, never a broadcast
+    // nested loop over the whole corpus
+    val plan = tiled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("SQL surface: graft_dot and graft_hash64 registered functions") {
