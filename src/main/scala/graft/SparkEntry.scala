@@ -45,13 +45,21 @@ object SparkEntry {
     // ── Flagship analogs (SURVEY.md §2.2 semantics on `events`) ──────────
     // Faithful mode: unweighted mean of zero-filled per-group means;
     // user_id % 4 plays the reference's one-mapper-per-file grouping.
-    "events_speed_faithful" -> ((s, dir) =>
+    // The group domain 0..3 is KNOWN up front (as the reference's file
+    // listing is), so it's passed via groupsOpt — the faithful zero-fill
+    // collapses algebraically to sum/N and the plan scans `events`
+    // exactly once (the data-derived-domain branch needs a second scan
+    // to discover the groups).
+    "events_speed_faithful" -> ((s, dir) => {
+      import s.implicits._
       TwoLevelMean.faithful(
         ev(s, dir).select((col("user_id") % 4).as("grp"),
           (dayofweek(col("ts")) - 1).cast("int").as("day"), col("value")),
         col("grp"), col("day"), col("value"), 0 to 6,
-        keyName = "day", outName = "avg_value"
-      ).orderBy("day")),
+        keyName = "day", outName = "avg_value",
+        groupsOpt = Some((0 to 3).toDF("_grp"))
+      ).orderBy("day")
+    }),
 
     // Weighted (corrected) mode: plain global mean per day.
     "events_speed_weighted" -> ((s, dir) =>
@@ -157,11 +165,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
 
+    // group domain is the fixed 0..3 (mirrors groupsOpt on the Spark
+    // side — the reference's "listing-known" file set, not data-derived)
     "events_speed_faithful" ->
       """WITH base AS (
         |  SELECT user_id % 4 AS grp, CAST(dayofweek(ts) AS INT) AS day, value
         |  FROM events
-        |), groups AS (SELECT DISTINCT grp FROM base),
+        |), groups AS (SELECT * FROM (VALUES (0),(1),(2),(3)) g(grp)),
         |days AS (SELECT * FROM (VALUES (CAST(0 AS INT)),(1),(2),(3),(4),(5),(6)) d(day)),
         |per_grp AS (
         |  SELECT g.grp, d.day, coalesce(avg(b.value), 0.0) AS per_grp_avg
