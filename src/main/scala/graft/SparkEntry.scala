@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.sources.{TaxiCsv, TaxiDataGen}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +68,20 @@ object SparkEntry {
         ev(s, dir), (dayofweek(col("ts")) - 1).cast("int"), col("value"),
         keyName = "day", outName = "avg_value"
       ).orderBy("day")),
+
+    // ── The reference's ACTUAL pipeline, end-to-end on CSV (S2→R1) ───────
+    // 12-file taxi corpus derived deterministically from `events`
+    // (TaxiDataGen): real text-scan ingest with the 17-field/int-probe
+    // accept rule, try-parse timestamps, speed derivation and both §2.2
+    // reduce modes. Month 12 is header-only, so faithful mode's
+    // listing-derived group domain (a zero-accepted-rows file still
+    // contributes a zero vector, Sample.cs:196-199) is exercised for real.
+    "taxi_avg_speed_faithful" -> ((s, dir) =>
+      TaxiSpeed.faithfulAvgByDowListed(s, TaxiDataGen.ensure(s, dir))
+        .orderBy("day")),
+    "taxi_avg_speed_weighted" -> ((s, dir) =>
+      TaxiSpeed.weightedAvgByDow(TaxiCsv.trips(s, TaxiDataGen.ensure(s, dir)))
+        .orderBy("day")),
 
     // ── Core relational: aggregation (S4/M5/R1 generalized) ──────────────
     "q1_pricing_summary" -> ((s, dir) =>
@@ -185,6 +200,27 @@ object SparkEntry {
     "events_speed_weighted" ->
       """SELECT CAST(dayofweek(ts) AS INT) AS day, avg(value) AS avg_value
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // Re-reads the SAME generated CSV bytes (read_text → line split) and
+    // re-applies only the accept/speed/aggregation semantics — the gate
+    // checks the pipeline, not the generator. Path pinned to sf0.01: the
+    // driver's oracle pass always runs there (TESTDATA.md).
+    "taxi_avg_speed_faithful" ->
+      s"""WITH $taxiKept,
+        |files AS (SELECT DISTINCT filename FROM raw),
+        |days AS (SELECT * FROM (VALUES (CAST(0 AS INT)),(1),(2),(3),(4),(5),(6)) d(day)),
+        |per_file AS (
+        |  SELECT fi.filename, d.day, coalesce(avg(k.speed_mph), 0.0) AS pf
+        |  FROM files fi CROSS JOIN days d
+        |  LEFT JOIN kept k ON k.filename = fi.filename AND k.day = d.day
+        |  GROUP BY fi.filename, d.day)
+        |SELECT day, avg(pf) AS avg_speed_mph
+        |FROM per_file GROUP BY day ORDER BY day""".stripMargin,
+
+    "taxi_avg_speed_weighted" ->
+      s"""WITH $taxiKept
+        |SELECT day, avg(speed_mph) AS avg_speed_mph
+        |FROM kept GROUP BY day ORDER BY day""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -717,6 +753,33 @@ object SparkEntry {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
   )
+
+  /** Shared DuckDB prelude for the taxi oracles: raw CSV bytes → lines →
+    * the reference's accept rule (17 fields + int probe) → typed trips →
+    * speed with the try_divide-equivalent NULL-on-zero-duration → the
+    * finite-speed filter (negative speeds kept). Mirrors
+    * TaxiCsv.acceptedLines/trips + TaxiSpeed.withSpeed semantically.
+    */
+  private val taxiKept: String =
+    s"""raw AS (
+      |  SELECT filename, unnest(string_split(content, chr(10))) AS line
+      |  FROM read_text('${TaxiDataGen.BaseDir}/sf0.01/*.csv')),
+      |fs AS (SELECT filename, string_split(line, ',') AS f FROM raw),
+      |ok AS (SELECT filename, f FROM fs
+      |  WHERE len(f) = 17 AND try_cast(f[1] AS INTEGER) IS NOT NULL),
+      |trips AS (SELECT filename,
+      |    try_cast(f[2] AS TIMESTAMP) AS pickup_ts,
+      |    try_cast(f[3] AS TIMESTAMP) AS dropoff_ts,
+      |    try_cast(f[5] AS DOUBLE) AS trip_distance
+      |  FROM ok),
+      |sp AS (SELECT filename,
+      |    CAST(dayofweek(pickup_ts) AS INT) AS day,
+      |    CASE WHEN epoch(dropoff_ts) - epoch(pickup_ts) <> 0
+      |         THEN trip_distance / ((epoch(dropoff_ts) - epoch(pickup_ts)) / 3600.0)
+      |    END AS speed_mph
+      |  FROM trips WHERE trip_distance > 0),
+      |kept AS (SELECT filename, day, speed_mph FROM sp
+      |  WHERE speed_mph IS NOT NULL AND isfinite(speed_mph))""".stripMargin
 
   /** Word-3-gram shingle sets per doc (shared by d2/d3 oracles). */
   private val shingleSets: String =
