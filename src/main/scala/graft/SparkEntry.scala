@@ -129,8 +129,11 @@ object SparkEntry {
     // HLL sketch: engines' sketches differ → rows-only check; error
     // bound vs exact asserted in Relational2Spec.
     "q27_approx_distinct"  -> (RelationalQueries2.approxDistinct(_, _)),
-    // Salted skew join: result equals the PLAIN join oracle by design.
-    "q28_skew_join"        -> (RelationalQueries2.saltedJoinRevenue(_, _)),
+    // Skew join, production shape: only DETECTED hot keys are salted
+    // (none at this key cardinality → runtime tracks the plain join);
+    // result equals the PLAIN join oracle by design. The full-salt
+    // variant (saltedJoinRevenue) stays as the spec's reference.
+    "q28_skew_join"        -> (RelationalQueries2.hotKeySaltedJoinRevenue(_, _)),
     "q29_json_extract"     -> (RelationalQueries2.jsonExtract(_, _)),
     "q30_string_agg"       -> (RelationalQueries2.stringAgg(_, _)),
     "q31_explode_words"    -> (RelationalQueries2.explodeWords(_, _)),

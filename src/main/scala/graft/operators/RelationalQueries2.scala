@@ -192,6 +192,46 @@ object RelationalQueries2 {
     * escape hatch when AQE's skew split isn't available or the skew is
     * in an aggregation key.
     */
+  /** Production-shape skew join: salt ONLY detected hot keys. A
+    * map-side-combinable (key, count) pre-aggregation finds join keys
+    * whose fact-row count exceeds `hotThreshold`; that (tiny) hot set is
+    * broadcast to tag both sides. Hot fact rows take a per-row salt and
+    * the matching dim rows are replicated `salts`×; the cold majority
+    * joins unsalted (salt 0, no replication). The result is identical to
+    * the plain join — only hot keys' shuffle layout changes — so the
+    * oracle stays the plain SQL join. Cost over the plain join: one
+    * 2-column pre-agg scan + two broadcast probes; vs full-salt: no ×8
+    * dim replication, so runtime tracks the plain join when skew is
+    * absent. (At 100 TB the detection pre-agg can run on a sample; exact
+    * counts keep this deterministic here.)
+    */
+  def hotKeySaltedJoinRevenue(s: SparkSession, dir: String,
+      salts: Int = 8, hotThreshold: Long = 100000L): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val hot = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > hotThreshold)
+      .select(col("l_orderkey").as("_hk"))
+    val liS = li.join(broadcast(hot), li("l_orderkey") === col("_hk"), "left")
+      .withColumn("_salt",
+        when(col("_hk").isNotNull,
+          pmod(hash64(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+            lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hk")
+    val oS = o.join(broadcast(hot), o("o_orderkey") === col("_hk"), "left")
+      .withColumn("_salt",
+        explode(when(col("_hk").isNotNull,
+          array((0 until salts).map(i => lit(i.toLong)): _*))
+          .otherwise(array(lit(0L)))))
+      .drop("_hk")
+    liS.join(oS, liS("l_orderkey") === oS("o_orderkey") && liS("_salt") === oS("_salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def saltedJoinRevenue(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .withColumn("_salt",

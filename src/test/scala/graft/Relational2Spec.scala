@@ -34,6 +34,29 @@ class Relational2Spec extends AnyFunSuite {
     }
   }
 
+  test("hot-key salting equals plain join with and without detected hot keys") {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // threshold 2: most orderkeys (up to 7 lineitems) count as hot →
+    // both the salted and the unsalted branch carry real rows;
+    // default threshold: hot set empty → pure plain-join layout
+    for (thr <- Seq(2L, Long.MaxValue)) {
+      val got = RelationalQueries2.hotKeySaltedJoinRevenue(spark, sfDir, hotThreshold = thr)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(got.map(_._1).toSeq === plain.map(_._1).toSeq, s"thr=$thr")
+      got.zip(plain).foreach { case ((_, rs, ns), (_, rp, np)) =>
+        assert(ns === np, s"thr=$thr")
+        assert(math.abs(rs - rp) < 1e-6, s"thr=$thr")
+      }
+    }
+  }
+
   test("hash sample is a deterministic subset") {
     val a = RelationalQueries2.hashSample(spark, sfDir).count()
     val b = RelationalQueries2.hashSample(spark, sfDir).count()
