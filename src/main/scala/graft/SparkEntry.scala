@@ -143,12 +143,14 @@ object SparkEntry {
     "q34_range_join"       -> (TemporalJoins.rangeJoin(_, _)),
     "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
     "q36_window_range"     -> (RelationalQueries2.windowRangeFrame(_, _)),
+    "q37_window_dist"      -> (RelationalQueries2.windowDistributions(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
     "t2_lang_id"     -> (TextAnalysis.langId(_, _)),
     "t3_quality"     -> (TextAnalysis.qualityScore(_, _)),
     "t4_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+    "t5_repetition"  -> (TextAnalysis.repetition(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -564,6 +566,52 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
         |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q37_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS cheapest_orderkey,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_cheapest_orderkey,
+        |  last_value(o_orderkey) OVER wf AS priciest_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderstatus
+        |         ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "t5_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        |    ELSE [] END AS g2
+        |  FROM t),
+        |base AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+        |    g2,
+        |    CAST(len(g2) AS INT) AS n_2grams,
+        |    CAST(len(list_distinct(g2)) AS INT) AS n_distinct_2grams
+        |  FROM g),
+        |top AS (SELECT doc_id, max(c) AS top_2gram_count FROM (
+        |    SELECT doc_id, gr, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS gr FROM base)
+        |    GROUP BY doc_id, gr)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, n_tokens,
+        |  1.0 - CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0) AS dup_token_ratio,
+        |  n_2grams,
+        |  1.0 - CAST(n_distinct_2grams AS DOUBLE) / nullif(n_2grams, 0) AS dup_2gram_ratio,
+        |  top_2gram_count,
+        |  CAST(top_2gram_count AS DOUBLE) / nullif(n_2grams, 0) AS top_2gram_frac
+        |FROM base b LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

@@ -192,6 +192,27 @@ object RelationalQueries2 {
     * escape hatch when AQE's skew split isn't available or the skew is
     * in an aggregation key.
     */
+  /** Window distribution functions — ntile, percent_rank, cume_dist,
+    * and positional first/nth/last values over the full partition frame.
+    * Deterministic because (o_totalprice, o_orderkey) is a total order
+    * within each status partition.
+    */
+  def windowDistributions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("cheapest_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_cheapest_orderkey"),
+        last(col("o_orderkey")).over(wf).as("priciest_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Production-shape skew join: salt ONLY detected hot keys. A
     * map-side-combinable (key, count) pre-aggregation finds join keys
     * whose fact-row count exceeds `hotThreshold`; that (tiny) hot set is

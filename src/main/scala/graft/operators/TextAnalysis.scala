@@ -93,6 +93,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition signals (the Gopher-style quality filters): duplicate
+    * token fraction, duplicate 2-gram fraction, and the share of all
+    * 2-gram occurrences taken by the single most frequent 2-gram.
+    * Degenerate docs (<2 tokens) get NULL gram ratios rather than a
+    * divide-by-zero (try_divide / nullif on both engines).
+    *
+    * Scale posture: the set/size columns are shuffle-free array ops; the
+    * top-gram count is one (doc_id, gram) shuffle with map-side combine
+    * — never a per-doc collect.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // NON-distinct 2-grams (repetition needs occurrence counts, so no
+    // array_distinct here, unlike the dedup shingles); `toks` is a
+    // materialized column, so the lambda re-evaluation gotcha
+    // (TextFunctions.shinglesFromTokens) does not bite.
+    val g2 = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))))
+      .otherwise(array())
+    val base = d.select(col("doc_id"), col("toks"), g2.as("g2"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        col("g2"),
+        size(col("g2")).as("n_2grams"),
+        size(array_distinct(col("g2"))).as("n_distinct_2grams"))
+    val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_count"))
+    base.drop("g2").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - try_divide(col("n_distinct_tokens").cast("double"),
+          col("n_tokens"))).as("dup_token_ratio"),
+        col("n_2grams"),
+        (lit(1.0) - try_divide(col("n_distinct_2grams").cast("double"),
+          col("n_2grams"))).as("dup_2gram_ratio"),
+        col("top_2gram_count"),
+        try_divide(col("top_2gram_count").cast("double"), col("n_2grams"))
+          .as("top_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints: md5 of normalized text, the 60-bit integer
     * hash used by the sketching operators, and an order-sensitive
     * polynomial rolling hash over the token sequence.
