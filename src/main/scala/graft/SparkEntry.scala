@@ -144,6 +144,8 @@ object SparkEntry {
     "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
     "q36_window_range"     -> (RelationalQueries2.windowRangeFrame(_, _)),
     "q37_window_dist"      -> (RelationalQueries2.windowDistributions(_, _)),
+    // Same SQL text runs on both engines (spark.sql surface demo).
+    "q38_scalar_subquery"  -> (RelationalQueries2.scalarSubquery(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -161,6 +163,8 @@ object SparkEntry {
     "d4_simhash"        -> (Dedup.simhashSignatures(_, _)),
     "d5_simhash_pairs"  -> (Dedup.simhashPairs(_, _)),
     "d6_embedding_dedup" -> (Dedup.embeddingNearDupPairs(_, _)),
+    // Overlap-coefficient (sub-document) dedup, lossless prefix blocking
+    "d8_containment_pairs" -> (Dedup.containmentPairs(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -566,6 +570,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
         |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_scalar_subquery" -> RelationalQueries2.ScalarSubquerySql,
+
+    "d8_containment_pairs" ->
+      s"""$shingleSets
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.t, b.t)) * 1.0 / least(a.n, b.n) AS containment
+        |FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.t, b.t)) * 1.0 / least(a.n, b.n) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q37_window_dist" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

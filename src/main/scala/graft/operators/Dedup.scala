@@ -182,6 +182,52 @@ object Dedup {
     verifyPairs(candidates, docs, t)
   }
 
+  // ── Containment (sub-document duplication) ───────────────────────────
+  /** Pairs whose shingle-set OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|)
+    * >= t — catches a document contained in (or heavily overlapping) a
+    * much larger one, where Jaccard stays low because the size imbalance
+    * dilutes the union. A first-class training-data dedup op: boilerplate
+    * wrappers and quote-reply chains duplicate *sub*-documents.
+    *
+    * Lossless candidate blocking, prefix-filter style: order each doc's
+    * shingles by (global df, value). If |A∩B| >= ceil(t*|A|) for the
+    * smaller doc A, then A cannot avoid sharing one of the first
+    * |A| - ceil(t*|A|) + 1 shingles of that ordering with B's FULL set —
+    * so joining every doc's prefix against every doc's full df>1
+    * postings catches each qualifying pair via its smaller side (no
+    * length-ratio prune exists for containment; sizes are unconstrained).
+    * Shuffles key on shingles, never on doc pairs; df=1 shingles can't
+    * co-occur and never enter the join.
+    */
+  def containmentPairs(s: SparkSession, dir: String, t: Double = 0.8): DataFrame = {
+    val docs = docShingles(s, dir).cache()
+    val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val ranked = exploded.join(broadcast(freq), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("df") > 1)
+      .select(col("g"), col("doc_id"), col("sz"), col("rk"))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")).cast("int") + 1)
+    val candidates = prefix.as("x").join(ranked.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= t)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Join candidate (doc_a, doc_b) pairs back to shingle arrays and keep
     * those with exact Jaccard >= t.
     */

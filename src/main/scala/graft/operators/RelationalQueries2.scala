@@ -192,6 +192,24 @@ object RelationalQueries2 {
     * escape hatch when AQE's skew split isn't available or the skew is
     * in an aggregation key.
     */
+  /** Scalar (uncorrelated) subqueries through the SQL surface: the SAME
+    * SQL text runs on Spark (over a temp view) and on the oracle engine
+    * — demonstrating the spark.sql entry path next to the DataFrame API.
+    * Catalyst plans each scalar subquery as a one-row subquery reused
+    * across the scan (no rescan per row).
+    */
+  val ScalarSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  o_totalprice - (SELECT avg(o_totalprice) FROM orders) AS delta_vs_global
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(ScalarSubquerySql)
+  }
+
   /** Window distribution functions — ntile, percent_rank, cume_dist,
     * and positional first/nth/last values over the full partition frame.
     * Deterministic because (o_totalprice, o_orderkey) is a total order
