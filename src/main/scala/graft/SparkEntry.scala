@@ -177,6 +177,7 @@ object SparkEntry {
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
     "m2_media_fingerprint" -> (Multimodal.mediaFingerprint(_, _)),
+    "m3_frame_sample"      -> (Multimodal.frameSample(_, _)),
 
     // ── Event-time windows (streaming-shaped; batch == readStream) ───────
     "w1_tumbling_window" -> (graft.streaming.EventsWindows.tumbling(_, _)),
@@ -784,6 +785,18 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ASCII corpus → byte offsets == character offsets, so substr
+    // mirrors the payload slicing exactly.
+    "m3_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) >= 16),
+        |f AS (SELECT doc_id, text, unnest(range(1, n - 14, 64)) AS o FROM d)
+        |SELECT doc_id,
+        |  CAST((o - 1) // 64 AS INT) AS frame_idx,
+        |  CAST(o AS INT) AS frame_offset,
+        |  md5(substr(text, CAST(o AS INT), 16)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_offset""".stripMargin,
 
     "w1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,

@@ -79,6 +79,28 @@ object Multimodal {
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     extractMeta(Tables.spreadN(mediaTable(s, dir))).toDF().orderBy("doc_id")
 
+  /** m3 — frame sampling: explode each payload into fixed-width
+    * "frames" at a byte stride (the video frame-sample analog), with a
+    * per-frame digest standing in for the decoded-frame feature. The
+    * relational shape — a `sequence` generator + `posexplode`, never a
+    * per-doc materialized frame list on the driver — is what scales:
+    * frame rows stream out of codegen and any downstream per-frame
+    * model call batches exactly like extractMeta. Payloads shorter than
+    * one frame yield no rows (both engines).
+    */
+  def frameSample(s: SparkSession, dir: String,
+      width: Int = 16, stride: Int = 64): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= width)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), col("n") - (width - 1), lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("int").as("frame_idx"),
+        col("col").cast("int").as("frame_offset"),
+        md5(col("text").substr(col("col"), lit(width))).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_offset"))
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */
