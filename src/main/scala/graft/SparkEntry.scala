@@ -146,6 +146,7 @@ object SparkEntry {
     "q37_window_dist"      -> (RelationalQueries2.windowDistributions(_, _)),
     // Same SQL text runs on both engines (spark.sql surface demo).
     "q38_scalar_subquery"  -> (RelationalQueries2.scalarSubquery(_, _)),
+    "q39_unpivot"          -> (RelationalQueries2.unpivotRevenue(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -573,6 +574,14 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q38_scalar_subquery" -> RelationalQueries2.ScalarSubquerySql,
+
+    // unpivot(pivot(x)) with null cells dropped == the plain long-form
+    // aggregation; combos absent from the data appear in neither.
+    "q39_unpivot" ->
+      """SELECT o_orderstatus, o_orderpriority AS priority,
+        |  sum(o_totalprice) AS total
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, priority""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

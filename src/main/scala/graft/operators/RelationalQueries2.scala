@@ -33,6 +33,25 @@ object RelationalQueries2 {
       .agg(sum(col("o_totalprice")))
       .orderBy(col("o_orderstatus"))
 
+  /** Unpivot (melt): wide → long, the inverse of pivotPriorities.
+    * Builds the per-status revenue-by-priority wide frame, then unpivots
+    * the five priority columns back to (status, priority, total) rows.
+    * Null cells (combinations absent from the data) are dropped, so the
+    * result equals the plain (status, priority) aggregation — which is
+    * the oracle.
+    */
+  def unpivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(sum(col("o_totalprice")))
+      .unpivot(Array(col("o_orderstatus")), prios.map(col).toArray,
+        "priority", "total")
+      .filter(col("total").isNotNull)
+      .orderBy(col("o_orderstatus"), col("priority"))
+  }
+
   /** Deterministic 10% sample: hash-mod on the row key instead of
     * rand() — reproducible across engines/runs, the sampling pattern
     * that scales (consistent subsets across tables when keyed alike).
@@ -248,9 +267,20 @@ object RelationalQueries2 {
       salts: Int = 8, hotThreshold: Long = 100000L): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
+    val agg = (j: DataFrame) => j
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
     val hot = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > hotThreshold)
       .select(col("l_orderkey").as("_hk"))
+    // Driver-side adaptive choice (the hot set is tiny by construction —
+    // keys above a row-count threshold): with NO skew detected, plan the
+    // plain join and pay nothing beyond the detection pre-agg. Same
+    // adaptivity AQE applies to sort-merge skew, applied to the salt
+    // rewrite.
+    if (hot.isEmpty) return agg(li.join(o, li("l_orderkey") === o("o_orderkey")))
     val liS = li.join(broadcast(hot), li("l_orderkey") === col("_hk"), "left")
       .withColumn("_salt",
         when(col("_hk").isNotNull,
@@ -264,11 +294,8 @@ object RelationalQueries2 {
           array((0 until salts).map(i => lit(i.toLong)): _*))
           .otherwise(array(lit(0L)))))
       .drop("_hk")
-    liS.join(oS, liS("l_orderkey") === oS("o_orderkey") && liS("_salt") === oS("_salt"))
-      .groupBy(col("o_orderstatus"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy(col("o_orderstatus"))
+    agg(liS.join(oS,
+      liS("l_orderkey") === oS("o_orderkey") && liS("_salt") === oS("_salt")))
   }
 
   def saltedJoinRevenue(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
