@@ -67,6 +67,20 @@ object PlanChecks {
       .map(_.group(1).toInt).toSet.size
   }
 
+  /** Number of file source scans (parquet, text, csv, ...) in the plan
+    * — 1 means the facts are read exactly once (no multi-branch subplan
+    * re-reading the source).
+    */
+  def fileScanCount(df: DataFrame): Int =
+    fileScans(df.queryExecution.executedPlan).size
+
+  /** A BroadcastNestedLoopJoin anywhere — the O(n²)-with-full-broadcast
+    * shape that non-equi joins degrade to; scale-sensitive operators
+    * assert its ABSENCE.
+    */
+  def hasBroadcastNestedLoop(df: DataFrame): Boolean =
+    executedPlan(df).contains("BroadcastNestedLoopJoin")
+
   /** Count of shuffle exchanges in the plan — the scale-critical number
     * to watch when composing operators.
     */

@@ -25,4 +25,24 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(PlanChecks.exchangeCount(
       RelationalQueries.topkOrders(spark, sfDir)) === 0)
   }
+
+  test("faithful flagship and taxi pipeline scan their facts exactly once") {
+    assert(PlanChecks.fileScanCount(
+      SparkEntry.queries("events_speed_faithful")(spark, sfDir)) === 1)
+    val glob = graft.sources.TaxiDataGen.ensure(spark, sfDir)
+    assert(PlanChecks.fileScanCount(
+      graft.operators.TaxiSpeed.faithfulAvgByDowListed(spark, glob)) === 1)
+  }
+
+  test("containment dedup never plans a nested-loop or cartesian join") {
+    val d8 = graft.operators.Dedup.containmentPairs(spark, sfDir)
+    assert(!PlanChecks.hasBroadcastNestedLoop(d8))
+    assert(!PlanChecks.executedPlan(d8).contains("CartesianProduct"))
+  }
+
+  test("q28 with no detected skew plans the plain join (no salt columns)") {
+    val q28 = graft.operators.RelationalQueries2
+      .hotKeySaltedJoinRevenue(spark, sfDir)
+    assert(!PlanChecks.executedPlan(q28).contains("_salt"))
+  }
 }
