@@ -147,6 +147,7 @@ object SparkEntry {
     // Same SQL text runs on both engines (spark.sql surface demo).
     "q38_scalar_subquery"  -> (RelationalQueries2.scalarSubquery(_, _)),
     "q39_unpivot"          -> (RelationalQueries2.unpivotRevenue(_, _)),
+    "q40_cube"             -> (RelationalQueries2.cubeRevenue(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -574,6 +575,14 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q38_scalar_subquery" -> RelationalQueries2.ScalarSubquerySql,
+
+    "q40_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  sum(o_totalprice) AS total_price, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     // unpivot(pivot(x)) with null cells dropped == the plain long-form
     // aggregation; combos absent from the data appear in neither.

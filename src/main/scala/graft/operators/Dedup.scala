@@ -212,8 +212,17 @@ object Dedup {
       .select(col("g"), col("doc_id"), col("sz"), col("rk"))
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")).cast("int") + 1)
+    // Positional prune (PPJoin's bound adapted to containment): at the
+    // first shared shingle of the global (df, g) order — where both
+    // remaining capacities are maximal — the achievable intersection is
+    // 1 + min(|A| - rk_a, |B| - rk_b), which must reach the required
+    // ceil(t * min(|A|,|B|)). Lossless for the same reason as in
+    // prefixFilteredPairs.
+    val needed = ceil(lit(t) * least(col("x.sz"), col("y.sz")))
     val candidates = prefix.as("x").join(ranked.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
+          (lit(1) + least(col("x.sz") - col("x.rk"),
+            col("y.sz") - col("y.rk"))) >= needed)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()

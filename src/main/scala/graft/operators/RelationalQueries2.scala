@@ -33,6 +33,19 @@ object RelationalQueries2 {
       .agg(sum(col("o_totalprice")))
       .orderBy(col("o_orderstatus"))
 
+  /** CUBE: all 2^k grouping combinations in one pass — completes the
+    * grouping family next to ROLLUP (q10) and GROUPING SETS (q11).
+    */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_price"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
   /** Unpivot (melt): wide → long, the inverse of pivotPriorities.
     * Builds the per-status revenue-by-priority wide frame, then unpivots
     * the five priority columns back to (status, priority, total) rows.
