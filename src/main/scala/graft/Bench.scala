@@ -35,7 +35,7 @@ object Bench {
     // a later query with the same subtree (d3 after d2) would otherwise
     // serve it from cache — each query's time must include ALL of its
     // own work, nothing of its neighbors'. This also bounds storage
-    // memory across the 57-query run.
+    // memory across the multi-query run.
     def timeOnce(dir: String): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, dir).count(); true }

@@ -585,11 +585,16 @@ object SparkEntry {
         |ORDER BY status, priority""".stripMargin,
 
     // unpivot(pivot(x)) with null cells dropped == the plain long-form
-    // aggregation; combos absent from the data appear in neither.
+    // aggregation over the SAME fixed value list the pivot declares
+    // (the IN mirrors pivot's explicit-values contract: an out-of-list
+    // priority is excluded on both engines, not just by the pivot).
     "q39_unpivot" ->
       """SELECT o_orderstatus, o_orderpriority AS priority,
         |  sum(o_totalprice) AS total
-        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority IN
+        |  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, priority""".stripMargin,
 
     "d8_containment_pairs" ->

@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operator-internal cache() lifecycles end with the query — don't
-      // let storage memory grow across the 57-query run
+      // let storage memory grow across the multi-query run
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -136,35 +136,50 @@ object Dedup {
   def charGramPairs(s: SparkSession, dir: String, t: Double = 0.7): DataFrame =
     minhashBandedPairs(docCharShingles(s, dir, 5), t, bandRows = 8)
 
+  /** (g, doc_id, sz, rk): every df>1 posting with its rank in the doc's
+    * global-(df, g) shingle ordering. Shared by the Jaccard and
+    * containment prefix filters.
+    *
+    * - df lookup restricted to REPEATED shingles: a df=1 shingle can
+    *   only self-match within its own doc, so it can never produce a
+    *   candidate — and the restriction is what bounds the broadcast
+    *   (repeated-shingle vocab, not corpus vocab). On an open-domain
+    *   corpus where even that exceeds driver memory, drop the
+    *   broadcast() hint and this degrades gracefully to a shuffle join.
+    * - Broadcasting the lookup keeps `exploded` partitioned by doc_id
+    *   (from spread()), so the per-doc ranking window runs with no
+    *   exchange — the explode→groupBy(g)→join→window chain that cost
+    *   three wide stages in the shuffle formulation collapses to one
+    *   broadcast hash join + an in-partition sort.
+    * - df=1 shingles participate in the RANKING (they have df
+    *   coalesced to 1 and sort first, so prefix positions reflect the
+    *   doc's FULL list) but are dropped from the output.
+    */
+  private def rankedPostings(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    exploded.join(broadcast(freq), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("df") > 1)
+      .select(col("g"), col("doc_id"), col("sz"), col("rk"))
+  }
+
+  /** A doc's prefix length for threshold `t`: the first
+    * |S| - ceil(t*|S|) + 1 positions of its ranked shingle list.
+    */
+  private def prefixLen(t: Double): Column =
+    col("sz") - ceil(lit(t) * col("sz")).cast("int") + 1
+
   private def prefixFilteredPairs(docsRaw: DataFrame, t: Double): DataFrame = {
     // cache is load-bearing: the freq, prefix-join, and verify branches
     // each reference the shingle table; uncached, every branch
     // recomputes the docs subtree. Lifecycle ends with the query — the
     // harness (Bench/Verify) clears the cache between queries.
     val docs = docsRaw.cache()
-    val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
-    // df lookup restricted to REPEATED shingles: a df=1 shingle can only
-    // self-match within its own doc (excluded by doc_id<doc_id anyway),
-    // so it can never produce a candidate — and the restriction is what
-    // bounds the broadcast below (repeated-shingle vocab, not corpus
-    // vocab). On an open-domain corpus where even that exceeds driver
-    // memory, drop the broadcast() hint and this degrades gracefully to
-    // the shuffle join.
-    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1)
-    // Broadcasting the lookup keeps `exploded` partitioned by doc_id
-    // (from spread()), so the per-doc ranking window runs with no
-    // exchange — the explode→groupBy(g)→join→window chain that cost
-    // three wide stages in the shuffle formulation collapses to one
-    // broadcast hash join + an in-partition sort. Absent shingles have
-    // df=1: rank them first (rarest), same total order as before.
-    val ranked = exploded.join(broadcast(freq), Seq("g"), "left")
-      .withColumn("df", coalesce(col("df"), lit(1L)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .withColumn("plen", col("sz") - ceil(lit(t) * col("sz")).cast("int") + 1)
-      .filter(col("rk") <= col("plen") && col("df") > 1)
-      .select(col("g"), col("doc_id"), col("sz"), col("rk"))
+    val prefix = rankedPostings(docs).filter(col("rk") <= prefixLen(t))
     // Two further lossless prunes (PPJoin):
     //  - length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
     //  - positional filter: at a shared prefix shingle at ranks
@@ -172,7 +187,7 @@ object Dedup {
     //    1 + min(sz_x - rk_x, sz_y - rk_y), which must reach
     //    ceil(t/(1+t) * (sz_x + sz_y)).
     val alpha = ceil(lit(t / (1 + t)) * (col("x.sz") + col("y.sz")))
-    val candidates = ranked.as("x").join(ranked.as("y"),
+    val candidates = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= lit(t) * col("y.sz") &&
           col("y.sz") >= lit(t) * col("x.sz") &&
@@ -201,23 +216,15 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, dir: String, t: Double = 0.8): DataFrame = {
     val docs = docShingles(s, dir).cache()
-    val exploded = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
-    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1)
-    val ranked = exploded.join(broadcast(freq), Seq("g"), "left")
-      .withColumn("df", coalesce(col("df"), lit(1L)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("df") > 1)
-      .select(col("g"), col("doc_id"), col("sz"), col("rk"))
-    val prefix = ranked
-      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")).cast("int") + 1)
+    val ranked = rankedPostings(docs)
+    val prefix = ranked.filter(col("rk") <= prefixLen(t))
     // Positional prune (PPJoin's bound adapted to containment): at the
     // first shared shingle of the global (df, g) order — where both
     // remaining capacities are maximal — the achievable intersection is
     // 1 + min(|A| - rk_a, |B| - rk_b), which must reach the required
-    // ceil(t * min(|A|,|B|)). Lossless for the same reason as in
-    // prefixFilteredPairs.
+    // ceil(t * min(|A|,|B|)). Lossless because shared elements keep the
+    // same relative order in both docs' rankings, so the first shared
+    // element lies inside the smaller doc's prefix.
     val needed = ceil(lit(t) * least(col("x.sz"), col("y.sz")))
     val candidates = prefix.as("x").join(ranked.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
@@ -226,27 +233,25 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
-    candidates.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          least(col("sz_a"), col("sz_b")))
-      .filter(col("containment") >= t)
-      .select(col("doc_a"), col("doc_b"), col("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyPairs(candidates, docs, t, "containment",
+      (shA, shB, szA, szB) =>
+        size(array_intersect(shA, shB)).cast("double") / least(szA, szB))
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to shingle arrays and keep
-    * those with exact Jaccard >= t.
+    * those whose exact `measure` (Jaccard by default; containment for
+    * containmentPairs) reaches t.
     */
-  private def verifyPairs(candidates: DataFrame, docs: DataFrame, t: Double): DataFrame = {
+  private def verifyPairs(candidates: DataFrame, docs: DataFrame, t: Double,
+      measureName: String = "jaccard",
+      measure: (Column, Column, Column, Column) => Column = jaccard): DataFrame = {
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
     candidates.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
-      .filter(col("jaccard") >= t)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn(measureName,
+        measure(col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b")))
+      .filter(col(measureName) >= t)
+      .select(col("doc_a"), col("doc_b"), col(measureName))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

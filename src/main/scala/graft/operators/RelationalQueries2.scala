@@ -289,19 +289,22 @@ object RelationalQueries2 {
       .filter(col("_cnt") > hotThreshold)
       .select(col("l_orderkey").as("_hk"))
     // Driver-side adaptive choice (the hot set is tiny by construction —
-    // keys above a row-count threshold): with NO skew detected, plan the
-    // plain join and pay nothing beyond the detection pre-agg. Same
-    // adaptivity AQE applies to sort-merge skew, applied to the salt
-    // rewrite.
-    if (hot.isEmpty) return agg(li.join(o, li("l_orderkey") === o("o_orderkey")))
-    val liS = li.join(broadcast(hot), li("l_orderkey") === col("_hk"), "left")
+    // keys above a row-count threshold, so collecting it is bounded like
+    // IVF centroids): with NO skew detected, plan the plain join and pay
+    // nothing beyond the detection pre-agg — which runs exactly once,
+    // here; the salted branch rebuilds the hot frame from the collected
+    // keys instead of re-running the aggregation.
+    val hotKeys = hot.collect().map(_.getLong(0))
+    if (hotKeys.isEmpty) return agg(li.join(o, li("l_orderkey") === o("o_orderkey")))
+    val hotDf = { import s.implicits._; hotKeys.toSeq.toDF("_hk") }
+    val liS = li.join(broadcast(hotDf), li("l_orderkey") === col("_hk"), "left")
       .withColumn("_salt",
         when(col("_hk").isNotNull,
           pmod(hash64(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
             lit(salts.toLong)))
           .otherwise(lit(0L)))
       .drop("_hk")
-    val oS = o.join(broadcast(hot), o("o_orderkey") === col("_hk"), "left")
+    val oS = o.join(broadcast(hotDf), o("o_orderkey") === col("_hk"), "left")
       .withColumn("_salt",
         explode(when(col("_hk").isNotNull,
           array((0 until salts).map(i => lit(i.toLong)): _*))

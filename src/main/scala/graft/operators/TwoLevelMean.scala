@@ -56,7 +56,13 @@ object TwoLevelMean {
       // groups frame.
       case Some(g) =>
         val n = g.count().toDouble
-        val perKey = perGroup.groupBy(col(keyName)).agg(sum($"_grp_mean").as("_s"))
+        // Restrict to the declared domain (broadcast semi-join), don't
+        // just take its count: data-derived groups OUTSIDE the domain
+        // (e.g. a negative key modulo) must not leak into the sum —
+        // the domain is the contract, exactly as the reference's file
+        // listing is.
+        val perKey = perGroup.join(broadcast(g), Seq("_grp"), "leftsemi")
+          .groupBy(col(keyName)).agg(sum($"_grp_mean").as("_s"))
         broadcast(keys).join(perKey, Seq(keyName), "left")
           .select(col(keyName), (coalesce($"_s", lit(0.0)) / lit(n)).as(outName))
 

@@ -51,12 +51,21 @@ object TaxiDataGen {
   private val Version = "v1"
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
+  /** sfDir → verified glob, so repeat ensure() calls within one JVM
+    * (Verify runs two taxi queries; Bench runs them twice each) skip
+    * the events collect and stamp check entirely.
+    */
+  private val verified = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Ensure the corpus for `sfDir` exists and is current; returns the
     * CSV glob to read. Generation is driver-side (the corpus is sf-bound:
     * ~10 MB at sf0.1) and runs once per (sf, generator-version) — a
-    * content stamp makes re-runs metadata-only.
+    * content stamp makes cross-JVM re-runs metadata-only and a per-JVM
+    * memo makes same-session re-runs free.
     */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val memo = verified.get(sfDir)
+    if (memo != null) return memo
     import spark.implicits._
     val dir = new File(BaseDir, new File(sfDir).getName)
     val ids = graft.Tables.events(spark, sfDir)
@@ -69,7 +78,9 @@ object TaxiDataGen {
       generate(ids, dir)
       Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
-    new File(dir, "*.csv").getAbsolutePath
+    val glob = new File(dir, "*.csv").getAbsolutePath
+    verified.put(sfDir, glob)
+    glob
   }
 
   /** Write `yellow_tripdata_2017-01..12.csv` into `dir` (replacing any
