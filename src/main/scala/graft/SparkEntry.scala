@@ -167,6 +167,8 @@ object SparkEntry {
     "d6_embedding_dedup" -> (Dedup.embeddingNearDupPairs(_, _)),
     // Overlap-coefficient (sub-document) dedup, lossless prefix blocking
     "d8_containment_pairs" -> (Dedup.containmentPairs(_, _)),
+    // Pair graph → canonical keeper per cluster (iterative min-label CC)
+    "d9_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -738,6 +740,24 @@ object SparkEntry {
     // with 64 bands x 2 rows the miss probability at the J>=0.9 data
     // pairs is ~1e-46, so its output equals the exact-pairs oracle.
     "d3_minhash_pairs" -> jaccardPairsOracle,
+
+    // Transitive closure over the (small) pair graph via a recursive
+    // CTE, then min reachable id per doc — every doc not in a pair is
+    // its own component. Mirrors the Spark min-label fixpoint exactly.
+    "d9_dedup_clusters" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS component
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH bits AS (

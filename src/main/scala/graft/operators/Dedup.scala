@@ -323,6 +323,46 @@ object Dedup {
     verifyPairs(candidates, docs, t)
   }
 
+  // ── Dedup clusters (connected components) ─────────────────────────────
+  /** Collapse the near-dup PAIR graph into clusters: every doc gets the
+    * minimum doc_id of its connected component (itself when unique) —
+    * the "pick one canonical doc per duplicate group" step a dedup
+    * pipeline runs after pair generation.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel-style CC
+    * that scales — each round is one shuffle join keyed by vertex, and
+    * the round count is the cluster DIAMETER, not the corpus size;
+    * near-dup clusters are shallow, so this converges in 2-3 rounds).
+    * The driver loop only checks a converged count per round — labels
+    * never leave the cluster. Pairs come from the MinHash-LSH operator,
+    * so the whole chain (candidates → verify → clusters) is
+    * sub-quadratic.
+    */
+  def dedupClusters(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(s, dir, t).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("component")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   // ── SimHash ───────────────────────────────────────────────────────────
   /** 60-bit SimHash per doc over the distinct token set: bit i of the
     * signature is 1 iff sum over tokens of sign(bit i of hash64(token))
