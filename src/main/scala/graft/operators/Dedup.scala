@@ -343,7 +343,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = Tables.documents(s, dir)
+    // Iterate ONLY over vertices that appear in a pair — near-dup
+    // graphs are sparse, so the fixpoint frames are a sliver of the
+    // corpus and every round's joins stay broadcast-sized; the
+    // untouched majority joins back once as self-components at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component")).cache()
     var changed = 1L
     while (changed > 0) {
@@ -360,7 +364,10 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
-    labels.orderBy(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("component", "_c"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_c"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
   }
 
   // ── SimHash ───────────────────────────────────────────────────────────

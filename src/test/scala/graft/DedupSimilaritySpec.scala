@@ -126,4 +126,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("dedup clusters: pairs co-labeled, labels are cluster minima, canonical docs self-label") {
+    val cl = Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLshPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) === cl(b), s"pair ($a,$b) split across components")
+    }
+    assert(cl.forall { case (d, c) => c <= d }, "component must be the min id")
+    assert(cl.values.forall(c => cl(c) === c), "canonical doc must label itself")
+  }
 }
