@@ -343,6 +343,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // Materialize the edge cache BEFORE the loop: the first round's job
+    // references `edges` through several subtrees (labels lineage +
+    // neighbor join), and a cold cache would recompute the whole pair
+    // pipeline once per subtree within that job.
+    edges.count()
     // Iterate ONLY over vertices that appear in a pair — near-dup
     // graphs are sparse, so the fixpoint frames are a sliver of the
     // corpus and every round's joins stay broadcast-sized; the
