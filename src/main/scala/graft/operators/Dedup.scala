@@ -354,20 +354,22 @@ object Dedup {
     // untouched majority joins back once as self-components at the end.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component")).cache()
+    var cached = labels
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // carry the pre-update label row-wise: the convergence count is a
+      // filter over `next`, not another join against the old frame
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("_old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .cache()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("component") =!= col("_old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("component"))
     }
     Tables.documents(s, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("component", "_c"), Seq("doc_id"), "left")

@@ -22,14 +22,20 @@ object RelationalQueries2 {
     exc.unionAll(int).orderBy(col("tag"), col("o_custkey"))
   }
 
+  /** The TPC-H order-priority domain — the single source for every
+    * fixed-value pivot/unpivot over it (and mirrored, deliberately as
+    * literals, in the q23/q39 oracle SQL).
+    */
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
   /** Native pivot (RelationalGroupedDataset.pivot) with a fixed value
     * list — the relational form of the reference's dense day vector.
     */
   def pivotPriorities(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
-      .pivot("o_orderpriority",
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .pivot("o_orderpriority", Priorities)
       .agg(sum(col("o_totalprice")))
       .orderBy(col("o_orderstatus"))
 
@@ -53,17 +59,15 @@ object RelationalQueries2 {
     * result equals the plain (status, priority) aggregation — which is
     * the oracle.
     */
-  def unpivotRevenue(s: SparkSession, dir: String): DataFrame = {
-    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  def unpivotRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
-      .pivot("o_orderpriority", prios)
+      .pivot("o_orderpriority", Priorities)
       .agg(sum(col("o_totalprice")))
-      .unpivot(Array(col("o_orderstatus")), prios.map(col).toArray,
+      .unpivot(Array(col("o_orderstatus")), Priorities.map(col).toArray,
         "priority", "total")
       .filter(col("total").isNotNull)
       .orderBy(col("o_orderstatus"), col("priority"))
-  }
 
   /** Deterministic 10% sample: hash-mod on the row key instead of
     * rand() — reproducible across engines/runs, the sampling pattern
@@ -293,7 +297,11 @@ object RelationalQueries2 {
     // IVF centroids): with NO skew detected, plan the plain join and pay
     // nothing beyond the detection pre-agg — which runs exactly once,
     // here; the salted branch rebuilds the hot frame from the collected
-    // keys instead of re-running the aggregation.
+    // keys instead of re-running the aggregation. NOTE this makes
+    // CONSTRUCTION eager — the detection job runs when the DataFrame is
+    // built, not when it executes. That is the operator's contract
+    // (detection decides the plan), mirroring what AQE does between
+    // stages; plan-only callers pay the detection scan.
     val hotKeys = hot.collect().map(_.getLong(0))
     if (hotKeys.isEmpty) return agg(li.join(o, li("l_orderkey") === o("o_orderkey")))
     val hotDf = { import s.implicits._; hotKeys.toSeq.toDF("_hk") }

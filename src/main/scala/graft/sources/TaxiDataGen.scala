@@ -51,9 +51,12 @@ object TaxiDataGen {
   private val Version = "v1"
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
-  /** sfDir → verified glob, so repeat ensure() calls within one JVM
-    * (Verify runs two taxi queries; Bench runs them twice each) skip
-    * the events collect and stamp check entirely.
+  /** target corpus dir → source sfDir it was last verified against, so
+    * repeat ensure() calls within one JVM (Verify runs two taxi queries;
+    * Bench runs them twice each) skip the events collect and stamp
+    * check. Keyed by the TARGET dir: two different sfDirs sharing a
+    * basename map to the same corpus dir, and a memo hit must only
+    * short-circuit when the corpus was generated from the SAME source.
     */
   private val verified = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -64,10 +67,10 @@ object TaxiDataGen {
     * memo makes same-session re-runs free.
     */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val memo = verified.get(sfDir)
-    if (memo != null) return memo
-    import spark.implicits._
     val dir = new File(BaseDir, new File(sfDir).getName)
+    val glob0 = new File(dir, "*.csv").getAbsolutePath
+    if (sfDir == verified.get(dir.getAbsolutePath)) return glob0
+    import spark.implicits._
     val ids = graft.Tables.events(spark, sfDir)
       .select("event_id").as[Long].collect().sorted
     val stamp = s"$Version n=${ids.length} sum=${ids.sum} max=${if (ids.isEmpty) 0 else ids.last}"
@@ -78,9 +81,8 @@ object TaxiDataGen {
       generate(ids, dir)
       Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
-    val glob = new File(dir, "*.csv").getAbsolutePath
-    verified.put(sfDir, glob)
-    glob
+    verified.put(dir.getAbsolutePath, sfDir)
+    glob0
   }
 
   /** Write `yellow_tripdata_2017-01..12.csv` into `dir` (replacing any
