@@ -51,6 +51,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-stream interval join with watermarks equals the batch join") {
+    // clicks ⋈ purchases per user within [0, 30 min) after the click —
+    // both sides watermarked so state for out-of-range rows is dropped;
+    // the batch formulation of the identical condition is the truth.
+    val schema = Tables.events(spark, sfDir).schema
+    def side(tpe: String, tsName: String) = spark.readStream
+      .schema(schema).parquet(srcDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${tsName}_user"),
+        col("event_id").as(s"${tsName}_id"), col("ts").as(tsName))
+      .withWatermark(tsName, "1 hour")
+    val joined = side("click", "click_ts").join(side("purchase", "purchase_ts"),
+      col("click_ts_user") === col("purchase_ts_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_ts_id"), col("purchase_ts_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+    val want = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("stateful mapGroupsWithState per-user counts match batch groupBy") {
     import spark.implicits._
     val schema = Tables.events(spark, sfDir).schema
