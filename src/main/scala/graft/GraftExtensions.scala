@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.DotProduct
 
@@ -49,9 +49,7 @@ object GraftExtensions {
 
   private val hash64Builder: Seq[Expression] => Expression = {
     case Seq(s) =>
-      Cast(Conv(Substring(Md5(Cast(s, org.apache.spark.sql.types.BinaryType)),
-        Literal(1), Literal(15)),
-        Literal(16), Literal(10)), LongType)
+      graft.functions.Md5Hash64(Cast(s, StringType))
     case other =>
       throw new IllegalArgumentException(
         s"graft_hash64 expects 1 argument, got ${other.size}")

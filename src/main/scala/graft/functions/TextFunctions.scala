@@ -53,6 +53,14 @@ object TextFunctions {
     * Cross-engine deterministic (see object doc).
     */
   def hash64(c: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      Md5Hash64(org.apache.spark.sql.graft.Shims.expression(c.cast("string"))))
+
+  /** The pre-Md5Hash64 SQL formulation — kept as the reference the
+    * native expression is property-tested against (and the shape the
+    * DuckDB oracles mirror).
+    */
+  def hash64Sql(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Whitespace-normalized text: trim + collapse runs of whitespace. */

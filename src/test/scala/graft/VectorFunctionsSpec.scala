@@ -22,6 +22,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("native Md5Hash64 equals the SQL md5/conv formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "a", "abc", "héllo wörld ✓", "the quick brown fox") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(20))(rnd.nextPrintableChar()).mkString)
+    val rows = strs.toDF("s").select(
+        graft.functions.TextFunctions.hash64(col("s")).as("fast"),
+        graft.functions.TextFunctions.hash64Sql(col("s")).as("ref"))
+      .collect()
+    assert(rows.length === strs.length)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+    assert(rows.forall(_.getLong(0) >= 0))
+  }
+
   test("native dot participates in WholeStageCodegen") {
     val e = Tables.embeddings(spark, sfDir)
     val df = e.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
