@@ -91,9 +91,13 @@ object TaxiSpeed {
   }
 
   /** R3 — sink write (WriteToBlob, Sample.cs:245-262, dead code in the
-    * reference): persist the per-day result; parquet instead of a text
-    * blob, partition-free (7 rows).
+    * reference): persist the per-day result; any Spark batch format
+    * (parquet default; csv/json mirror the reference's text-blob
+    * spirit), partition-free (7 rows).
     */
-  def writeResult(byDow: DataFrame, path: String): Unit =
-    byDow.coalesce(1).write.mode("overwrite").parquet(path)
+  def writeResult(byDow: DataFrame, path: String,
+      format: String = "parquet"): Unit =
+    byDow.coalesce(1).write.mode("overwrite")
+      .option("header", "true") // csv only; ignored elsewhere
+      .format(format).save(path)
 }

@@ -45,6 +45,22 @@ class ContractSpec extends AnyFunSuite {
     val back = spark.read.parquet(out)
     assert(back.count() === 7)
     assert(back.columns.toSeq === Seq("day", "avg_speed_mph"))
+
+    // csv and json sinks round-trip the same values (schema via
+    // header/inference; values compared against the parquet truth)
+    val want = back.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (fmt <- Seq("csv", "json")) {
+      val o = Files.createTempDirectory(base, s"sink_$fmt").resolve("r").toString
+      TaxiSpeed.writeResult(res, o, fmt)
+      val rt = (if (fmt == "csv")
+          spark.read.option("header", "true").option("inferSchema", "true").csv(o)
+        else spark.read.json(o))
+        .select(col("day").cast("int"), col("avg_speed_mph").cast("double"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(rt.keySet === want.keySet, fmt)
+      want.foreach { case (d, v) =>
+        assert(math.abs(rt(d) - v) < 1e-9, s"$fmt day $d") }
+    }
   }
 
   test("O3: progress listener records query completions") {
