@@ -182,6 +182,7 @@ object SparkEntry {
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
     "m2_media_fingerprint" -> (Multimodal.mediaFingerprint(_, _)),
     "m3_frame_sample"      -> (Multimodal.frameSample(_, _)),
+    "m4_resize"            -> (Multimodal.mediaResize(_, _)),
 
     // ── Event-time windows (streaming-shaped; batch == readStream) ───────
     "w1_tumbling_window" -> (graft.streaming.EventsWindows.tumbling(_, _)),
@@ -840,6 +841,18 @@ object SparkEntry {
         |  CAST(o AS INT) AS frame_offset,
         |  md5(substr(text, CAST(o AS INT), 16)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_offset""".stripMargin,
+
+    // strided char pick == strided byte pick on the ASCII corpus
+    "m4_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    array_to_string(list_transform(range(1, n + 1, 4),
+        |      i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |  CAST(length(resized) AS INT) AS resized_bytes,
+        |  md5(resized) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "w1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,

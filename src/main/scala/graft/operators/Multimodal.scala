@@ -101,6 +101,25 @@ object Multimodal {
         md5(col("text").substr(col("col"), lit(width))).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_offset"))
 
+  /** m4 — "resize": strided byte downsampling of each payload (every
+    * `stride`-th byte, the 1-D analog of image decimation; a real
+    * deployment swaps the byte picker for a codec resize with the same
+    * per-row contract). Emits the downsampled length and digest rather
+    * than the blob, keeping the compare value-typed. All built-in
+    * array/string expressions — no UDF, stays in codegen.
+    */
+  def mediaResize(s: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("resized",
+        concat_ws("", transform(sequence(lit(1), col("n"), lit(stride)),
+          i => col("text").substr(i, lit(1)))))
+      .select(col("doc_id"),
+        col("n").as("n_bytes"),
+        length(col("resized")).as("resized_bytes"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */
