@@ -26,6 +26,15 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
 
+  /** Scale-factor name the taxi oracles read their CSV corpus from.
+    * Verify sets this to the basename of the sfDir it was invoked with
+    * BEFORE dumping oracle_sql.json, so the DuckDB side always reads
+    * the same generated corpus the Spark side did (TaxiDataGen keys the
+    * corpus directory by sfDir basename). Defaults to the driver's
+    * verify scale (TESTDATA.md convention) for direct oracleSql reads.
+    */
+  @volatile var oracleSfName: String = "sf0.01"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's FULL faithful semantics (two-level zero-filled
     * avg-of-averages by day-of-week, Sunday=0 — SURVEY.md §2.2) on the
@@ -894,10 +903,10 @@ object SparkEntry {
     * finite-speed filter (negative speeds kept). Mirrors
     * TaxiCsv.acceptedLines/trips + TaxiSpeed.withSpeed semantically.
     */
-  private val taxiKept: String =
+  private def taxiKept: String =
     s"""raw AS (
       |  SELECT filename, unnest(string_split(content, chr(10))) AS line
-      |  FROM read_text('${TaxiDataGen.BaseDir}/sf0.01/*.csv')),
+      |  FROM read_text('${TaxiDataGen.BaseDir}/$oracleSfName/*.csv')),
       |fs AS (SELECT filename, string_split(line, ',') AS f FROM raw),
       |ok AS (SELECT filename, f FROM fs
       |  WHERE len(f) = 17 AND try_cast(f[1] AS INTEGER) IS NOT NULL),

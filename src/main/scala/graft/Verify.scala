@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Taxi oracles read the generated CSV corpus keyed by sfDir basename
+    // — point them at the scale actually being verified.
+    SparkEntry.oracleSfName = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2,9 +2,9 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd form of the engine's standard 60-bit hash:
@@ -23,9 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * assembled with shifts — no hex round-trip. Emitted code is a single
   * static call, so it stays inside WholeStageCodegen.
   *
-  * Child must be StringType (wrappers cast); null in → null out.
+  * Child must be StringType (enforced at analysis via
+  * ExpectsInputTypes, so a mistyped child fails analysis rather than
+  * miscompiling); null in → null out.
   */
-case class Md5Hash64(child: Expression) extends UnaryExpression {
+case class Md5Hash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  // AbstractDataType is sql-private, so the element type is inferred
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = LongType
 

@@ -107,13 +107,27 @@ object Multimodal {
     * per-row contract). Emits the downsampled length and digest rather
     * than the blob, keeping the compare value-typed. All built-in
     * array/string expressions — no UDF, stays in codegen.
+    *
+    * Edge cases mirror the oracle's range(1, n+1, stride): an empty
+    * payload resizes to the empty string (sequence would reject
+    * start > stop), and a NULL payload stays NULL end-to-end.
     */
   def mediaResize(s: SparkSession, dir: String, stride: Int = 4): DataFrame =
-    Tables.documents(s, dir)
+    resizeFrom(Tables.documents(s, dir), stride)
+
+  /** The resize transform over any (doc_id, text) frame — split out so
+    * the empty/NULL payload contract is testable on injected rows (the
+    * shipped corpus has neither).
+    */
+  private[graft] def resizeFrom(docs: DataFrame, stride: Int = 4): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .withColumn("resized",
-        concat_ws("", transform(sequence(lit(1), col("n"), lit(stride)),
-          i => col("text").substr(i, lit(1)))))
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("", transform(
+            when(col("n") >= 1, sequence(lit(1), col("n"), lit(stride)))
+              .otherwise(array().cast("array<int>")),
+            i => col("text").substr(i, lit(1))))))
       .select(col("doc_id"),
         col("n").as("n_bytes"),
         length(col("resized")).as("resized_bytes"),

@@ -28,6 +28,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.rdd.getNumPartitions > 1)
   }
 
+  test("m4 resize: empty payload resizes to empty, NULL stays NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"),        // normal: picks a,e → "ae"
+      (2L, ""),                // empty: sequence guard must not fire
+      (3L, null.asInstanceOf[String]), // NULL propagates
+      (4L, "x")                // single byte: sequence(1,1,4) = [1]
+    ).toDF("doc_id", "text")
+    val out = Multimodal.resizeFrom(docs, stride = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(out(1L) === 2)   // "ae"
+    assert(out(2L) === 0)   // empty string, not a runtime error
+    assert(out(3L) === -1)  // NULL in → NULL out (md5 too)
+    assert(out(4L) === 1)   // "x"
+    val nullRow = Multimodal.resizeFrom(docs, 4)
+      .filter(col("doc_id") === 3).head()
+    assert(nullRow.isNullAt(nullRow.fieldIndex("resized_md5")))
+  }
+
   test("stub metadata matches the payload bytes") {
     val row = Multimodal.mediaMeta(spark, sfDir)
       .filter(col("doc_id") === 0).head()

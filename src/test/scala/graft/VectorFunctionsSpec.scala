@@ -37,6 +37,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(0) >= 0))
   }
 
+  test("Md5Hash64 rejects a non-string child at analysis time") {
+    import spark.implicits._
+    val shims = org.apache.spark.sql.graft.Shims
+    // Dataset.select analyzes eagerly, so the mismatch surfaces at
+    // construction — no job ever runs for a mistyped child.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("v").select(
+        shims.column(graft.functions.Md5Hash64(shims.expression(col("v")))))
+        .collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("native dot participates in WholeStageCodegen") {
     val e = Tables.embeddings(spark, sfDir)
     val df = e.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
