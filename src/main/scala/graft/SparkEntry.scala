@@ -158,6 +158,18 @@ object SparkEntry {
     "q39_unpivot"          -> (RelationalQueries2.unpivotRevenue(_, _)),
     "q40_cube"             -> (RelationalQueries2.cubeRevenue(_, _)),
 
+    // ── Round-3 battery: subquery shapes, star joins, scan batteries ─────
+    "q41_exists"           -> (RelationalQueries3.existsLateShip(_, _)),
+    "q42_not_exists"       -> (RelationalQueries3.noBigOrderCustomers(_, _)),
+    "q43_cust_dist"        -> (RelationalQueries3.custOrderDistribution(_, _)),
+    "q44_promo_share"      -> (RelationalQueries3.promoRevenueShare(_, _)),
+    "q45_small_qty"        -> (RelationalQueries3.smallQtyRevenue(_, _)),
+    "q46_regex"            -> (RelationalQueries3.regexBattery(_, _)),
+    "q47_array_funcs"      -> (RelationalQueries3.arrayBattery(_, _)),
+    "q48_histogram"        -> (RelationalQueries3.priceHistogram(_, _)),
+    "q49_local_supplier"   -> (RelationalQueries3.localSupplierRevenue(_, _)),
+    "q50_top_supplier"     -> (RelationalQueries3.topSupplier(_, _)),
+
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
     "t2_lang_id"     -> (TextAnalysis.langId(_, _)),
@@ -608,6 +620,112 @@ object SparkEntry {
         |  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, priority""".stripMargin,
+
+    "q41_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q42_not_exists" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  avg(c_acctbal) AS avg_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q43_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY c_count""".stripMargin,
+
+    "q44_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    AS promo_revenue,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue,
+        |  100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY date_trunc('month', l_shipdate)
+        |ORDER BY ship_month""".stripMargin,
+
+    // Decorrelated two-phase form on BOTH engines: identical row set,
+    // identical arithmetic (a correlated subquery would re-aggregate
+    // per row — same value, but the point is matched semantics).
+    "q45_small_qty" ->
+      """WITH pa AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT sum(l_extendedprice) AS total_price, count(*) AS n_items
+        |FROM lineitem JOIN pa ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q46_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, 'sp\w+') AS first_sp_word,
+        |  length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+        |  CAST(regexp_matches(text, 'join\s+order') AS INT) AS has_join_order,
+        |  len(string_split_regex(text, '\bscan\b')) - 1 AS n_scan
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47_array_funcs" ->
+      """SELECT doc_id,
+        |  len(w) AS n_words,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  array_to_string(list_sort(list_distinct(w))[1:3], ',')
+        |    AS first3_sorted,
+        |  w[-1] AS last_word,
+        |  CAST(list_contains(w, 'spark') AS INT) AS has_spark
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q48_histogram" ->
+      """SELECT bucket, n_orders, bucket_value,
+        |  100.0 * n_orders / sum(n_orders) OVER () AS pct_orders
+        |FROM (
+        |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |    count(*) AS n_orders, sum(o_totalprice) AS bucket_value
+        |  FROM orders GROUP BY 1)
+        |ORDER BY bucket""".stripMargin,
+
+    "q49_local_supplier" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q50_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount))
+        |    AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2000-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

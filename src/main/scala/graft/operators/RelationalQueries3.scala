@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-3 relational battery: correlated-subquery shapes (EXISTS /
+  * NOT EXISTS / correlated aggregate), multi-fact star joins, ratio and
+  * distribution aggregates, and the regex/array scan batteries — the
+  * remaining ANSI-surface categories SURVEY.md §2.3 marks absent from
+  * the reference.
+  *
+  * Scale posture (100 TB):
+  *   - EXISTS/NOT EXISTS are expressed as left-semi / left-anti joins —
+  *     Catalyst's native decorrelation target — shuffling once on the
+  *     join key; never a per-row subquery.
+  *   - the correlated aggregate (q45) is the two-phase form: a
+  *     map-side-combinable per-key aggregate joined back to the fact,
+  *     i.e. one extra shuffle instead of a rescan per row.
+  *   - regex/array batteries are shuffle-free codegen'd scans.
+  */
+object RelationalQueries3 {
+
+  /** q41 — TPC-H Q4 shape: orders with at least one late-shipped item,
+    * counted per priority. Left-semi join IS the EXISTS plan: the probe
+    * side streams, the build side dedups, no row explosion for orders
+    * with many matching items.
+    */
+  def existsLateShip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q42 — NOT EXISTS as left-anti: customers with no large order,
+    * profiled per market segment. Anti join shuffles once on custkey;
+    * the filter on the build side prunes before the shuffle.
+    */
+  def noBigOrderCustomers(s: SparkSession, dir: String,
+      threshold: Double = 400000.0): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > threshold)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        avg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q43 — TPC-H Q13 shape: customer order-count distribution. Left
+    * outer join keeps zero-order customers (count(o_orderkey) skips the
+    * null), then a second, much smaller aggregation over the counts —
+    * the classic two-level shuffle where level 2's cardinality is tiny.
+    */
+  def custOrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("c_count"))
+  }
+
+  /** q44 — TPC-H Q14 shape: promo revenue share per ship month. The
+    * part table is the dimension side — broadcast so the fact scan
+    * never shuffles; the conditional numerator and the total share one
+    * aggregate pass.
+    */
+  def promoRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '2001-01-01 00:00:00'"))
+    val p = Tables.part(s, dir)
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        sum(disc).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** q45 — TPC-H Q17 shape: revenue from below-average-quantity line
+    * items. The correlated `avg per part` runs as its own two-phase
+    * aggregate and joins back on partkey — one extra shuffle, identical
+    * arithmetic to the correlated form, and the oracle SQL uses the
+    * same decorrelated CTE so both engines sum the same rows.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String,
+      frac: Double = 0.5): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(avgQty, l("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(frac) * col("avg_qty"))
+      .agg(sum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q46 — regex battery over documents: extract-first-match, global
+    * replace, and a match predicate, all codegen'd in one scan pass.
+    * Patterns stay in the RE2 ∩ Java-regex common subset so the oracle
+    * engine compiles the identical automaton.
+    */
+  def regexBattery(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "sp\\w+", 0).as("first_sp_word"),
+      length(regexp_replace(col("text"), "[aeiou]", "")).as("len_no_vowels"),
+      col("text").rlike("join\\s+order").cast("int").as("has_join_order"),
+      size(split(col("text"), "\\bscan\\b")).minus(1).as("n_scan"))
+    .orderBy(col("doc_id"))
+
+  /** q47 — array battery: tokenize once, then pure array ops (sort,
+    * distinct, slice, membership, endpoints) — all scan-local, no
+    * shuffle, no explode (the row count never changes).
+    */
+  def arrayBattery(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        concat_ws(",", slice(array_sort(array_distinct(col("w"))), 1, 3))
+          .as("first3_sorted"),
+        element_at(col("w"), -1).as("last_word"),
+        array_contains(col("w"), "spark").cast("int").as("has_spark"))
+      .orderBy(col("doc_id"))
+
+  /** q48 — histogram + share-of-total: fixed-width value buckets, then
+    * a window over the aggregate for the global share (the window input
+    * is already the tiny bucket table — sum-over-all is cheap; the
+    * alternative scalar-subquery rescan is not).
+    */
+  def priceHistogram(s: SparkSession, dir: String,
+      width: Double = 50000.0): DataFrame = {
+    val agg = Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("bucket_value"))
+    agg
+      .withColumn("pct_orders",
+        lit(100.0) * col("n_orders") / sum(col("n_orders")).over(Window.partitionBy()))
+      .orderBy(col("bucket"))
+  }
+
+  /** q49 — TPC-H Q5 shape: the full six-table star — region filter down
+    * through nation to customer AND supplier, joined to the
+    * orders⋈lineitem fact spine, keeping only locally-supplied orders
+    * (c_nationkey = s_nationkey). nation/region broadcast always;
+    * supplier/customer shuffle on their keys; the fact joins shuffle
+    * once each on orderkey/custkey/suppkey.
+    */
+  def localSupplierRevenue(s: SparkSession, dir: String,
+      regionName: String = "ASIA"): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === regionName)
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(n.select(col("n_nationkey").as("cn_key"), col("n_name"))),
+        col("c_nationkey") === col("cn_key"))
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    c.join(o, col("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        col("c_nationkey") === sup("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q50 — TPC-H Q15 shape: top supplier(s) by shipped revenue. The
+    * per-supplier aggregate is tiny relative to the fact; the "equal to
+    * the max" filter is a window max over that aggregate — one pass, no
+    * rescan of lineitem, no collect.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '2000-07-01 00:00:00'"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    rev
+      .withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalQueries3
+import graft.plans.PlanChecks
+
+/** Round-3 battery: semantic spot checks + the plan shapes each query
+  * promises at scale (semi/anti joins for the subquery forms, broadcast
+  * dims, no nested-loop degradation in the six-table star).
+  */
+class Relational3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("q41 EXISTS plans as a left-semi join, never exploding matches") {
+    val df = RelationalQueries3.existsLateShip(spark, sfDir)
+    val plan = PlanChecks.executedPlan(df)
+    assert(plan.contains("LeftSemi"), plan)
+    // every order counted at most once: total <= order count
+    val total = df.agg(sum("order_count")).head().getLong(0)
+    assert(total <= Tables.orders(spark, sfDir).count())
+    assert(total > 0)
+  }
+
+  test("q42 NOT EXISTS plans as a left-anti join and complements EXISTS") {
+    val df = RelationalQueries3.noBigOrderCustomers(spark, sfDir)
+    assert(PlanChecks.executedPlan(df).contains("LeftAnti"))
+    val kept = df.agg(sum("n_customers")).head().getLong(0)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+    val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(kept + withBig === c.count())
+  }
+
+  test("q43 distribution accounts for every customer, including zero-order") {
+    val df = RelationalQueries3.custOrderDistribution(spark, sfDir)
+    val total = df.agg(sum("custdist")).head().getLong(0)
+    assert(total === Tables.customer(spark, sfDir).count())
+  }
+
+  test("q44 promo share is a single agg pass over a broadcast dim join") {
+    val df = RelationalQueries3.promoRevenueShare(spark, sfDir)
+    assert(PlanChecks.hasBroadcastJoin(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("promo_pct")
+      assert(pct >= 0.0 && pct <= 100.0, r)
+    }
+  }
+
+  test("q45 two-phase correlated avg matches a literal per-row check") {
+    val df = RelationalQueries3.smallQtyRevenue(spark, sfDir)
+    val n = df.head().getAs[Long]("n_items")
+    // recompute with a window (different plan, same semantics)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val expected = Tables.lineitem(spark, sfDir)
+      .withColumn("aq", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.5) * col("aq"))
+      .count()
+    assert(n === expected)
+  }
+
+  test("q46/q47 scan batteries are shuffle-free (ignoring the output sort)") {
+    // exchanges only for the final orderBy — none between scan and project
+    val q46 = RelationalQueries3.regexBattery(spark, sfDir)
+    val q47 = RelationalQueries3.arrayBattery(spark, sfDir)
+    assert(PlanChecks.exchangeCount(q46) <= 1)
+    assert(PlanChecks.exchangeCount(q47) <= 1)
+    assert(q46.count() === 500)
+    assert(q47.filter(col("n_distinct") > col("n_words")).count() === 0)
+  }
+
+  test("q48 histogram shares sum to 100%") {
+    val pcts = RelationalQueries3.priceHistogram(spark, sfDir)
+      .select("pct_orders").collect().map(_.getDouble(0))
+    assert(math.abs(pcts.sum - 100.0) < 1e-9)
+  }
+
+  test("q49 six-table star avoids nested-loop joins and returns rows") {
+    val df = RelationalQueries3.localSupplierRevenue(spark, sfDir)
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+    assert(!PlanChecks.executedPlan(df).contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+
+  test("q50 top supplier matches the sort-based formulation") {
+    val df = RelationalQueries3.topSupplier(spark, sfDir)
+    val top = df.collect()
+    assert(top.nonEmpty)
+    val bySort = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '2000-07-01 00:00:00'"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .orderBy(col("r").desc).limit(1).head().getLong(0)
+    assert(top.map(_.getLong(0)).contains(bySort))
+  }
+}
