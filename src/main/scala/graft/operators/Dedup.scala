@@ -340,14 +340,25 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
     val pairs = minhashLshPairs(s, dir, t).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
     // Materialize the edge cache BEFORE the loop: the first round's job
     // references `edges` through several subtrees (labels lineage +
     // neighbor join), and a cold cache would recompute the whole pair
-    // pipeline once per subtree within that job.
+    // pipeline once per subtree within that job. The count ALSO sizes
+    // the fixpoint's parallelism: near-dup graphs are a sliver of the
+    // corpus, and iterating a KB-sized frame through full-width shuffles
+    // is pure scheduling overhead — so partition the loop frames at
+    // ~100k edges/partition (floor 1, cap at the session default). A
+    // 100 TB corpus with billions of pairs gets full width; the common
+    // sparse case runs each round as a couple of single-task stages.
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val nEdges = edges0.count()
+    val defaultParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 100000L + 1)).toInt
+    val edges = edges0.repartition(parts, col("dst")).cache()
     edges.count()
+    edges0.unpersist()
     // Iterate ONLY over vertices that appear in a pair — near-dup
     // graphs are sparse, so the fixpoint frames are a sliver of the
     // corpus and every round's joins stay broadcast-sized; the
