@@ -176,6 +176,7 @@ object SparkEntry {
     "t3_quality"     -> (TextAnalysis.qualityScore(_, _)),
     "t4_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "t5_repetition"  -> (TextAnalysis.repetition(_, _)),
+    "t6_tfidf"       -> (TextAnalysis.tfidfTopK(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -190,6 +191,8 @@ object SparkEntry {
     "d8_containment_pairs" -> (Dedup.containmentPairs(_, _)),
     // Pair graph → canonical keeper per cluster (iterative min-label CC)
     "d9_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
+    // The deduplicated corpus: one representative per cluster + size
+    "d10_dedup_corpus"     -> (Dedup.dedupCorpus(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -198,6 +201,8 @@ object SparkEntry {
     "s2_ann_topk"    -> (Similarity.lshTopK(_, _)),
     // IVF-flat ANN: same contract as s2 (approximate, recall-spec'd).
     "s3_ivf_topk"    -> (Similarity.ivfTopK(_, _)),
+    // Exact k-NN self-join (tiled equi-join decomposition, no BNLJ)
+    "s4_knn_join"    -> (Similarity.knnJoin(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -886,6 +891,57 @@ object SparkEntry {
         |  CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS component
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same component relation as d9, aggregated to the kept corpus:
+    // the representative IS the component label (min id), so grouping
+    // the d9 closure by component yields (kept doc, cluster size).
+    "d10_dedup_corpus" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id,
+        |    CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+        |      AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT component AS doc_id, count(*) AS cluster_size
+        |FROM lab GROUP BY component ORDER BY doc_id""".stripMargin,
+
+    "s4_knn_join" ->
+      """WITH cos AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM cos)
+        |SELECT query_id, rank, neighbor_id, cos FROM rk
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "t6_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |tfw AS (SELECT *,
+        |    count(*) OVER (PARTITION BY term) AS dfr,
+        |    sum(cnt) OVER (PARTITION BY doc_id) AS n_tok
+        |  FROM tf),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    (cnt * 1.0 / n_tok) * ln(nd * 1.0 / dfr) AS tfidf
+        |  FROM tfw CROSS JOIN n),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM rk
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH bits AS (

@@ -392,6 +392,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d10 — the deduplicated corpus itself: one representative (the
+    * min-id member, which IS the component label after the min-label
+    * fixpoint) per near-dup cluster, with the cluster size — the
+    * materialization a training pipeline actually feeds downstream.
+    * Cost on top of d9: one tiny aggregate over the (doc, component)
+    * table.
+    */
+  def dedupCorpus(s: SparkSession, dir: String, t: Double = 0.5): DataFrame =
+    dedupClusters(s, dir, t)
+      .groupBy(col("component").as("doc_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("doc_id"))
+
   // ── SimHash ───────────────────────────────────────────────────────────
   /** 60-bit SimHash per doc over the distinct token set: bit i of the
     * signature is 1 iff sum over tokens of sign(bit i of hash64(token))

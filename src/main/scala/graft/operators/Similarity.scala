@@ -48,6 +48,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s4 — exact k-NN self-JOIN: every vector gets its k nearest
+    * neighbors among all others (the batch primitive under clustering /
+    * near-dup candidate mining, vs s1's fixed small query set).
+    *
+    * Exact all-pairs is inherently O(n²) compute; what must NOT be
+    * O(n²) is any single task or the driver. The tile decomposition
+    * (same as d6's: each unordered tile-pair materializes exactly once,
+    * via an equi-join on (ta, tb) — never BroadcastNestedLoop) spreads
+    * the n²/2 cosine evaluations across nTiles·(nTiles+1)/2
+    * equi-join groups; per-vector norms are factored out once. The
+    * top-k filter is a rank-over-window that Spark rewrites to
+    * WindowGroupLimit — per-partition partial top-k, then a merge of
+    * k·n rows, so nothing holds the full pair set. At 100 TB scale the
+    * exact form is the verification baseline; the sub-quadratic
+    * candidates come from lshTopK / ivfTopK.
+    *
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def knnJoin(s: SparkSession, dir: String,
+      k: Int = 3, nTiles: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
+      .withColumn("tile", pmod(col("vec_id"), lit(nTiles)).cast("int"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a"), col("tile").as("ta"),
+        explode(sequence(col("tile"), lit(nTiles - 1))).as("tb"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b"), col("tile").as("tb"),
+        explode(sequence(lit(0), col("tile"))).as("ta"))
+    val pairs = a.join(b, Seq("ta", "tb"))
+      .filter(col("ta") =!= col("tb") || col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("emb_a"), col("emb_b"))
+        / (col("nrm_a") * col("nrm_b")))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    // each unordered pair feeds BOTH directions of the k-NN relation
+    val directed = pairs.select(col("vec_a").as("query_id"),
+        col("vec_b").as("neighbor_id"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("query_id"),
+        col("vec_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   // ── Random-hyperplane LSH ────────────────────────────────────────────
   /** Fixed-seed Gaussian hyperplanes: nBits × dim. Deterministic;
     * `table` varies the seed so multi-table LSH gets independent

@@ -138,6 +138,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t6 — top-k TF-IDF terms per document. The corpus statistics are
+    * classic two-phase aggregates: term frequency per (doc, term), doc
+    * length from a window over that (no second tokenize pass), document
+    * frequency from a per-term aggregate of the SAME tf table, and the
+    * corpus size as a broadcast one-row aggregate (kept lazy — no
+    * driver count() at plan time). Rank filter → WindowGroupLimit, so
+    * only k rows per doc survive the final shuffle. ~3 shuffles total
+    * (doc+term, term, doc) regardless of corpus size.
+    */
+  def tfidfTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // df (per term) and doc length (per doc) as windows over the ONE tf
+    // table — a groupBy+self-join would plan the tokenize+aggregate
+    // subtree twice; windows keep it single-pass.
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dfr", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("n_tok", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("cnt") * lit(1.0) / col("n_tok")) *
+          log(col("nd") * lit(1.0) / col("dfr")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Content fingerprints: md5 of normalized text, the 60-bit integer
     * hash used by the sketching operators, and an order-sensitive
     * polynomial rolling hash over the token sequence.

@@ -139,4 +139,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cl.forall { case (d, c) => c <= d }, "component must be the min id")
     assert(cl.values.forall(c => cl(c) === c), "canonical doc must label itself")
   }
+
+  test("d10 dedup corpus partitions the input: sizes sum to corpus count") {
+    import org.apache.spark.sql.functions._
+    val corpus = Dedup.dedupCorpus(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(corpus.agg(sum("cluster_size")).head().getLong(0) === total)
+    // representatives are themselves kept docs (self-labeled minima)
+    assert(corpus.filter(col("cluster_size") < 1).count() === 0)
+    assert(corpus.count() <= total)
+  }
+
+  test("s4 knn join: tiled plan has no BNLJ and agrees with brute force") {
+    import org.apache.spark.sql.functions._
+    val knn = Similarity.knnJoin(spark, sfDir, k = 5)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // for the 5 brute-force query vectors, results must be identical
+    val brute = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mine = knn.filter(col("query_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mine === brute)
+  }
+
+  test("t6 tfidf: k rows per doc, rare terms outrank common ones") {
+    import org.apache.spark.sql.functions._
+    val t6 = graft.operators.TextAnalysis.tfidfTopK(spark, sfDir, k = 3)
+    val perDoc = t6.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(perDoc <= 3)
+    // a term appearing in every doc has idf 0 → can never outrank a
+    // term with positive idf unless nothing else exists
+    assert(t6.filter(col("tfidf") < 0).count() === 0)
+  }
 }
