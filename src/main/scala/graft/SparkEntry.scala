@@ -214,6 +214,10 @@ object SparkEntry {
     "w1_tumbling_window" -> (graft.streaming.EventsWindows.tumbling(_, _)),
     "w2_sliding_window"  -> (graft.streaming.EventsWindows.sliding(_, _)),
     "w3_session_window"  -> (graft.streaming.EventsWindows.sessions(_, _)),
+    // Batch mirror of watermarked dropDuplicates (keyed first event)
+    "w4_first_event"     -> (graft.streaming.EventsWindows.firstEvents(_, _)),
+    // Batch mirror of the watermarked stream-stream interval join
+    "w5_funnel_join"     -> (graft.streaming.EventsWindows.clickToPurchase(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1069,6 +1073,30 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "w4_first_event" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value FROM events),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS INT)
+        |      AS rn
+        |  FROM e)
+        |SELECT user_id, event_type, ts AS first_ts, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "w5_funnel_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id AS b_user, event_id AS purchase_id,
+        |    ts AS purchase_ts
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, click_id, purchase_id, click_ts, purchase_ts
+        |FROM c JOIN b ON user_id = b_user
+        |  AND purchase_ts >= click_ts
+        |  AND purchase_ts < click_ts + INTERVAL '10 minutes'
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
   )
 
   /** Shared DuckDB prelude for the taxi oracles: raw CSV bytes → lines →

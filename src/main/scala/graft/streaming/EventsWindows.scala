@@ -39,6 +39,52 @@ object EventsWindows {
         col("n"), col("total"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** w4 — first event per (user, type): the batch mirror of streaming
+    * `dropDuplicatesWithinWatermark` keyed on (user_id, event_type)
+    * (StreamingStateSpec drives the genuine streaming path). Expressed
+    * as a rank-1 filter so Spark plans WindowGroupLimit — per-partition
+    * first-row, then a tiny merge; state is one row per live key, the
+    * same bound the streaming operator keeps.
+    * Output: (user_id, event_type, first_ts, event_id, value).
+    */
+  def firstEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+        col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** w5 — conversion funnel: each click joined to the same user's
+    * purchases within the following 10 minutes (the batch mirror of the
+    * watermarked stream-stream interval join in StreamingSpec). The
+    * equi key (user_id) bounds the join groups, so the time predicate
+    * filters within per-user sorted runs — never a nested loop over
+    * the corpus; in streaming the same [0, 10 min] bound is exactly
+    * what lets both sides' state age out with the watermark.
+    * Output: (user_id, click_id, purchase_id, click_ts, purchase_ts).
+    */
+  def clickToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(buys,
+        col("user_id") === col("b_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Gap-based session windows per user (5-minute inactivity gap).
     * Spark semantics: a session's end is last-event + gap; an event at
     * exactly prev_ts + gap starts a NEW session.

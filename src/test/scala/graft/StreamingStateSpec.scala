@@ -72,4 +72,23 @@ class StreamingStateSpec extends AnyFunSuite {
       col("g.n") =!= col("b.n") ||
       abs(col("g.total") - col("b.total")) > 1e-6).count() === 0)
   }
+
+  test("w4 first-event plans WindowGroupLimit and keeps one row per key") {
+    val w4 = graft.streaming.EventsWindows.firstEvents(spark, sfDir)
+    assert(graft.plans.PlanChecks.executedPlan(w4).contains("WindowGroupLimit"))
+    val dup = w4.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0)
+    // key coverage: every (user, type) present in the source survives
+    assert(w4.count() === Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count())
+  }
+
+  test("w5 funnel join is equi-keyed (no BNLJ) and respects the interval") {
+    val w5 = graft.streaming.EventsWindows.clickToPurchase(spark, sfDir)
+    assert(!graft.plans.PlanChecks.hasBroadcastNestedLoop(w5))
+    val bad = w5.filter(col("purchase_ts") < col("click_ts") ||
+      col("purchase_ts") >= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    assert(bad.count() === 0)
+  }
 }
