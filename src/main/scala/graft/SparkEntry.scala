@@ -169,6 +169,8 @@ object SparkEntry {
     "q48_histogram"        -> (RelationalQueries3.priceHistogram(_, _)),
     "q49_local_supplier"   -> (RelationalQueries3.localSupplierRevenue(_, _)),
     "q50_top_supplier"     -> (RelationalQueries3.topSupplier(_, _)),
+    // Stratified per-language hash sampling (training-mix rebalance)
+    "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -177,6 +179,10 @@ object SparkEntry {
     "t4_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "t5_repetition"  -> (TextAnalysis.repetition(_, _)),
     "t6_tfidf"       -> (TextAnalysis.tfidfTopK(_, _)),
+    // Corpus n-gram statistics: top-k bigrams per language
+    "t7_bigram_topk" -> (TextAnalysis.bigramTopK(_, _)),
+    // Per-language median quality gate (keep the top half per stratum)
+    "t8_quality_filter" -> (TextAnalysis.qualityFilter(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -193,6 +199,8 @@ object SparkEntry {
     "d9_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     // The deduplicated corpus: one representative per cluster + size
     "d10_dedup_corpus"     -> (Dedup.dedupCorpus(_, _)),
+    // Benchmark decontamination: broadcast the held-out shingle set
+    "d11_decontaminate"    -> (CorpusOps.decontaminate(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -203,6 +211,10 @@ object SparkEntry {
     "s3_ivf_topk"    -> (Similarity.ivfTopK(_, _)),
     // Exact k-NN self-join (tiled equi-join decomposition, no BNLJ)
     "s4_knn_join"    -> (Similarity.knnJoin(_, _)),
+    // Per-label mean embedding (map-side-combined, no corpus explode)
+    "s5_centroids"   -> (Similarity.centroids(_, _)),
+    // One k-means E-step against broadcast label centroids
+    "s6_kmeans_assign" -> (Similarity.kmeansAssign(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators: the steps a training-data pipeline runs
+  * between raw ingest and dedup/mix — benchmark decontamination and
+  * stratified rebalancing. (North-star extension surface; the reference
+  * engine has no corpus ops — its only text handling is Split,
+  * Sample.cs:151.)
+  */
+object CorpusOps {
+
+  /** d11 — benchmark decontamination: flag every corpus document that
+    * shares at least one word-3-gram shingle with the held-out
+    * "benchmark" slice (here derived as doc_id % benchMod == 0; in
+    * production the benchmark is its own small table, which makes the
+    * broadcast below even more natural).
+    *
+    * Scale posture: the benchmark side is tiny relative to the corpus
+    * (eval sets are MBs against TBs), so its distinct shingle set is
+    * BROADCAST — the corpus-side scan streams past it with a hash
+    * probe; no shuffle of corpus shingles at all, and the corpus is
+    * read exactly once for the contamination join. A shuffle-side
+    * semi-join here would move the 100 TB side; broadcasting the
+    * benchmark moves the MB side.
+    *
+    * Output: (doc_id, n_shingles, n_shared, contamination) for
+    * contaminated docs only — shingles are per-doc distinct, so
+    * n_shared counts distinct shared shingles.
+    */
+  def decontaminate(s: SparkSession, dir: String,
+      benchMod: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q51 — stratified (per-language) deterministic downsampling: the
+    * rebalance step that keeps an over-represented stratum from
+    * dominating the training mix. Sampling is a pure hash predicate on
+    * the row key (same convention as q24): rate per-mille compared
+    * against hash64 of a salted key — reproducible across engines and
+    * runs, no RNG state, and it pushes down to the scan as an ordinary
+    * deterministic filter (no shuffle, no sort, no per-stratum pass).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(
+        pmod(hash64(concat(lit("strat_"), col("doc_id").cast("string"))),
+          lit(1000L)) <
+          when(col("lang") === "en", lit(200L)).otherwise(lit(600L)))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+}

@@ -97,6 +97,67 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Per-label mean embedding as a 10×dim frame (label, cvec) — the
+    * M-step / class-prototype primitive under s5 and s6.
+    *
+    * Shape matters at scale: dim independent `avg(emb[i])` aggregates,
+    * NOT a posexplode — the explode form multiplies the corpus row
+    * count by dim before the shuffle; this form partial-aggregates
+    * map-side and shuffles #labels × dim doubles total. Rows whose
+    * vector length differs from `dim` are skipped (ANSI element_at
+    * would throw on them).
+    */
+  private def labelCentroids(e: DataFrame, dim: Int): DataFrame =
+    e.filter(size(col("emb")) === dim)
+      .groupBy(col("label").as("c_label"))
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(col("emb"), i + 1))): _*).as("cvec"))
+
+  /** s5 — per-label centroid, exploded to (label, dim, c) rows so the
+    * result is flat-comparable. The explode happens AFTER aggregation —
+    * on the #labels-row result, not the corpus.
+    */
+  def centroids(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+    labelCentroids(e, dim)
+      .select(col("c_label").as("label"),
+        posexplode(col("cvec")).as(Seq("dim", "c")))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  /** s6 — one k-means E-step: every vector assigned to its nearest
+    * label centroid by squared L2 (ties to the smaller label). The
+    * centroid table is #labels×dim doubles — broadcast; the corpus
+    * scan streams past it, so the only shuffle is the rank-1 filter's
+    * (vec_id)-partitioned WindowGroupLimit over #labels rows per
+    * vector. Iterating this against `labelCentroids` of the PREVIOUS
+    * assignment is full Lloyd's k-means; one deterministic step is
+    * what's oracle-checkable.
+    *
+    * Distance is a sequential left fold (zip_with + aggregate), the
+    * same arithmetic DuckDB's list_reduce does — cross-engine
+    * bit-stable, like VectorFunctions.dot.
+    */
+  def kmeansAssign(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(size(col("emb")) === dim)
+    val dist = aggregate(
+      zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("c_label"))
+    e.crossJoin(broadcast(labelCentroids(e, dim)))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        col("c_label").as("assigned_label"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   // ── Random-hyperplane LSH ────────────────────────────────────────────
   /** Fixed-seed Gaussian hyperplanes: nBits × dim. Deterministic;
     * `table` varies the seed so multi-table LSH gets independent

@@ -65,6 +65,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The fixed-weight composite quality score over a (text, toks) pair —
+    * shared by t3 (full metric table) and t8 (quantile filter) so the
+    * two operators can never drift apart.
+    */
+  private def qualityExpr(text: Column, toks: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(text,
+      lit("[.,;:!?]"), lit(0))).cast("double")
+    val stops = stopwordHits(toks, stopwordLists.head._2).cast("double")
+    lit(0.5) * (stops / nToks) +
+      lit(0.3) * (lit(1.0) - punct / nChars) +
+      lit(0.2) * least(nToks / lit(100.0), lit(1.0))
+  }
+
   /** Quality scoring: length, punctuation density, stopword ratio,
     * uppercase density, and a fixed-weight composite score in [0,1]-ish.
     * The formula is arbitrary but deterministic and oracle-mirrored.
@@ -87,10 +102,72 @@ object TextAnalysis {
         (punct / nChars).as("punct_ratio"),
         (upper / nChars).as("upper_ratio"),
         (stops / nToks).as("stopword_ratio"),
-        (lit(0.5) * (stops / nToks) +
-          lit(0.3) * (lit(1.0) - punct / nChars) +
-          lit(0.2) * least(nToks / lit(100.0), lit(1.0))).as("quality_score"))
+        qualityExpr(col("text"), toks).as("quality_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** t8 — per-language median quality gate: keep documents whose
+    * composite quality score is strictly above their language's median
+    * (the "filter the bottom half of each stratum" curation step —
+    * per-stratum so a high-resource language's score distribution
+    * doesn't set the bar for a low-resource one).
+    *
+    * Two-pass shape, same as q26's deviation stats: exact per-group
+    * percentile (interpolated — matches DuckDB's quantile_cont), then
+    * the #langs-row median table is BROADCAST back against the scored
+    * scan. The exact percentile needs the group's values together (one
+    * shuffle on lang); at 100 TB you'd swap `percentile` for
+    * `approx_percentile` and keep the identical plan shape — the gate
+    * itself stays a broadcast-join filter either way.
+    *
+    * Output: (doc_id, lang, quality_score, lang_median).
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        qualityExpr(col("text"), col("toks")).as("quality_score"))
+    val med = scored.groupBy(col("lang"))
+      .agg(percentile(col("quality_score"), lit(0.5)).as("lang_median"))
+    scored.join(broadcast(med), "lang")
+      .filter(col("quality_score") > col("lang_median"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("lang_median"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t7 — top-k word bigrams per language by occurrence count (corpus
+    * n-gram statistics — the language-model-ish summary a mix designer
+    * reads before weighting sources). NON-distinct bigrams: frequency
+    * needs every occurrence, so no array_distinct (unlike the dedup
+    * shingles); tie-break on the bigram text keeps the rank
+    * deterministic.
+    *
+    * Scale posture: one (lang, bigram) shuffle with map-side combine
+    * does all the counting; the rank-1..k filter over the count table
+    * plans as WindowGroupLimit — per-partition partial top-k, then a
+    * k·#langs-row merge. Nothing materializes the full bigram
+    * vocabulary on one node.
+    */
+  def bigramTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+    val g2 = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))))
+      .otherwise(array())
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("bigram"))
+    d.select(col("lang"), explode(g2).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("bigram"), col("cnt"))
+      .orderBy(col("lang"), col("rank"))
   }
 
   /** Repetition signals (the Gopher-style quality filters): duplicate
