@@ -34,10 +34,19 @@ object CorpusOps {
     */
   def decontaminate(s: SparkSession, dir: String,
       benchMod: Int = 20): DataFrame = {
+    // NO .filter(size(sh) > 0): predicate pushdown would clone the whole
+    // tokenize+shingle HOF chain into a Filter under these projections,
+    // where the un-aliased tokens expression re-evaluates PER LAMBDA
+    // ELEMENT (the TextFunctions.shinglesFromTokens gotcha — measured
+    // 27s -> 0.9s at sf0.1 for this operator). The filter is redundant
+    // anyway: both consumers explode `sh`, and explode emits nothing
+    // for an empty array. Tables.spread parallelizes the CPU-heavy
+    // shingling past the single-row-group scan, as in Dedup.
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
