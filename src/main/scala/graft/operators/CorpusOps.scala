@@ -34,19 +34,29 @@ object CorpusOps {
     */
   def decontaminate(s: SparkSession, dir: String,
       benchMod: Int = 20): DataFrame = {
-    // NO .filter(size(sh) > 0): predicate pushdown would clone the whole
-    // tokenize+shingle HOF chain into a Filter under these projections,
-    // where the un-aliased tokens expression re-evaluates PER LAMBDA
-    // ELEMENT (the TextFunctions.shinglesFromTokens gotcha — measured
-    // 27s -> 0.9s at sf0.1 for this operator). The filter is redundant
-    // anyway: both consumers explode `sh`, and explode emits nothing
-    // for an empty array. Tables.spread parallelizes the CPU-heavy
-    // shingling past the single-row-group scan, as in Dedup.
+    // cache is load-bearing (the Dedup.prefixFilteredPairs pattern, for
+    // a different reason): InferFiltersFromGenerate puts a
+    // `size(sh) > 0` filter back under each explode EVEN WITH no
+    // explicit filter in this code, and predicate pushdown then clones
+    // the whole tokenize+shingle HOF chain into a Filter below these
+    // projections, where the un-aliased tokens expression re-evaluates
+    // PER LAMBDA ELEMENT (the TextFunctions.shinglesFromTokens gotcha)
+    // on the un-spread scan — measured 22-28s at sf0.1. The
+    // InMemoryRelation truncates that lineage: the inferred filter
+    // stays a cheap size() probe on the materialized column, and the
+    // shingle table is computed once for both consumers (1.0s at sf0.1
+    // for the whole operator, BENCH_r05). Lifecycle ends with the query
+    // — Bench/Verify clearCache between queries. At cluster scale this
+    // is a persist of the shingle table both branches read; swap in
+    // MEMORY_AND_DISK_SER or a checkpoint if executors are
+    // memory-tight. Tables.spread parallelizes the CPU-heavy shingling
+    // past the single-row-group scan, as in Dedup.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .transform(Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
+      .cache()
     val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)

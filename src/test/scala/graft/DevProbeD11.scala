@@ -13,10 +13,11 @@ object DevProbeD11 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    val df = graft.operators.CorpusOps.decontaminate(spark, dir)
-    df.explain("formatted")
-    for (i <- 1 to 2) {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Fresh construction per pass, like Bench.timeOnce: the operator's
+    // internal cache() must be re-registered after clearCache.
+    for (i <- 1 to 3) {
+      val df = graft.operators.CorpusOps.decontaminate(spark, dir)
       val t0 = System.nanoTime()
       val n = df.count()
       println(s"pass $i: rows=$n  ${(System.nanoTime() - t0) / 1e9}s")
