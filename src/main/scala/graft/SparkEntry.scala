@@ -501,6 +501,14 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Same md5-hash-predicate idiom as q24, applied to the salted
+    // stratified key with the per-language rate from CorpusOps.
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5('strat_' || doc_id), 1, 15) AS BIGINT) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+        |ORDER BY doc_id""".stripMargin,
+
     "q25_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -861,6 +869,43 @@ object SparkEntry {
         |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_rolling
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Bigram counts are fully deterministic (non-distinct grams, count
+    // tie broken on the bigram text), so the top-k mirrors exactly.
+    "t7_bigram_topk" ->
+      """WITH toks AS (SELECT lang,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (SELECT lang, unnest(CASE WHEN len(w) >= 2
+        |    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |    ELSE [] END) AS bigram
+        |  FROM toks),
+        |cnt AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY cnt DESC, bigram) AS INT) AS rank
+        |  FROM cnt)
+        |SELECT lang, rank, bigram, cnt FROM rk WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    // Score formula identical to the hash-green t3 oracle (both sides
+    // share qualityExpr on the Spark side); Spark exact `percentile`
+    // interpolates the same way DuckDB quantile_cont does, and the
+    // strict > gate excludes exact-median rows in both engines.
+    "t8_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |scored AS (SELECT doc_id, lang,
+        |  0.5 * (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(toks))
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text))
+        |   + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+        |  FROM t),
+        |med AS (SELECT lang, quantile_cont(quality_score, 0.5) AS lang_median
+        |  FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality_score, m.lang_median
+        |FROM scored s JOIN med m USING (lang)
+        |WHERE s.quality_score > m.lang_median
+        |ORDER BY s.doc_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, fp, count(*) AS n_copies FROM (
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -927,6 +972,63 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
         |SELECT component AS doc_id, count(*) AS cluster_size
         |FROM lab GROUP BY component ORDER BY doc_id""".stripMargin,
+
+    // d11: the same word-3-gram shingle derivation as d2/d3, split on
+    // doc_id % 20 — bench side's distinct shingles probed by the corpus
+    // side (the Spark plan broadcasts the bench set; semantics are this
+    // plain join+group).
+    "d11_decontaminate" ->
+      """WITH words AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |      ELSE [] END) AS t
+        |  FROM words),
+        |bench AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(t) AS g FROM sh WHERE doc_id % 20 = 0) u),
+        |corpus AS (SELECT doc_id, len(t) AS n_shingles, unnest(t) AS g
+        |  FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT c.doc_id, CAST(c.n_shingles AS BIGINT) AS n_shingles,
+        |  count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / c.n_shingles AS contamination
+        |FROM corpus c JOIN bench b USING (g)
+        |GROUP BY c.doc_id, c.n_shingles
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // s5: per-label per-dim mean — same FP profile as the other green
+    // avg aggregates (sum-merge order differs at ~1e-15 relative, far
+    // inside the driver's 9-significant-digit rounding).
+    "s5_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+        |  WHERE len(embedding) = 64)
+        |SELECT label, CAST(i - 1 AS INT) AS dim, avg(emb[i]) AS c
+        |FROM e, range(1, 65) r(i)
+        |GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
+
+    // s6: centroids as in s5, then squared-L2 argmin per vector. The
+    // distance fold (list_reduce over a 0.0-seeded prefix) is the same
+    // sequential left fold as Spark's aggregate(zip_with(...)), so dist
+    // differs only by the centroids' last-ulp avg noise — argmin is
+    // stable unless two centroids are equidistant to ~1e-13, which the
+    // random embeddings never are.
+    "s6_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |cd AS (SELECT label AS c_label, i AS dim, avg(emb[i]) AS c
+        |  FROM e, range(1, 65) r(i) GROUP BY label, i),
+        |cent AS (SELECT c_label, list(c ORDER BY dim) AS cvec FROM cd GROUP BY c_label),
+        |d AS (SELECT e.vec_id, e.label, c.c_label,
+        |    list_reduce(list_prepend(0.0,
+        |      [ (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]) for i in range(1, 65) ]),
+        |      (a, v) -> a + v) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM d)
+        |SELECT vec_id, label, c_label AS assigned_label, dist FROM rk WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     "s4_knn_join" ->
       """WITH cos AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

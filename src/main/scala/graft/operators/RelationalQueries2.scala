@@ -267,32 +267,25 @@ object RelationalQueries2 {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Production-shape skew join: salt ONLY detected hot keys. A
-    * map-side-combinable (key, count) pre-aggregation finds join keys
-    * whose fact-row count exceeds `hotThreshold`; that (tiny) hot set is
-    * broadcast to tag both sides. Hot fact rows take a per-row salt and
-    * the matching dim rows are replicated `salts`×; the cold majority
-    * joins unsalted (salt 0, no replication). The result is identical to
-    * the plain join — only hot keys' shuffle layout changes — so the
-    * oracle stays the plain SQL join. Cost over the plain join: one
-    * 2-column pre-agg scan + two broadcast probes; vs full-salt: no ×8
-    * dim replication, so runtime tracks the plain join when skew is
-    * absent. (At 100 TB the detection pre-agg can run on a sample; exact
-    * counts keep this deterministic here.)
+  /** Production-shape skew join: salt ONLY detected hot keys, with the
+    * detection INSIDE the plan — constructing this DataFrame is
+    * side-effect-free (no driver job until the first action; the
+    * previous eager-collect shape made plan-only callers pay a cluster
+    * job at construction time).
+    *
+    * Detection: a deterministic 1-in-64 hash sample of the fact table's
+    * join column, counted per key; keys whose sampled count exceeds
+    * hotThreshold/64 are hot. The sample is the 100 TB posture — the
+    * detection pre-agg shuffles ~1.6% of the key volume — and
+    * mis-classifying a near-threshold key is correctness-neutral:
+    * salting changes only the shuffle layout, never the join result
+    * (a truly hot key, 100k+ rows, keeps >1000 expected sampled rows —
+    * it cannot be missed). The (tiny) hot set is BROADCAST onto both
+    * sides: hot fact rows take a per-row salt, matching dim rows
+    * replicate `salts`×, and the cold majority joins unsalted (salt 0,
+    * no replication). The result is identical to the plain join, so the
+    * oracle stays the plain SQL join.
     */
-  /** Detected hot keys per (table dir, threshold), memoized for the JVM
-    * lifetime: the fact table on disk is immutable in this harness, so
-    * detection is a pure function of (dir, threshold). First
-    * construction pays ONE bounded detection job (explicitly projected
-    * to the single join column, so the scan reads one column no matter
-    * what the caller selects later); every later construction — bench
-    * warm+timed passes, plan-only callers, PlanChecks — is free. This
-    * is the "cached lazy val" shape: eagerness is confined to the first
-    * touch instead of every `queries(...)` call.
-    */
-  private val hotKeyMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Long]]
-
   def hotKeySaltedJoinRevenue(s: SparkSession, dir: String,
       salts: Int = 8, hotThreshold: Long = 100000L): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -302,19 +295,13 @@ object RelationalQueries2 {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderstatus"))
-    // Driver-side adaptive choice (the hot set is tiny by construction —
-    // keys above a row-count threshold, so collecting it is bounded like
-    // IVF centroids): with NO skew detected, plan the plain join and pay
-    // nothing beyond the (memoized) detection pre-agg. Detection decides
-    // the plan, mirroring what AQE does between stages.
-    val hotKeys = hotKeyMemo.getOrElseUpdate((dir, hotThreshold),
-      li.select(col("l_orderkey"))
-        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("_cnt"))
-        .filter(col("_cnt") > hotThreshold)
-        .select(col("l_orderkey"))
-        .collect().map(_.getLong(0)))
-    if (hotKeys.isEmpty) return agg(li.join(o, li("l_orderkey") === o("o_orderkey")))
-    val hotDf = { import s.implicits._; hotKeys.toSeq.toDF("_hk") }
+    val sampleMod = 64L
+    val hotDf = li
+      .filter(pmod(hash64(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+        lit(sampleMod)) === 0)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > hotThreshold / sampleMod)
+      .select(col("l_orderkey").as("_hk"))
     val liS = li.join(broadcast(hotDf), li("l_orderkey") === col("_hk"), "left")
       .withColumn("_salt",
         when(col("_hk").isNotNull,

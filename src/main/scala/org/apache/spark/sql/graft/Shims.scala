@@ -21,4 +21,11 @@ object Shims {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Drain the SparkListener bus (`listenerBus` is private[spark]) so a
+    * spec can deterministically assert how many jobs an operation
+    * scheduled — listener events are posted asynchronously.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
