@@ -142,6 +142,11 @@ object SparkEntry {
     // (none at this key cardinality → runtime tracks the plain join);
     // result equals the PLAIN join oracle by design. The full-salt
     // variant (saltedJoinRevenue) stays as the spec's reference.
+    // CAVEAT: the DuckDB oracle below is the plain join — salting is
+    // oracle-INVISIBLE by construction (it changes only shuffle layout,
+    // never the join result), so edits to the salt path must keep that
+    // invariant or the oracle will not catch a salt-induced bug; the
+    // PlanChecksSpec construction/broadcast assertions are the guard.
     "q28_skew_join"        -> (RelationalQueries2.hotKeySaltedJoinRevenue(_, _)),
     "q29_json_extract"     -> (RelationalQueries2.jsonExtract(_, _)),
     "q30_string_agg"       -> (RelationalQueries2.stringAgg(_, _)),

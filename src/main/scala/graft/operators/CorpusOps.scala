@@ -70,6 +70,56 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Word-3-gram shingle projection shared by the streaming
+    * decontamination path (batch d11 above keeps its own copy inline
+    * because its cache() + Tables.spread tuning is load-bearing there
+    * and neither applies to a streaming relation).
+    */
+  private def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+
+  /** The static side of streaming decontamination: the benchmark
+    * slice's distinct shingle set, computed once from the (batch)
+    * documents table. Tiny by construction (eval sets are MBs), so the
+    * stream side joins it via broadcast.
+    */
+  def benchShingles(s: SparkSession, dir: String,
+      benchMod: Int = 20): DataFrame =
+    shingled(Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+        .select(col("doc_id"), col("text")))
+      .select(explode(col("sh")).as("g")).distinct()
+
+  /** d11's streaming form: decontaminate a LIVE corpus feed against a
+    * static benchmark shingle set — the shape of continuous ingest,
+    * where newly crawled documents are checked for eval contamination
+    * as they arrive rather than in a nightly batch pass.
+    *
+    * `streamDocs` is a `readStream` relation with (doc_id, text);
+    * `bench` is the static [[benchShingles]] output. The join is
+    * stream-static with the static side BROADCAST — identical 100 TB
+    * posture to batch d11 (the MB-scale benchmark moves, the corpus
+    * streams past it), and stream-static joins are stateless: no
+    * watermark needed on the join itself, per-doc state exists only in
+    * the downstream aggregation. Run with complete/update output mode
+    * (the per-doc counts are an aggregation); StreamingSpec asserts
+    * the result equals batch d11 row-for-row.
+    */
+  def decontaminateStream(streamDocs: DataFrame, bench: DataFrame,
+      benchMod: Int = 20): DataFrame = {
+    val corpus = shingled(streamDocs
+        .filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
   /** q51 — stratified (per-language) deterministic downsampling: the
     * rebalance step that keeps an over-represented stratum from
     * dominating the training mix. Sampling is a pure hash predicate on

@@ -63,7 +63,11 @@ object TwoLevelMean {
         // listing is.
         val perKey = perGroup.join(broadcast(g), Seq("_grp"), "leftsemi")
           .groupBy(col(keyName)).agg(sum($"_grp_mean").as("_s"))
-        broadcast(keys).join(perKey, Seq(keyName), "left")
+        // Broadcast the BUILD side (perKey, ≤ |keyDomain| rows after its
+        // agg) — a hint on the preserved left side of a left join is
+        // unsupported for BroadcastHashJoin and Spark drops it with a
+        // HintErrorLogger warn, silently falling back to a shuffle.
+        keys.join(broadcast(perKey), Seq(keyName), "left")
           .select(col(keyName), (coalesce($"_s", lit(0.0)) / lit(n)).as(outName))
 
       // Group domain derived from the data: dense (group × key) frame

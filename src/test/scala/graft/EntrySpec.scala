@@ -14,6 +14,10 @@ class EntrySpec extends AnyFunSuite {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n > 0, s"query $name returned no rows")
+      // Operator-internal cache() calls (Dedup's shingle table) persist
+      // in the session CacheManager; clear per query so no later query
+      // silently reuses a neighbor's cached subtree (matches Bench/Verify).
+      spark.catalog.clearCache()
     }
   }
 

@@ -40,9 +40,29 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!PlanChecks.executedPlan(d8).contains("CartesianProduct"))
   }
 
-  test("q28 with no detected skew plans the plain join (no salt columns)") {
-    val q28 = graft.operators.RelationalQueries2
-      .hotKeySaltedJoinRevenue(spark, sfDir)
-    assert(!PlanChecks.executedPlan(q28).contains("_salt"))
+  test("q28 construction is side-effect-free and broadcasts the hot set") {
+    // The r6 rewrite moved hot-key detection INSIDE the plan: building
+    // the DataFrame must run zero Dataset actions (the old shape ran an
+    // eager hot-set collect() at construction, charging plan-only
+    // callers a cluster job). A QueryExecutionListener sees exactly
+    // those actions — and, unlike a raw job counter, is blind to the
+    // benign parquet schema-inference jobs `spark.read` schedules.
+    // Listener events are posted async → drain the bus before asserting.
+    val listener = ProgressListener.attach(spark)
+    try {
+      val q28 = graft.operators.RelationalQueries2
+        .hotKeySaltedJoinRevenue(spark, sfDir)
+      org.apache.spark.sql.graft.Shims.drainListenerBus(spark.sparkContext)
+      assert(listener.snapshot.isEmpty,
+        "constructing q28 must not execute any Dataset action")
+      // The detected-hot-key set is tiny by construction → it must be
+      // BROADCAST onto both sides, never shuffled.
+      val plan = PlanChecks.executedPlan(q28)
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("_hk"),
+        "hot-key set must join via BroadcastHashJoin")
+      // Salt columns are shuffle-layout plumbing only — they must be
+      // pruned from the query's output schema.
+      assert(!q28.schema.fieldNames.exists(_.contains("_salt")))
+    } finally spark.listenerManager.unregister(listener)
   }
 }

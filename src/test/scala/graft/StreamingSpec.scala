@@ -87,6 +87,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming decontamination equals batch d11 row-for-row") {
+    // Static broadcast of the benchmark shingle set against a readStream
+    // corpus — the continuous-ingest form of d11_decontaminate.
+    val docs = Tables.documents(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "docstream").toString
+    docs.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+    val bench = graft.operators.CorpusOps.benchShingles(spark, sfDir)
+    val out = graft.operators.CorpusOps.decontaminateStream(stream, bench)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("decon_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("decon_out")
+    val want = graft.operators.CorpusOps.decontaminate(spark, sfDir)
+    val joined = got.as("g").join(want.as("b"), Seq("doc_id"), "full_outer")
+    assert(joined.filter(
+      col("g.n_shared").isNull || col("b.n_shared").isNull ||
+      col("g.n_shared") =!= col("b.n_shared") ||
+      col("g.n_shingles") =!= col("b.n_shingles") ||
+      abs(col("g.contamination") - col("b.contamination")) > 1e-12)
+      .count() === 0)
+    assert(got.count() > 0)
+    spark.catalog.clearCache() // batch d11 caches its shingle table
+  }
+
   test("stateful mapGroupsWithState per-user counts match batch groupBy") {
     import spark.implicits._
     val schema = Tables.events(spark, sfDir).schema
