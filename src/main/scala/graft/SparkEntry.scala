@@ -206,6 +206,9 @@ object SparkEntry {
     "d10_dedup_corpus"     -> (Dedup.dedupCorpus(_, _)),
     // Benchmark decontamination: broadcast the held-out shingle set
     "d11_decontaminate"    -> (CorpusOps.decontaminate(_, _)),
+    // End-to-end curation: dedup → quality gate → stratified sample,
+    // one declarative plan (single scan, two data shuffles)
+    "d12_curate"           -> (CorpusOps.curate(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -916,6 +919,30 @@ object SparkEntry {
         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents)
         |GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
+
+    // Composition of the d1 fingerprint, t8 score/median, and q51
+    // hash-sample idioms — each already hash-proven individually.
+    "d12_curate" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |scored AS (SELECT doc_id, lang, source, fp,
+        |  0.5 * (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(toks))
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text))
+        |   + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+        |  FROM t),
+        |dedup AS (SELECT doc_id, lang, source, quality_score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |med AS (SELECT lang, quantile_cont(quality_score, 0.5) AS lang_median
+        |  FROM dedup GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.source, d.quality_score, m.lang_median
+        |FROM dedup d JOIN med m USING (lang)
+        |WHERE d.quality_score > m.lang_median
+        |  AND CAST('0x' || substr(md5('curate_' || d.doc_id), 1, 15) AS BIGINT) % 1000 <
+        |      CASE WHEN d.lang = 'en' THEN 500 ELSE 900 END
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d2_jaccard_pairs" -> jaccardPairsOracle,
 

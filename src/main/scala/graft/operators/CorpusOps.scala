@@ -120,6 +120,55 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** d12 — end-to-end corpus curation, the whole pre-training data prep
+    * as ONE declarative plan: exact dedup (keep the lowest doc_id per
+    * content fingerprint) → per-language median quality gate computed
+    * over the DEDUPED population (duplicates must not drag the median)
+    * → deterministic stratified downsample. Composing the steps in one
+    * DataFrame lets Catalyst fuse them: fingerprint and quality score
+    * are computed in a single projection over a single scan.
+    *
+    * Scale posture: the corpus is scanned once and shuffled once — on
+    * the fingerprint for the dedup window (WindowGroupLimit:
+    * per-partition rank-1, then merge); the deduped relation is
+    * cache()d because BOTH the median aggregate and the gate consume it
+    * and column pruning specializes the two branches' scans, defeating
+    * AQE exchange reuse (measured: without the cache the plan scans AND
+    * fp-shuffles the corpus twice — the TwoLevelMean groups-branch
+    * pathology). Same lifecycle contract as d11's shingle cache:
+    * Bench/Verify/EntrySpec clearCache per query; at cluster scale swap
+    * in MEMORY_AND_DISK_SER or a checkpoint. The percentile pass over
+    * the cached rows moves only (lang, score) pairs (swap in
+    * approx_percentile at 100 TB, identical shape — see t8); the
+    * #langs-row median table is broadcast back; the sample is a pure
+    * hash predicate, no RNG state, no extra pass.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityExpr(col("text"), col("toks")).as("quality_score"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "fp")
+      .cache()
+    val med = deduped.groupBy(col("lang"))
+      .agg(percentile(col("quality_score"), lit(0.5)).as("lang_median"))
+    deduped.join(broadcast(med), "lang")
+      .filter(col("quality_score") > col("lang_median"))
+      .filter(
+        pmod(hash64(concat(lit("curate_"), col("doc_id").cast("string"))),
+          lit(1000L)) <
+          when(col("lang") === "en", lit(500L)).otherwise(lit(900L)))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score"), col("lang_median"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q51 — stratified (per-language) deterministic downsampling: the
     * rebalance step that keeps an over-represented stratum from
     * dominating the training mix. Sampling is a pure hash predicate on

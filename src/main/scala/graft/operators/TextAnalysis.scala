@@ -69,7 +69,7 @@ object TextAnalysis {
     * shared by t3 (full metric table) and t8 (quantile filter) so the
     * two operators can never drift apart.
     */
-  private def qualityExpr(text: Column, toks: Column): Column = {
+  private[operators] def qualityExpr(text: Column, toks: Column): Column = {
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
     val punct = size(regexp_extract_all(text,

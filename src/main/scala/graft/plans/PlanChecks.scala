@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Physical-plan introspection helpers — the assertions the spec suite
   * uses to PIN the plans we want at scale (pushdown reaching the scan,
@@ -87,4 +87,21 @@ object PlanChecks {
   def exchangeCount(df: DataFrame): Int =
     "(?m)^\\s*(?:\\+- |:- )?Exchange ".r
       .findAllMatchIn(executedPlan(df)).size
+
+  /** Every physical node reachable from `p`, descending through the AQE
+    * wrappers that hide their subtree from a plain `collect`:
+    * AdaptiveSparkPlanExec and the QueryStageExec leaves the FINAL
+    * adaptive plan is stitched from after execution. Cached
+    * InMemoryRelations are deliberately NOT descended into — their plan
+    * runs once at cache fill, not per consumer, so counting its nodes
+    * per consuming branch would misstate the executed work. Use on
+    * `df.queryExecution.executedPlan` AFTER driving the plan if the
+    * final adaptive shape is wanted (see wholeStageCodegenSpans).
+    */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ allNodes(q.plan)
+      case n => Seq(n)
+    }.flatten
 }

@@ -16,6 +16,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .head().getLong(0) === total)
   }
 
+  test("d12 curate output is deduped, above its language median, sampled") {
+    import org.apache.spark.sql.functions._
+    val cur = graft.operators.CorpusOps.curate(spark, sfDir).cache()
+    try {
+      val n = cur.count()
+      assert(n > 0)
+      // dedup held: no doc appears twice, and every kept doc is a d1
+      // keeper (the min-doc_id representative of its fingerprint)
+      assert(cur.select("doc_id").distinct().count() === n)
+      val keepers = Dedup.exactDedup(spark, sfDir)
+        .select(col("keep_doc_id").as("doc_id"))
+      assert(cur.join(keepers, Seq("doc_id"), "left_anti").count() === 0)
+      // gate held: strictly above the per-language median
+      assert(cur.filter(col("quality_score") <= col("lang_median")).count() === 0)
+      // gate + sample really reduce: strictly fewer rows than the
+      // deduped population (the median gate alone halves each stratum)
+      assert(n < keepers.count())
+    } finally cur.unpersist()
+  }
+
   test("prefix-filter jaccard equals naive all-pairs jaccard") {
     // The lossless-blocking claim, checked directly against a plain
     // quadratic join on the same shingle arrays.

@@ -40,6 +40,28 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!PlanChecks.executedPlan(d8).contains("CartesianProduct"))
   }
 
+  test("d12 curate scans the corpus once (cached), bounded shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    try {
+      val d12 = graft.operators.CorpusOps.curate(spark, sfDir)
+      // drive THIS plan so the final adaptive shape (and the cache fill)
+      // is what we inspect
+      d12.queryExecution.executedPlan.execute().count()
+      val ns = PlanChecks.allNodes(d12.queryExecution.executedPlan)
+      // corpus scan + fp dedup shuffle live inside the cached relation,
+      // materialized once — both consuming branches read the cache
+      assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 0)
+      assert(ns.count(_.isInstanceOf[InMemoryTableScanExec]) === 2)
+      // remaining shuffles: (lang, score) percentile + presentation sort
+      assert(ns.count(_.isInstanceOf[ShuffleExchangeLike]) === 2)
+      // the dedup rank-1 filter planned two-phase inside the cached plan
+      assert(PlanChecks.executedPlan(d12).contains("WindowGroupLimit"))
+    } finally spark.catalog.clearCache()
+  }
+
   test("q28 construction is side-effect-free and broadcasts the hot set") {
     // The r6 rewrite moved hot-key detection INSIDE the plan: building
     // the DataFrame must run zero Dataset actions (the old shape ran an
