@@ -188,6 +188,8 @@ object SparkEntry {
     "t7_bigram_topk" -> (TextAnalysis.bigramTopK(_, _)),
     // Per-language median quality gate (keep the top half per stratum)
     "t8_quality_filter" -> (TextAnalysis.qualityFilter(_, _)),
+    // Corpus mix table: per-(lang, source) doc/token/char mass + share
+    "t9_mix_stats" -> (TextAnalysis.mixStats(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -943,6 +945,17 @@ object SparkEntry {
         |  AND CAST('0x' || substr(md5('curate_' || d.doc_id), 1, 15) AS BIGINT) % 1000 <
         |      CASE WHEN d.lang = 'en' THEN 500 ELSE 900 END
         |ORDER BY d.doc_id""".stripMargin,
+
+    // DuckDB sum(BIGINT) widens to HUGEINT — cast back so the schema
+    // compare sees int64 on both sides.
+    "t9_mix_stats" ->
+      """WITH per AS (SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens, n_chars,
+        |  CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per) AS token_share
+        |FROM per ORDER BY lang, source""".stripMargin,
 
     "d2_jaccard_pairs" -> jaccardPairsOracle,
 

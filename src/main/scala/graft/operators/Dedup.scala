@@ -50,6 +50,23 @@ object Dedup {
       .select(col("keep_doc_id"), col("fp"), col("n_copies"))
       .orderBy(col("keep_doc_id"))
 
+  /** Exact dedup's streaming form: fingerprint-keyed first-wins dedup
+    * over a live ingest feed (`streamDocs` is a `readStream` relation
+    * with (doc_id, text)). `dropDuplicates` on the fingerprint keeps
+    * ONE row of state per distinct content — the same bound as batch
+    * d1's aggregate — and emits each fingerprint's first arrival.
+    * Arrival-order semantics: the keeper is the first-SEEN doc, not
+    * necessarily the min doc_id (batch d1's deterministic tie-break);
+    * the kept fingerprint SET is identical, which is what
+    * StreamingSpec asserts against batch d1. In production add
+    * `withWatermark` + `dropDuplicatesWithinWatermark` so fingerprint
+    * state ages out instead of growing with corpus history.
+    */
+  def exactDedupStream(streamDocs: DataFrame): DataFrame =
+    streamDocs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+
   // ── Shared shingle prep ───────────────────────────────────────────────
   /** (doc_id, sh: array<string> of distinct word-3-gram shingles, sz).
     * Tokens are materialized in their own projection before shingling —

@@ -137,6 +137,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t9 — corpus mix statistics: per-(lang, source) stratum sizes in
+    * documents, tokens, and chars, plus each stratum's share of all
+    * corpus tokens — the table a training-mix designer reads to set
+    * per-source sampling weights (and the denominator q51-style
+    * stratified rates are derived from).
+    *
+    * Scale posture: one shuffle with map-side combine collapses the
+    * corpus to #strata rows; that tiny aggregate is cache()d because
+    * both the grand-total aggregate and the share projection consume it
+    * (without the cache the corpus would be scanned and aggregated
+    * twice — the d12/TwoLevelMean branch pathology; same clearCache
+    * lifecycle). The total joins back via broadcast.
+    */
+  def mixStats(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("_t"),
+        length(col("text")).cast("long").as("_c"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"),
+        sum(col("_c")).as("n_chars"))
+      .cache()
+    val tot = per.agg(sum(col("n_tokens")).as("_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        (col("n_tokens").cast("double") / col("_tot")).as("token_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** t7 — top-k word bigrams per language by occurrence count (corpus
     * n-gram statistics — the language-model-ish summary a mix designer
     * reads before weighting sources). NON-distinct bigrams: frequency

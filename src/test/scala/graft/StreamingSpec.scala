@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache() // batch d11 caches its shingle table
   }
 
+  test("streaming exact dedup keeps exactly batch d1's fingerprint set") {
+    import graft.functions.TextFunctions.fingerprint
+    val docs = Tables.documents(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "dedupstream").toString
+    docs.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+    val out = graft.operators.Dedup.exactDedupStream(stream)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("dedup_out")
+    val want = graft.operators.Dedup.exactDedup(spark, sfDir)
+    // one keeper per fingerprint, same fingerprint set as batch d1
+    assert(got.count() === want.count())
+    assert(got.select("fp").distinct().count() === got.count())
+    assert(got.as("g").join(want.as("b"), Seq("fp"), "full_outer")
+      .filter(col("g.doc_id").isNull || col("b.keep_doc_id").isNull)
+      .count() === 0)
+    // every kept (doc_id, fp) is a genuine member of that content group
+    // (first-SEEN keeper — arrival order, not batch's min-doc_id)
+    val members = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    assert(got.join(members, Seq("doc_id", "fp")).count() === got.count())
+  }
+
   test("stateful mapGroupsWithState per-user counts match batch groupBy") {
     import spark.implicits._
     val schema = Tables.events(spark, sfDir).schema
