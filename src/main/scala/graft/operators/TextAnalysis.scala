@@ -33,8 +33,8 @@ object TextAnalysis {
         size(array_distinct(toks)).as("n_distinct_tokens"),
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_wordpieces"),
-        (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-          size(toks)).as("mean_token_len"))
+        try_divide(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double"), size(toks)).as("mean_token_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -75,8 +75,14 @@ object TextAnalysis {
     val punct = size(regexp_extract_all(text,
       lit("[.,;:!?]"), lit(0))).cast("double")
     val stops = stopwordHits(toks, stopwordLists.head._2).cast("double")
-    lit(0.5) * (stops / nToks) +
-      lit(0.3) * (lit(1.0) - punct / nChars) +
+    // try_divide, not `/`: ANSI mode makes division by zero THROW, and
+    // a 100 TB corpus will contain empty/whitespace-only texts (nToks =
+    // nChars = 0). Null score = "unscoreable" — quantile gates drop it.
+    // (The projection-pruning trap: a count()-only action prunes the
+    // division away, so the throw only surfaces once something FILTERS
+    // on the score — DirtyCorpusSpec materializes every column.)
+    lit(0.5) * try_divide(stops, nToks) +
+      lit(0.3) * (lit(1.0) - try_divide(punct, nChars)) +
       lit(0.2) * least(nToks / lit(100.0), lit(1.0))
   }
 
@@ -99,9 +105,9 @@ object TextAnalysis {
         col("doc_id"),
         nChars.as("n_chars"),
         nToks.as("n_tokens"),
-        (punct / nChars).as("punct_ratio"),
-        (upper / nChars).as("upper_ratio"),
-        (stops / nToks).as("stopword_ratio"),
+        try_divide(punct, nChars).as("punct_ratio"),
+        try_divide(upper, nChars).as("upper_ratio"),
+        try_divide(stops, nToks).as("stopword_ratio"),
         qualityExpr(col("text"), toks).as("quality_score"))
       .orderBy(col("doc_id"))
   }

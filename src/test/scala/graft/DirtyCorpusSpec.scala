@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dirty-data robustness: at 100 TB the documents table WILL contain
+  * null, empty, whitespace-only, and degenerate texts. Every
+  * document-family operator must plan and execute over such a corpus
+  * without throwing (Spark 4 runs ANSI mode — silent acceptance is not
+  * guaranteed) and must not emit rows for un-scoreable texts where the
+  * semantics exclude them.
+  */
+class DirtyCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "dirty").toString
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "srcA"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "srcB"), // exact dup of 1
+      (3L, null.asInstanceOf[String], "en", "srcA"),                     // null text
+      (4L, "", "de", "srcA"),                                           // empty
+      (5L, "   \t  \n ", "es", "srcB"),                                 // whitespace only
+      (6L, "a", "fr", "srcA"),                                          // single char
+      (7L, "tok tok tok tok tok tok tok tok", "en", "srcA"),            // degenerate repetition
+      (8L, "der schnelle braune fuchs springt und ist ein hund", "de", "srcB"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0L)).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(d + "/documents.parquet")
+    d
+  }
+
+  // Every documents-family query must survive the hostile corpus.
+  private val docQueries = Seq(
+    "t1_token_stats", "t2_lang_id", "t3_quality", "t4_fingerprint",
+    "t5_repetition", "t6_tfidf", "t7_bigram_topk", "t8_quality_filter",
+    "t9_mix_stats",
+    "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_pairs",
+    "d4_simhash", "d5_simhash_pairs", "d7_chargram_pairs",
+    "d8_containment_pairs", "d9_dedup_clusters", "d10_dedup_corpus",
+    "d11_decontaminate", "d12_curate",
+    "q46_regex", "q51_stratified_sample")
+
+  test("document-family queries run on a null/empty/degenerate corpus") {
+    docQueries.foreach { name =>
+      // collect(), NOT count(): a count-only action lets Catalyst prune
+      // unreferenced projections, hiding e.g. an ANSI divide-by-zero in
+      // a metric column that only throws once every column materializes.
+      val rows = try SparkEntry.queries(name)(spark, dir).collect()
+        catch { case e: Throwable =>
+          fail(s"query $name threw on the dirty corpus: ${e.getMessage}")
+        }
+      assert(rows != null)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("exact dedup accounts for every row including null/empty texts") {
+    val d = graft.operators.Dedup.exactDedup(spark, dir)
+    assert(d.agg(sum("n_copies")).head().getLong(0) === 8L)
+    // two duplicate groups: docs 1+2 (identical text) and docs 4+5 —
+    // whitespace-only normalizes to the empty string, so it is
+    // content-identical to the empty doc by fingerprint semantics
+    assert(d.filter(col("n_copies") === 2).count() === 2L)
+  }
+
+  test("mix stats cover all strata and shares sum to 1 over scoreable text") {
+    val m = graft.operators.TextAnalysis.mixStats(spark, dir)
+    assert(m.count() > 0)
+    val s = m.agg(sum("token_share")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-9)
+  }
+}
