@@ -34,9 +34,14 @@ object VectorFunctions {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity. try_divide, not `/`: a zero vector has zero
+    * norm and ANSI mode makes the division THROW; null similarity means
+    * "undefined against this vector" and ranking/threshold consumers
+    * drop it (DuckDB's list_cosine_similarity on clean data is
+    * value-identical since the divisor is nonzero there).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
   /** Squared L2 distance (sequential order). */
   def l2sq(a: Column, b: Column): Column =

@@ -524,8 +524,9 @@ object Dedup {
         explode(sequence(lit(0), col("tile"))).as("ta"))
     a.join(b, Seq("ta", "tb"))
       .filter(col("ta") =!= col("tb") || col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos", try_divide(
+        VectorFunctions.dot(col("emb_a"), col("emb_b")),
+        col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= t)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))

@@ -80,8 +80,9 @@ object Similarity {
         explode(sequence(lit(0), col("tile"))).as("ta"))
     val pairs = a.join(b, Seq("ta", "tb"))
       .filter(col("ta") =!= col("tb") || col("vec_a") < col("vec_b"))
-      .withColumn("cos", graft.functions.VectorFunctions.dot(col("emb_a"), col("emb_b"))
-        / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos", try_divide(
+        graft.functions.VectorFunctions.dot(col("emb_a"), col("emb_b")),
+        col("nrm_a") * col("nrm_b")))
       .select(col("vec_a"), col("vec_b"), col("cos"))
     // each unordered pair feeds BOTH directions of the k-NN relation
     val directed = pairs.select(col("vec_a").as("query_id"),

@@ -33,6 +33,14 @@ class DirtyCorpusSpec extends AnyFunSuite {
       .withColumn("n_chars", coalesce(length(col("text")), lit(0L)).cast("long"))
       .coalesce(1).write.mode("overwrite")
       .parquet(d + "/documents.parquet")
+    // hostile embeddings: 40 ordinary vectors, one all-zero vector
+    // (zero norm → cosine undefined), one null embedding
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 10f), i % 10)
+    } :+ (40L, Array.fill(64)(0f), 3) :+ (41L, null.asInstanceOf[Array[Float]], 4)
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(d + "/embeddings.parquet")
     d
   }
 
@@ -59,6 +67,19 @@ class DirtyCorpusSpec extends AnyFunSuite {
       assert(rows != null)
       spark.catalog.clearCache()
     }
+  }
+
+  test("embedding-family queries survive zero and null vectors") {
+    Seq("s1_cosine_topk", "s2_ann_topk", "s3_ivf_topk", "s4_knn_join",
+        "s5_centroids", "s6_kmeans_assign", "d6_embedding_dedup")
+      .foreach { name =>
+        val rows = try SparkEntry.queries(name)(spark, dir).collect()
+          catch { case e: Throwable =>
+            fail(s"query $name threw on the dirty embeddings: ${e.getMessage}")
+          }
+        assert(rows != null)
+        spark.catalog.clearCache()
+      }
   }
 
   test("exact dedup accounts for every row including null/empty texts") {
