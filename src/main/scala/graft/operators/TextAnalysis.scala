@@ -169,7 +169,8 @@ object TextAnalysis {
     per.crossJoin(broadcast(tot))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars"),
-        (col("n_tokens").cast("double") / col("_tot")).as("token_share"))
+        // try_divide: a corpus of only unscoreable texts has _tot = 0
+        try_divide(col("n_tokens").cast("double"), col("_tot")).as("token_share"))
       .orderBy(col("lang"), col("source"))
   }
 
