@@ -176,6 +176,8 @@ object SparkEntry {
     "q50_top_supplier"     -> (RelationalQueries3.topSupplier(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
+    // Mix rates as a broadcast config TABLE, not plan literals
+    "q52_weighted_mix" -> (CorpusOps.weightedMix(_, _)),
 
     // ── Text analysis (north-star extension ops over `documents`) ────────
     "t1_token_stats" -> (TextAnalysis.tokenStats(_, _)),
@@ -518,6 +520,16 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5('strat_' || doc_id), 1, 15) AS BIGINT) % 1000 <
         |  CASE WHEN lang = 'en' THEN 200 ELSE 600 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q52_weighted_mix" ->
+      """WITH w(lang, keep_permille) AS (
+        |  VALUES ('en', 150), ('de', 800), ('zh', 400))
+        |SELECT d.doc_id, d.lang, d.source,
+        |  CAST(coalesce(w.keep_permille, 600) AS BIGINT) AS keep_permille
+        |FROM documents d LEFT JOIN w USING (lang)
+        |WHERE CAST('0x' || substr(md5('mix_' || d.doc_id), 1, 15) AS BIGINT) % 1000 <
+        |  coalesce(w.keep_permille, 600)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q25_percentiles" ->
       """SELECT l_returnflag,

@@ -169,6 +169,36 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q52 — weighted mix sampling with the per-stratum rates as DATA:
+    * q51's hash-predicate idiom, but the keep-rates come from a (tiny)
+    * weights relation instead of literals baked into the plan — the
+    * production shape, where the mix config ships as a table and
+    * changes without redeploying the job. The weights frame is
+    * BROADCAST onto the corpus scan (no shuffle), then the same
+    * deterministic per-mille hash predicate gates each row; strata
+    * absent from the config keep the default rate via the outer join's
+    * coalesce.
+    *
+    * Scale posture: one corpus scan, zero shuffles before the
+    * presentation sort; the predicate is reproducible across engines
+    * and runs (no RNG state), so the mix is auditable row-by-row.
+    */
+  def weightedMix(s: SparkSession, dir: String,
+      rates: Seq[(String, Long)] = Seq("en" -> 150L, "de" -> 800L, "zh" -> 400L),
+      defaultPerMille: Long = 600L): DataFrame = {
+    import s.implicits._
+    val w = rates.toDF("lang", "keep_permille")
+    Tables.documents(s, dir)
+      .join(broadcast(w), Seq("lang"), "left")
+      .filter(
+        pmod(hash64(concat(lit("mix_"), col("doc_id").cast("string"))),
+          lit(1000L)) <
+          coalesce(col("keep_permille"), lit(defaultPerMille)))
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("keep_permille"), lit(defaultPerMille)).as("keep_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q51 — stratified (per-language) deterministic downsampling: the
     * rebalance step that keeps an over-represented stratum from
     * dominating the training mix. Sampling is a pure hash predicate on
