@@ -44,8 +44,9 @@ object CorpusOps {
     // on the un-spread scan — measured 22-28s at sf0.1. The
     // InMemoryRelation truncates that lineage: the inferred filter
     // stays a cheap size() probe on the materialized column, and the
-    // shingle table is computed once for both consumers (1.0s at sf0.1
-    // for the whole operator, BENCH_r05). Lifecycle ends with the query
+    // shingle table is computed once for both consumers (~1.1s at sf0.1
+    // for the whole operator — bench_out.json, reproducible via
+    // `runMain graft.Bench`). Lifecycle ends with the query
     // — Bench/Verify clearCache between queries. At cluster scale this
     // is a persist of the shingle table both branches read; swap in
     // MEMORY_AND_DISK_SER or a checkpoint if executors are
