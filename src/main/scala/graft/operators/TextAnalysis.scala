@@ -128,14 +128,22 @@ object TextAnalysis {
     *
     * Output: (doc_id, lang, quality_score, lang_median).
     */
-  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(s: SparkSession, dir: String,
+      approx: Boolean = false, approxAccuracy: Int = 10000): DataFrame = {
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
         qualityExpr(col("text"), col("toks")).as("quality_score"))
-    val med = scored.groupBy(col("lang"))
-      .agg(percentile(col("quality_score"), lit(0.5)).as("lang_median"))
+    // approx=true is the 100 TB path: approx_percentile's KLL-style
+    // sketch is map-side combinable, so the per-lang shuffle moves
+    // fixed-size sketches instead of every (lang, score) pair. The gate
+    // below is identical either way; TextAnalysisSpec pins the approx
+    // path's agreement with the exact one.
+    val medExpr = if (approx)
+      approx_percentile(col("quality_score"), lit(0.5), lit(approxAccuracy))
+    else percentile(col("quality_score"), lit(0.5))
+    val med = scored.groupBy(col("lang")).agg(medExpr.as("lang_median"))
     scored.join(broadcast(med), "lang")
       .filter(col("quality_score") > col("lang_median"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
