@@ -41,6 +41,28 @@ class DirtyCorpusSpec extends AnyFunSuite {
     vecs.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite")
       .parquet(d + "/embeddings.parquet")
+    // hostile events: nulls in every column something groups, windows,
+    // joins, or aggregates on
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val eventsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val eventRows = Seq(
+      Row(0L, ts(0), 1L, "click", 1.0, """{"k": 1}"""),
+      Row(1L, ts(5), 1L, "purchase", 2.0, """{"k": 2}"""),
+      Row(2L, null, 1L, "click", 3.0, "{}"),      // null ts
+      Row(3L, ts(10), null, "click", 4.0, "{}"),  // null user
+      Row(4L, ts(15), 2L, null, 5.0, "{}"),       // null type
+      Row(5L, ts(20), 2L, "click", null, null),   // null value/props
+      Row(6L, ts(25), 2L, "purchase", 6.0, "not json"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(eventRows, 1), eventsSchema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(d + "/events.parquet")
     d
   }
 
@@ -76,6 +98,20 @@ class DirtyCorpusSpec extends AnyFunSuite {
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
           catch { case e: Throwable =>
             fail(s"query $name threw on the dirty embeddings: ${e.getMessage}")
+          }
+        assert(rows != null)
+        spark.catalog.clearCache()
+      }
+  }
+
+  test("event-family queries survive null ts/user/type/value rows") {
+    Seq("w1_tumbling_window", "w2_sliding_window", "w3_session_window",
+        "w4_first_event", "w5_funnel_join",
+        "events_speed_faithful", "events_speed_weighted")
+      .foreach { name =>
+        val rows = try SparkEntry.queries(name)(spark, dir).collect()
+          catch { case e: Throwable =>
+            fail(s"query $name threw on the dirty events: ${e.getMessage}")
           }
         assert(rows != null)
         spark.catalog.clearCache()
