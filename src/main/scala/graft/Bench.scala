@@ -78,8 +78,13 @@ object Bench {
     // past runs — persist the identical line to a file so the artifact
     // is always parseable.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      // best-effort artifact: the result line already went to stdout,
+      // an unwritable path must not fail the (successful) bench run
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

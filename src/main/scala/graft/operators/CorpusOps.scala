@@ -14,6 +14,35 @@ import graft.functions.TextFunctions._
   */
 object CorpusOps {
 
+  /** One benchmark-slice definition for BOTH decontamination sides: the
+    * bench-shingle builder and the corpus-exclusion filter must agree
+    * on it or corpus docs report self-contamination. Callers overriding
+    * benchMod must pass the same value to both.
+    */
+  val DefaultBenchMod: Int = 20
+
+  /** The deterministic per-mille sampling predicate every sampler here
+    * shares: hash64 of a salted doc key compared against a rate. Each
+    * use is paired bit-for-bit with a DuckDB md5 oracle — keep the key
+    * construction in this ONE place.
+    */
+  private def hashPermille(prefix: String): Column =
+    pmod(hash64(concat(lit(prefix), col("doc_id").cast("string"))), lit(1000L))
+
+  /** The shared decontamination tail: per-doc distinct-shingle counts
+    * against the broadcast bench set. Used verbatim by batch d11 and
+    * its streaming form so the two can never diverge.
+    */
+  private def contamination(shingledDocs: DataFrame, bench: DataFrame): DataFrame =
+    shingledDocs
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+
   /** d11 — benchmark decontamination: flag every corpus document that
     * shares at least one word-3-gram shingle with the held-out
     * "benchmark" slice (here derived as doc_id % benchMod == 0; in
@@ -33,7 +62,7 @@ object CorpusOps {
     * n_shared counts distinct shared shingles.
     */
   def decontaminate(s: SparkSession, dir: String,
-      benchMod: Int = 20): DataFrame = {
+      benchMod: Int = DefaultBenchMod): DataFrame = {
     // cache is load-bearing (the Dedup.prefixFilteredPairs pattern, for
     // a different reason): InferFiltersFromGenerate puts a
     // `size(sh) > 0` filter back under each explode EVEN WITH no
@@ -61,14 +90,7 @@ object CorpusOps {
     val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("g"))
-    corpus.join(broadcast(bench), Seq("g"))
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
-      .orderBy(col("doc_id"))
+    contamination(corpus, bench).orderBy(col("doc_id"))
   }
 
   /** Word-3-gram shingle projection shared by the streaming
@@ -86,7 +108,7 @@ object CorpusOps {
     * stream side joins it via broadcast.
     */
   def benchShingles(s: SparkSession, dir: String,
-      benchMod: Int = 20): DataFrame =
+      benchMod: Int = DefaultBenchMod): DataFrame =
     shingled(Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
         .select(col("doc_id"), col("text")))
@@ -108,18 +130,12 @@ object CorpusOps {
     * the result equals batch d11 row-for-row.
     */
   def decontaminateStream(streamDocs: DataFrame, bench: DataFrame,
-      benchMod: Int = 20): DataFrame = {
-    val corpus = shingled(streamDocs
+      benchMod: Int = DefaultBenchMod): DataFrame =
+    contamination(
+      shingled(streamDocs
         .filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("g"))
-    corpus.join(broadcast(bench), Seq("g"))
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
-  }
+        .select(col("doc_id"), col("text"))),
+      bench)
 
   /** d12 — end-to-end corpus curation, the whole pre-training data prep
     * as ONE declarative plan: exact dedup (keep the lowest doc_id per
@@ -161,10 +177,8 @@ object CorpusOps {
       .agg(percentile(col("quality_score"), lit(0.5)).as("lang_median"))
     deduped.join(broadcast(med), "lang")
       .filter(col("quality_score") > col("lang_median"))
-      .filter(
-        pmod(hash64(concat(lit("curate_"), col("doc_id").cast("string"))),
-          lit(1000L)) <
-          when(col("lang") === "en", lit(500L)).otherwise(lit(900L)))
+      .filter(hashPermille("curate_") <
+        when(col("lang") === "en", lit(500L)).otherwise(lit(900L)))
       .select(col("doc_id"), col("lang"), col("source"),
         col("quality_score"), col("lang_median"))
       .orderBy(col("doc_id"))
@@ -191,10 +205,8 @@ object CorpusOps {
     val w = rates.toDF("lang", "keep_permille")
     Tables.documents(s, dir)
       .join(broadcast(w), Seq("lang"), "left")
-      .filter(
-        pmod(hash64(concat(lit("mix_"), col("doc_id").cast("string"))),
-          lit(1000L)) <
-          coalesce(col("keep_permille"), lit(defaultPerMille)))
+      .filter(hashPermille("mix_") <
+        coalesce(col("keep_permille"), lit(defaultPerMille)))
       .select(col("doc_id"), col("lang"), col("source"),
         coalesce(col("keep_permille"), lit(defaultPerMille)).as("keep_permille"))
       .orderBy(col("doc_id"))
@@ -210,10 +222,8 @@ object CorpusOps {
     */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .filter(
-        pmod(hash64(concat(lit("strat_"), col("doc_id").cast("string"))),
-          lit(1000L)) <
-          when(col("lang") === "en", lit(200L)).otherwise(lit(600L)))
+      .filter(hashPermille("strat_") <
+        when(col("lang") === "en", lit(200L)).otherwise(lit(600L)))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 }

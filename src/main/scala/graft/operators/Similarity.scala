@@ -42,6 +42,10 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      // null cos = undefined similarity (zero/null vector) — a rank
+      // consumer must EXCLUDE it, or it fills top-k slots when fewer
+      // than k valid neighbors exist
+      .filter(col("cos").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -92,6 +96,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     directed
+      .filter(col("cos").isNotNull) // zero/null vectors rank nowhere
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -226,6 +231,7 @@ object Similarity {
     corpus.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .filter(col("cos").isNotNull) // zero/null vectors rank nowhere
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -286,6 +292,7 @@ object Similarity {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("q_emb")).as("q_emb"), first(col("n_emb")).as("n_emb"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .filter(col("cos").isNotNull) // zero/null vectors rank nowhere
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

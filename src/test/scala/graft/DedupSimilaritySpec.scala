@@ -33,7 +33,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       // gate + sample really reduce: strictly fewer rows than the
       // deduped population (the median gate alone halves each stratum)
       assert(n < keepers.count())
-    } finally cur.unpersist()
+    } finally {
+      cur.unpersist()
+      // curate's internal deduped cache() too — its lifecycle contract
+      // is clearCache per query (shared session across suites)
+      spark.catalog.clearCache()
+    }
   }
 
   test("prefix-filter jaccard equals naive all-pairs jaccard") {

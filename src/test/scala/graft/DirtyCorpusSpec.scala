@@ -132,5 +132,6 @@ class DirtyCorpusSpec extends AnyFunSuite {
     assert(m.count() > 0)
     val s = m.agg(sum("token_share")).head().getDouble(0)
     assert(math.abs(s - 1.0) < 1e-9)
+    spark.catalog.clearCache() // mixStats caches its stratum aggregate
   }
 }

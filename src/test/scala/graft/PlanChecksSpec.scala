@@ -78,13 +78,17 @@ class PlanChecksSpec extends AnyFunSuite {
       assert(listener.snapshot.isEmpty,
         "constructing q28 must not execute any Dataset action")
       // The detected-hot-key set is tiny by construction → it must be
-      // BROADCAST onto both sides, never shuffled.
-      val plan = PlanChecks.executedPlan(q28)
-      assert(plan.contains("BroadcastHashJoin") && plan.contains("_hk"),
-        "hot-key set must join via BroadcastHashJoin")
-      // Salt columns are shuffle-layout plumbing only — they must be
-      // pruned from the query's output schema.
-      assert(!q28.schema.fieldNames.exists(_.contains("_salt")))
+      // BROADCAST onto BOTH the fact and the dim side, never shuffled.
+      // Check the join NODES' keys, not plan-string substrings — two
+      // independent contains() would pass even if the _hk joins
+      // shuffled while some unrelated join broadcast.
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val hkBroadcasts = PlanChecks.allNodes(q28.queryExecution.executedPlan)
+        .collect { case b: BroadcastHashJoinExec
+          if (b.leftKeys ++ b.rightKeys)
+            .exists(_.references.exists(_.name == "_hk")) => b }
+      assert(hkBroadcasts.size === 2,
+        "hot set must broadcast onto both the fact and the dim side")
     } finally spark.listenerManager.unregister(listener)
   }
 }
