@@ -213,6 +213,8 @@ object SparkEntry {
     // End-to-end curation: dedup → quality gate → stratified sample,
     // one declarative plan (single scan, two data shuffles)
     "d12_curate"           -> (CorpusOps.curate(_, _)),
+    // d9's CC fixpoint over the d6 embedding pair graph (semantic dups)
+    "d13_embedding_clusters" -> (Dedup.embeddingClusters(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1147,11 +1149,25 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d6_embedding_dedup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      s"""$embPairsOracle
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // d9's recursive-CTE closure over the d6 pair graph instead of the
+    // jaccard one — the Spark side shares one CC fixpoint the same way.
+    "d13_embedding_clusters" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT vec_a, vec_b FROM ($embPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT vec_a, vec_b FROM p UNION SELECT vec_b, vec_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS vid, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT v.vec_id,
+        |  CAST(coalesce(least(c.vid, c.mn), v.vec_id) AS BIGINT) AS component
+        |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vid
+        |ORDER BY v.vec_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -1316,6 +1332,13 @@ object SparkEntry {
       |FROM sz a JOIN sz b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.t, b.t)) * 1.0 / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cosine-threshold embedding pairs (shared by d6 and d13 oracles). */
+  private val embPairsOracle: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
 
   /** Distinct-token md5-derived 60-bit hashes (shared by d4/d5 oracles). */
   private val simhashTokenHashes: String =

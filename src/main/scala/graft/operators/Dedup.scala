@@ -355,8 +355,37 @@ object Dedup {
     * so the whole chain (candidates → verify → clusters) is
     * sub-quadratic.
     */
-  def dedupClusters(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairs(s, dir, t).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(s: SparkSession, dir: String, t: Double = 0.5): DataFrame =
+    minLabelComponents(
+      minhashLshPairs(s, dir, t).select(col("doc_a"), col("doc_b")),
+      Tables.documents(s, dir).select(col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** d13 — near-dup clusters in EMBEDDING space: the same min-label CC
+    * fixpoint as d9, but over the cosine-threshold pair graph (d6)
+    * instead of the MinHash shingle graph — semantic near-dups
+    * (paraphrases) that share no shingles still collapse. One shared
+    * fixpoint implementation serves both: clustering is pair-source-
+    * agnostic by construction.
+    * Output: (vec_id, component = min vec_id of its component).
+    */
+  def embeddingClusters(s: SparkSession, dir: String, t: Double = 0.4): DataFrame =
+    minLabelComponents(
+      embeddingNearDupPairs(s, dir, t)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("component"))
+      .orderBy(col("vec_id"))
+
+  /** The Pregel-style min-label connected-components fixpoint shared by
+    * d9 (shingle pairs) and d13 (embedding pairs): `pairs` is any
+    * (doc_a, doc_b) edge relation, `vertices` the (doc_id) universe;
+    * returns every vertex with the minimum id of its component (itself
+    * when untouched by any pair).
+    */
+  private def minLabelComponents(pairs: DataFrame,
+      vertices: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     // Materialize the edge cache BEFORE the loop: the first round's job
     // references `edges` through several subtrees (labels lineage +
     // neighbor join), and a cold cache would recompute the whole pair
@@ -403,10 +432,9 @@ object Dedup {
       cached = next
       labels = next.select(col("doc_id"), col("component"))
     }
-    Tables.documents(s, dir).select(col("doc_id"))
+    vertices
       .join(labels.withColumnRenamed("component", "_c"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("_c"), col("doc_id")).as("component"))
-      .orderBy(col("doc_id"))
   }
 
   /** d10 — the deduplicated corpus itself: one representative (the

@@ -93,7 +93,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
 
   test("embedding-family queries survive zero and null vectors") {
     Seq("s1_cosine_topk", "s2_ann_topk", "s3_ivf_topk", "s4_knn_join",
-        "s5_centroids", "s6_kmeans_assign", "d6_embedding_dedup")
+        "s5_centroids", "s6_kmeans_assign", "d6_embedding_dedup",
+        "d13_embedding_clusters")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
           catch { case e: Throwable =>
