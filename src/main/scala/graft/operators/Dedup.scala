@@ -413,9 +413,22 @@ object Dedup {
     // vertices also yields each vertex's direct-neighbor minimum, so
     // round 1 already sees 1-hop labels — one fewer fixpoint round
     // (each round is ~fixed scheduling latency on a sparse graph).
+    // localCheckpoint (eager), NOT cache(): caching truncates
+    // EXECUTION but not the LOGICAL plan — `labels` appears twice per
+    // round (neighbor join + carry join), so an uncheckpointed plan
+    // tree DOUBLES every round and the driver's per-action plan
+    // instrumentation (operator-ID numbering for the SQL-execution
+    // event, built even with the UI off) turns exponential. Observed:
+    // d13's ~deeper-chain graph pinned the driver for minutes inside
+    // ExplainUtils before any task ran; d9's 2-3 rounds merely hid the
+    // same growth. localCheckpoint persists the round's blocks and
+    // replaces the plan with a leaf; superseded rounds are freed by the
+    // ContextCleaner once unreferenced. On a cluster where executor
+    // loss mid-fixpoint must be recoverable, swap in reliable
+    // checkpoint() to a checkpoint dir (lineage is gone by design).
     var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(least(min(col("dst")), col("src")).as("component")).cache()
-    var cached = labels
+      .agg(least(min(col("dst")), col("src")).as("component"))
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -426,10 +439,8 @@ object Dedup {
         .select(col("doc_id"), col("component").as("_old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("component") =!= col("_old")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select(col("doc_id"), col("component"))
     }
     vertices
