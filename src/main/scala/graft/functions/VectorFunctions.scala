@@ -34,14 +34,24 @@ object VectorFunctions {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. try_divide, not `/`: a zero vector has zero
-    * norm and ANSI mode makes the division THROW; null similarity means
-    * "undefined against this vector" and ranking/threshold consumers
-    * drop it (DuckDB's list_cosine_similarity on clean data is
-    * value-identical since the divisor is nonzero there).
+  /** Cosine similarity with a null-on-zero-denominator contract: a zero
+    * vector has zero norm, ANSI mode makes the division THROW, and null
+    * similarity means "undefined against this vector" — ranking and
+    * threshold consumers drop it (DuckDB's list_cosine_similarity on
+    * clean data is value-identical since the divisor is nonzero there).
+    *
+    * Guard shape: `dot / nullif(denom, 0)` — a plain generated branch,
+    * no TryEval try/catch. NOTE (r8 bisect): ANY per-row guard costs
+    * ~1.4x on an O(n²) pair join (4.6s unguarded vs 6.2-6.5s with
+    * either try_divide or nullif on s4 at sf0.1) — so the quadratic
+    * paths (Similarity.knnJoin, Dedup.embeddingNearDupPairs) do NOT
+    * call this: they pre-filter zero-norm vectors once per row and
+    * divide unguarded. This guarded form is for the broadcast top-k
+    * paths (s1/s2/s3), where the query side is tiny and the null
+    * contract is the cheapest way to keep zero vectors inert.
     */
   def cosine(a: Column, b: Column): Column =
-    try_divide(dot(a, b), l2norm(a) * l2norm(b))
+    dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
 
   /** Squared L2 distance (sequential order). */
   def l2sq(a: Column, b: Column): Column =

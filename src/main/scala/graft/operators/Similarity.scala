@@ -72,9 +72,21 @@ object Similarity {
     */
   def knnJoin(s: SparkSession, dir: String,
       k: Int = 3, nTiles: Int = 8): DataFrame = {
+    // Zero-norm and null vectors are excluded BEFORE the tile join (one
+    // predicate over n rows), so the O(n²) inner loop runs a plain IEEE
+    // divide with a provably nonzero divisor. Guarding the divide
+    // itself (try_divide in r7, or dot/nullif(denom,0)) costs ~1.4x on
+    // this hot path — measured 4.6s plain vs 6.2-6.5s guarded at sf0.1
+    // (the r8 bisect of the r7 s-family regression; the guard inhibits
+    // codegen/JIT around the 64-iteration dot loop). Result is
+    // identical: a zero/null vector produced only null cosines, which
+    // ranked nowhere. Two nonzero float norms cannot underflow to a
+    // zero double product (float min ~1e-45, product >= ~1e-90), so
+    // ANSI divide-by-zero is unreachable.
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
       .withColumn("tile", pmod(col("vec_id"), lit(nTiles)).cast("int"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
         col("nrm").as("nrm_a"), col("tile").as("ta"),
@@ -84,9 +96,9 @@ object Similarity {
         explode(sequence(lit(0), col("tile"))).as("ta"))
     val pairs = a.join(b, Seq("ta", "tb"))
       .filter(col("ta") =!= col("tb") || col("vec_a") < col("vec_b"))
-      .withColumn("cos", try_divide(
-        graft.functions.VectorFunctions.dot(col("emb_a"), col("emb_b")),
-        col("nrm_a") * col("nrm_b")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")))
       .select(col("vec_a"), col("vec_b"), col("cos"))
     // each unordered pair feeds BOTH directions of the k-NN relation
     val directed = pairs.select(col("vec_a").as("query_id"),
@@ -95,8 +107,8 @@ object Similarity {
         col("vec_a").as("neighbor_id"), col("cos")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // no null-cos filter needed: zero/null vectors never entered the join
     directed
-      .filter(col("cos").isNotNull) // zero/null vectors rank nowhere
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))

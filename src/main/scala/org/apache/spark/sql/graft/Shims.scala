@@ -28,4 +28,40 @@ object Shims {
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Eager localCheckpoint with PINNED statistics on the resulting leaf.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but copies the source
+    * plan's *estimated* Statistics onto the new LogicalRDD (so the
+    * optimizer keeps its knowledge). Inside an iterative fixpoint that
+    * is exactly wrong: a round plan referencing the previous round's
+    * leaf k times multiplies size estimates (a join's sizeInBytes
+    * estimate is the product of its children's), so the inherited
+    * estimate exponentiates by ~k PER ROUND. The numbers stay "just
+    * estimates" but become million-bit BigIntegers within a few rounds,
+    * and the driver hangs inside SizeInBytesOnlyStatsPlanVisitor's
+    * `.product` doing Toom-Cook multiplications — observed as a
+    * several-minute planning stall on d13's CC fixpoint at sf0.1.
+    *
+    * Pinning a small true size per round resets the compounding AND
+    * keeps every fixpoint join broadcastable. `sizeInBytes` should be
+    * an honest upper bound for the checkpointed data (rows × width).
+    */
+  def localCheckpointWithStats(df: org.apache.spark.sql.DataFrame,
+      sizeInBytes: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cp = df.localCheckpoint(true)
+    cp.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val spark = cp.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val pinned = new LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(spark,
+          Some(Statistics(sizeInBytes = BigInt(math.max(1L, sizeInBytes)))),
+          None)
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, pinned)
+      case _ => cp
+    }
+  }
 }
