@@ -1,16 +1,26 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall times at the
-  * target scale factor.
+/** Benchmark main. Prints ONE COMPACT JSON line (total + errors only —
+  * long per-query lines have been truncated by stdout capture, turning
+  * the whole artifact unparseable) and writes the FULL per-query JSON,
+  * including both per-pass raw times for every query, to
+  * `bench_out.json` (path override: SPARK_GRAFT_BENCH_OUT).
   *
-  * Each query is first run once at sf0.001 — that compiles and caches
-  * the same Janino-generated classes the timed run uses, so the timings
-  * measure steady-state engine throughput instead of attributing
-  * one-time codegen/JIT warmup to whichever query happens to run first
-  * (observed: 15.9s cold vs 0.6s warm for the 60-aggregate simhash
-  * plan).
+  * Timing methodology:
+  *  - Each pass starts with a SACRIFICIAL run of one query (untimed):
+  *    JVM classloading, Janino codegen, and C2 compilation otherwise
+  *    land on whichever query sorts first — r7's artifact reported
+  *    d10 at 32s where its true warm cost was ~2.9s, purely because
+  *    d10 sorts first and absorbed both passes' warmup.
+  *  - Two full passes at the target SF; the reported per-query number
+  *    is the per-query MINIMUM, which measures steady-state throughput
+  *    and shields single queries from the host's noisy-neighbor load
+  *    waves. Both raw passes are in the artifact, so any attribution
+  *    question is answerable from the file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,24 +45,30 @@ object Bench {
     // serve it from cache — each query's time must include ALL of its
     // own work, nothing of its neighbors'. This also bounds storage
     // memory across the multi-query run.
-    def timeOnce(dir: String): Map[String, Double] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, dir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
+    def timeOnce(dir: String): Map[String, Double] = {
+      // sacrificial warmup action: run the first query once, untimed,
+      // so per-pass JVM/codegen/C2 warmup is not attributed to it
+      try queries.head._2(spark, dir).count()
+      catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
-    }.toMap
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> (if (ok) dt else -1.0)
+      }.toMap
+    }
     // Both passes are complete runs at the target SF; reporting the
     // per-query minimum measures steady-state throughput and shields
-    // single queries from transient host contention (this VM shows
-    // noisy-neighbor load waves that can inflate one query 10x).
-    // Failures are tracked PER PASS: a warm-pass-only blip never
-    // discards a valid timed measurement — a query is reported failed
-    // only if every pass that feeds its reported number failed.
+    // single queries from transient host contention. Failures are
+    // tracked PER PASS: a warm-pass-only blip never discards a valid
+    // timed measurement — a query is reported failed only if every pass
+    // that feeds its reported number failed.
     val warm = timeOnce(warmDir)
     val timed = timeOnce(sfDir)
     val results = queries.map { case (name, _) =>
@@ -70,19 +86,21 @@ object Bench {
     val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passes = results.map { case (k, _) =>
+      "\"" + k + "\":[" + warm(k) + "," + timed(k) + "]"
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // Stdout capture has truncated the (long) per-query JSON line in
-    // past runs — persist the identical line to a file so the artifact
-    // is always parseable.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"bench_out.json"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+    println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      // best-effort artifact: the result line already went to stdout,
-      // an unwritable path must not fail the (successful) bench run
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case NonFatal(e) =>
+      // best-effort artifact: the compact line already went to stdout,
+      // a bad path (unwritable OR malformed — hence NonFatal, not just
+      // IOException) must not fail the (successful) bench run
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()

@@ -16,8 +16,9 @@ object CorpusOps {
 
   /** One benchmark-slice definition for BOTH decontamination sides: the
     * bench-shingle builder and the corpus-exclusion filter must agree
-    * on it or corpus docs report self-contamination. Callers overriding
-    * benchMod must pass the same value to both.
+    * on it or corpus docs report self-contamination. The streaming path
+    * enforces the agreement structurally — [[BenchSet]] carries the
+    * modulus it was built from.
     */
   val DefaultBenchMod: Int = 20
 
@@ -102,17 +103,28 @@ object CorpusOps {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
 
+  /** The static side of streaming decontamination, BUNDLED with the
+    * benchMod it was built from: the bench-shingle set and the corpus
+    * exclusion filter must agree on the slice definition, and carrying
+    * the modulus inside the value makes it impossible for a caller to
+    * override one side and not the other (a silent self-contamination
+    * report otherwise).
+    */
+  final case class BenchSet(shingles: DataFrame, benchMod: Int)
+
   /** The static side of streaming decontamination: the benchmark
     * slice's distinct shingle set, computed once from the (batch)
     * documents table. Tiny by construction (eval sets are MBs), so the
     * stream side joins it via broadcast.
     */
   def benchShingles(s: SparkSession, dir: String,
-      benchMod: Int = DefaultBenchMod): DataFrame =
-    shingled(Tables.documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
-        .select(col("doc_id"), col("text")))
-      .select(explode(col("sh")).as("g")).distinct()
+      benchMod: Int = DefaultBenchMod): BenchSet =
+    BenchSet(
+      shingled(Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+          .select(col("doc_id"), col("text")))
+        .select(explode(col("sh")).as("g")).distinct(),
+      benchMod)
 
   /** d11's streaming form: decontaminate a LIVE corpus feed against a
     * static benchmark shingle set — the shape of continuous ingest,
@@ -120,7 +132,8 @@ object CorpusOps {
     * as they arrive rather than in a nightly batch pass.
     *
     * `streamDocs` is a `readStream` relation with (doc_id, text);
-    * `bench` is the static [[benchShingles]] output. The join is
+    * `bench` is the static [[benchShingles]] output, which carries its
+    * own slice modulus so the two sides cannot diverge. The join is
     * stream-static with the static side BROADCAST — identical 100 TB
     * posture to batch d11 (the MB-scale benchmark moves, the corpus
     * streams past it), and stream-static joins are stateless: no
@@ -129,13 +142,12 @@ object CorpusOps {
     * (the per-doc counts are an aggregation); StreamingSpec asserts
     * the result equals batch d11 row-for-row.
     */
-  def decontaminateStream(streamDocs: DataFrame, bench: DataFrame,
-      benchMod: Int = DefaultBenchMod): DataFrame =
+  def decontaminateStream(streamDocs: DataFrame, bench: BenchSet): DataFrame =
     contamination(
       shingled(streamDocs
-        .filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+        .filter(pmod(col("doc_id"), lit(bench.benchMod)) =!= 0)
         .select(col("doc_id"), col("text"))),
-      bench)
+      bench.shingles)
 
   /** d12 — end-to-end corpus curation, the whole pre-training data prep
     * as ONE declarative plan: exact dedup (keep the lowest doc_id per

@@ -59,14 +59,29 @@ object Dedup {
     * Arrival-order semantics: the keeper is the first-SEEN doc, not
     * necessarily the min doc_id (batch d1's deterministic tie-break);
     * the kept fingerprint SET is identical, which is what
-    * StreamingSpec asserts against batch d1. In production add
-    * `withWatermark` + `dropDuplicatesWithinWatermark` so fingerprint
-    * state ages out instead of growing with corpus history.
+    * StreamingSpec asserts against batch d1.
+    *
+    * `watermark` bounds the state: pass the event-time column name and
+    * a delay (e.g. Some("ts" -> "1 hour")) and the operator switches to
+    * `dropDuplicatesWithinWatermark`, aging fingerprint state out after
+    * the delay instead of growing with corpus history. The unbounded
+    * default — exact global dedup — remains an explicit caller choice:
+    * whether a duplicate a week apart must still dedup is a semantic
+    * decision, not a tuning knob.
     */
-  def exactDedupStream(streamDocs: DataFrame): DataFrame =
-    streamDocs
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .dropDuplicates("fp")
+  def exactDedupStream(streamDocs: DataFrame,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val fps = streamDocs
+      .select(streamDocs.columns.map(col) :+ fingerprint(col("text")).as("fp"): _*)
+    watermark match {
+      case Some((tsCol, delay)) =>
+        fps.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("fp")
+          .select(col("doc_id"), col("fp"))
+      case None =>
+        fps.select(col("doc_id"), col("fp")).dropDuplicates("fp")
+    }
+  }
 
   // ── Shared shingle prep ───────────────────────────────────────────────
   /** (doc_id, sh: array<string> of distinct word-3-gram shingles, sz).
@@ -384,19 +399,19 @@ object Dedup {
     * vertex with the minimum id of its component (itself when untouched
     * by any pair).
     *
-    * Convergence is LOG-round, not diameter-round: each round fuses
-    *  (a) one-hop neighbor-min propagation over the edges with
-    *  (b) a pointer jump — component := label(component) — on the
-    * previous round's label table. The jump halves every vertex's
-    * label-pointer distance to its component minimum (the Shiloach-
-    * Vishkin / hash-to-min shortcutting idea), so a chain of diameter d
-    * converges in ~log2(d) rounds instead of d. On a 100 TB corpus the
-    * threshold graph's chain diameters GROW with corpus size, so round
-    * count — each round is a driver-scheduled job — is the quantity
-    * that must stay logarithmic. Labels only ever decrease, both moves
-    * propagate vertex ids from within the component, and at a fixpoint
-    * the label is constant per component, so the result is exactly the
-    * component min (same contract the one-hop form had).
+    * Convergence is LOG-round, not diameter-round: each round runs a
+    * Shiloach-Vishkin-style gather (one-hop neighbor min over edges),
+    * scatter (each vertex sends its gathered min UP to its current
+    * parent), and shortcut (pointer-jump self-compositions flattening
+    * the parent trees) — see the comment block inside the loop for why
+    * all three flows are needed. A chain of diameter d converges in
+    * O(log d) rounds instead of d. On a 100 TB corpus the threshold
+    * graph's chain diameters GROW with corpus size, so round count —
+    * each round is a driver-scheduled job — is the quantity that must
+    * stay logarithmic. Labels only ever decrease, every flow propagates
+    * vertex ids from within the component, and at a fixpoint the label
+    * is constant per component, so the result is exactly the component
+    * min (same contract the one-hop form had).
     */
   private def minLabelComponents(pairs: DataFrame,
       vertices: DataFrame): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,21 +115,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Per-label mean embedding as a 10×dim frame (label, cvec) — the
-    * M-step / class-prototype primitive under s5 and s6.
+  /** Mean embedding per group as a (c_label, cvec) frame — the M-step /
+    * class-prototype primitive under s5, s6, s7, and the IVF index.
     *
     * Shape matters at scale: dim independent `avg(emb[i])` aggregates,
     * NOT a posexplode — the explode form multiplies the corpus row
     * count by dim before the shuffle; this form partial-aggregates
-    * map-side and shuffles #labels × dim doubles total. Rows whose
+    * map-side and shuffles #groups × dim doubles total. Rows whose
     * vector length differs from `dim` are skipped (ANSI element_at
     * would throw on them).
     */
-  private def labelCentroids(e: DataFrame, dim: Int): DataFrame =
+  private def meanBy(e: DataFrame, grp: Column, dim: Int): DataFrame =
     e.filter(size(col("emb")) === dim)
-      .groupBy(col("label").as("c_label"))
+      .groupBy(grp.as("c_label"))
       .agg(array((0 until dim).map(i =>
         avg(element_at(col("emb"), i + 1))): _*).as("cvec"))
+
+  /** Per-label mean embedding (the s5/s6 prototype table). */
+  private def labelCentroids(e: DataFrame, dim: Int): DataFrame =
+    meanBy(e, col("label"), dim)
+
+  /** Squared-L2 distance to a broadcast `cvec`, as the sequential left
+    * fold both engines evaluate identically (see kmeansAssign).
+    */
+  private def l2sqToCentroid: Column = aggregate(
+    zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
+    lit(0.0), (a, v) => a + v)
+
+  /** One E-step: every vector joined to its argmin-distance centroid
+    * (ties to the smaller label). The centroid table is broadcast; the
+    * only shuffle is the rank-1 WindowGroupLimit keyed by vec_id.
+    */
+  private def assignStep(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("c_label"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", l2sqToCentroid)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
 
   /** s5 — per-label centroid, exploded to (label, dim, c) rows so the
     * result is flat-comparable. The explode happens AFTER aggregation —
@@ -162,15 +187,48 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
       .filter(size(col("emb")) === dim)
-    val dist = aggregate(
-      zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, v) => a + v)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("c_label"))
-    e.crossJoin(broadcast(labelCentroids(e, dim)))
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    assignStep(e, labelCentroids(e, dim))
+      .select(col("vec_id"), col("label"),
+        col("c_label").as("assigned_label"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s7 — full iterated Lloyd's k-means: initialize centroids as the
+    * per-label means (deterministic — fixed init + fixed iteration
+    * count is what makes this oracle-able in ANSI SQL, CTE-unrolled),
+    * run `iters` complete E+M rounds, and return the final E-step
+    * assignment.
+    *
+    * Scale posture per iteration: the corpus is scanned once from cache
+    * (persist at cluster scale); the E-step broadcasts the k×dim
+    * centroid table and shuffles only the rank-1 WindowGroupLimit; the
+    * M-step is dim independent map-side-combined averages shuffling
+    * k×dim doubles total. Iteration count is a FIXED parameter — an
+    * until-convergence driver loop is the d9 fixpoint pattern
+    * (checkpoint + convergence count) and deliberately not used here:
+    * training-data pipelines run k-means for a budgeted round count.
+    * The plan grows linearly with `iters` (each round appends one
+    * aggregate + one join), which stays trivially plannable for the
+    * single-digit budgets that matter; no checkpoint needed.
+    *
+    * Empty clusters (a centroid attracting no vectors) simply drop out
+    * of the next round's M-step aggregate on both engines, so the
+    * oracle and the plan agree without special-casing.
+    */
+  def kmeansIterate(s: SparkSession, dir: String, dim: Int = 64,
+      iters: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(size(col("emb")) === dim)
+      .cache() // one scan per iteration; Bench/Verify clearCache per query
+    var cent = labelCentroids(e, dim)
+    for (_ <- 1 to iters) {
+      val assigned = assignStep(e, cent)
+        .select(col("vec_id"), col("emb"), col("c_label"))
+      cent = meanBy(assigned, col("c_label"), dim)
+    }
+    assignStep(e, cent)
       .select(col("vec_id"), col("label"),
         col("c_label").as("assigned_label"), col("dist"))
       .orderBy(col("vec_id"))
@@ -201,22 +259,38 @@ object Similarity {
     }.reduce(_ + _)
 
   // ── IVF (inverted-file) ANN ──────────────────────────────────────────
-  /** IVF-flat: partition the corpus into K cells around fixed centroids
-    * (deterministic pick: the first K vectors — a production build would
-    * run k-means; the *index structure* is what matters here), then
-    * search only the `nprobe` cells nearest to each query, exact cosine
-    * re-rank inside them. Sub-quadratic: each query touches ~nprobe/K of
-    * the corpus; the corpus-side assignment is one scan.
+  /** IVF-flat: partition the corpus into K cells around k-means
+    * centroids (deterministic hash-partition init + `lloydIters` Lloyd
+    * rounds — real cluster centers, not arbitrary seed vectors, so cell
+    * populations are balanced and probes hit genuinely-near cells),
+    * then search only the `nprobe` cells nearest to each query, exact
+    * cosine re-rank inside them. Sub-quadratic: each query touches
+    * ~nprobe/K of the corpus; the corpus-side assignment is one scan.
+    * In production the index build (the Lloyd rounds + cell assignment)
+    * is amortized over many query batches — rebuilding per call, as the
+    * bench does, is the worst case and still beats the brute-force scan.
     */
   def ivfTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 6): DataFrame = {
+      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 6,
+      dim: Int = 64, lloydIters: Int = 2): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .transform(Tables.spread(_, col("vec_id")))
-    // centroids to the driver: K × dim doubles — tiny, one-time
-    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < nCells)
-      .orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // k-means centroids: hash-partition init, then Lloyd rounds (each
+    // one corpus scan from cache + a broadcast E-step); collected to
+    // the driver as K × dim doubles — tiny, one-time
+    val eD = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(size(col("emb")) === dim)
+      .cache()
+    var cent = meanBy(eD, pmod(col("vec_id"), lit(nCells)), dim)
+    for (_ <- 1 to lloydIters)
+      cent = meanBy(assignStep(eD, cent)
+        .select(col("vec_id"), col("emb"), col("c_label")), col("c_label"), dim)
+    val centroids: Array[Array[Double]] = cent
+      .orderBy(col("c_label"))
+      .select(col("cvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    eD.unpersist()
     // squared-L2 distance to each centroid, as literal-array dots
     def distArr(emb: org.apache.spark.sql.Column) = array(centroids.map { c =>
       val lits = typedLit(c.toSeq)

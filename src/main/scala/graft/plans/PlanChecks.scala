@@ -91,7 +91,9 @@ object PlanChecks {
   /** Every physical node reachable from `p`, descending through the AQE
     * wrappers that hide their subtree from a plain `collect`:
     * AdaptiveSparkPlanExec and the QueryStageExec leaves the FINAL
-    * adaptive plan is stitched from after execution. Cached
+    * adaptive plan is stitched from after execution. Both wrapper kinds
+    * are themselves included (symmetrically — a node-count assertion
+    * sees one node per wrapper plus its subtree). Cached
     * InMemoryRelations are deliberately NOT descended into — their plan
     * runs once at cache fill, not per consumer, so counting its nodes
     * per consuming branch would misstate the executed work. Use on
@@ -100,7 +102,7 @@ object PlanChecks {
     */
   def allNodes(p: SparkPlan): Seq[SparkPlan] =
     p.collect {
-      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ allNodes(a.executedPlan)
       case q: QueryStageExec => Seq(q) ++ allNodes(q.plan)
       case n => Seq(n)
     }.flatten

@@ -83,7 +83,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
       // unreferenced projections, hiding e.g. an ANSI divide-by-zero in
       // a metric column that only throws once every column materializes.
       val rows = try SparkEntry.queries(name)(spark, dir).collect()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           fail(s"query $name threw on the dirty corpus: ${e.getMessage}")
         }
       assert(rows != null)
@@ -93,11 +93,11 @@ class DirtyCorpusSpec extends AnyFunSuite {
 
   test("embedding-family queries survive zero and null vectors") {
     Seq("s1_cosine_topk", "s2_ann_topk", "s3_ivf_topk", "s4_knn_join",
-        "s5_centroids", "s6_kmeans_assign", "d6_embedding_dedup",
-        "d13_embedding_clusters")
+        "s5_centroids", "s6_kmeans_assign", "s7_kmeans_iter",
+        "d6_embedding_dedup", "d13_embedding_clusters")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             fail(s"query $name threw on the dirty embeddings: ${e.getMessage}")
           }
         assert(rows != null)
@@ -111,7 +111,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
         "events_speed_faithful", "events_speed_weighted")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             fail(s"query $name threw on the dirty events: ${e.getMessage}")
           }
         assert(rows != null)
