@@ -123,6 +123,16 @@ object Dedup {
       // table is one row group = one task; on a cluster this is the
       // same shuffle the explode/groupBy below needs anyway.
       .transform(Tables.spread(_, col("doc_id")))
+      .transform(shingleProject(_, prep, gram))
+
+  /** The (doc_id, text) → (doc_id, sh, sz) shingle projection shared by
+    * the batch tables and the streaming near-dup path (a readStream
+    * relation can't be spread()/cached, so the batch wrapper above owns
+    * those concerns).
+    */
+  private def shingleProject(docs: DataFrame,
+      prep: Column => Column, gram: Column => Column): DataFrame =
+    docs
       .select(col("doc_id"), prep(col("text")).as("base"))
       .select(col("doc_id"), gram(col("base")).as("shs"))
       // hash64(g) only touches the lambda variable, so this transform
@@ -338,22 +348,105 @@ object Dedup {
     * char-gram case on this corpus: background p99 = 0.26, true pairs
     * >= 0.93 -> miss probability ~ 2e-6, false-candidate rate ~ 1e-5).
     */
+  /** One band key per (band, row-slice of the signature) — shared by the
+    * batch self-join and the streaming stream-vs-static join so the two
+    * bucketings can never diverge.
+    */
+  private def bandKeyCols(sig: Column, bandRows: Int): Seq[Column] = {
+    val nBands = NumHashes / bandRows
+    (0 until nBands).map { j =>
+      concat_ws("_", lit(j) +: (0 until bandRows).map(r =>
+        element_at(sig, j * bandRows + r + 1)): _*)
+    }
+  }
+
   private def minhashBandedPairs(docsRaw: DataFrame, t: Double,
       bandRows: Int = BandRows): DataFrame = {
     val docs = docsRaw.cache()
     val sigs = minhashSignatures(docs)
-    val nBands = NumHashes / bandRows
-    val bandKeys = (0 until nBands).map { j =>
-      concat_ws("_", lit(j) +: (0 until bandRows).map(r =>
-        element_at(col("sig"), j * bandRows + r + 1)): _*)
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)))
+    val bands = sigs.select(col("doc_id"),
+        explode(array(bandKeyCols(col("sig"), bandRows): _*)))
       .select(col("doc_id"), col("col").as("band_key"))
     val candidates = bands.as("x").join(bands.as("y"), Seq("band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(candidates, docs, t)
+  }
+
+  // ── Streaming MinHash near-dup (live feed vs static corpus) ──────────
+  /** The static side of streaming near-dup detection, bundled so the
+    * band bucketing and the verify shingles always come from the same
+    * build: `bands` is (doc_id, band_key), `shingles` is
+    * (doc_id, sh, sz). At cluster scale both are materialized tables —
+    * bucketed by band_key / doc_id respectively — built once per corpus
+    * snapshot and queried by every micro-batch.
+    */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build the static MinHash index of the (batch) documents table. */
+  def minhashIndex(s: SparkSession, dir: String): MinhashIndex = {
+    val docs = docShingles(s, dir)
+    val sigs = minhashSignatures(docs)
+    MinhashIndex(
+      sigs.select(col("doc_id"),
+          explode(array(bandKeyCols(col("sig"), BandRows): _*)))
+        .select(col("doc_id"), col("col").as("band_key")),
+      docs)
+  }
+
+  /** d3's streaming form: near-dup detection of a LIVE document feed
+    * against a static corpus — the continuous-ingest shape, where each
+    * newly crawled doc is checked for near-duplicates before admission
+    * rather than by a nightly all-pairs batch.
+    *
+    * The stream side is fully STATELESS per row: the MinHash signature
+    * is computed with per-row array HOFs — arithmetically identical to
+    * the batch MinHashAgg (min over shingles of (a·(g mod p)+b) mod p),
+    * so stream and batch produce the same band keys and the candidate
+    * sets agree exactly (StreamingSpec asserts parity with batch d3).
+    * Candidates come from an equi-join of the stream's exploded band
+    * keys against the static index (stream-static joins are stateless);
+    * `dropDuplicates` collapses multi-band hits — the one stateful op,
+    * keyed by (stream doc, corpus doc), bounded the same way d1's
+    * streaming dedup is (add a watermark upstream for age-out).
+    * Verification joins the static shingle table and applies the EXACT
+    * Jaccard, so false candidates cost compute, never precision.
+    *
+    * Output: (doc_id — stream side, corpus_doc_id, jaccard) for every
+    * corpus doc within threshold `t` of an arriving doc.
+    */
+  def minhashCandidatesStream(streamDocs: DataFrame, index: MinhashIndex,
+      t: Double = 0.5): DataFrame = {
+    // materialize hv before the 128 per-permutation traversals: lambda
+    // bodies re-evaluate argument EXPRESSIONS per element (the
+    // shinglesFromTokens gotcha), so the mod-p reduction gets its own
+    // projection
+    val shingled = shingleProject(
+        streamDocs.select(col("doc_id"), col("text")),
+        tokens, w => shinglesFromTokens(w, 3))
+      .filter(col("sz") > 0) // array_min of an empty array is null
+      .withColumn("hv", transform(col("sh"), g => pmod(g, lit(MinhashP))))
+    val sig = array(hashParams.map { case (a, b) =>
+      array_min(transform(col("hv"), x => pmod(x * a + b, lit(MinhashP))))
+    }: _*)
+    val bands = shingled
+      .select(col("doc_id"), col("sh"), col("sz"), sig.as("sig"))
+      .select(col("doc_id"), col("sh"), col("sz"),
+        explode(array(bandKeyCols(col("sig"), BandRows): _*)).as("band_key"))
+    val corpus = index.bands.select(
+      col("doc_id").as("corpus_doc_id"), col("band_key"))
+    val verify = index.shingles.select(col("doc_id").as("corpus_doc_id"),
+      col("sh").as("c_sh"), col("sz").as("c_sz"))
+    bands.join(corpus, Seq("band_key"))
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id"), col("sh"), col("sz"), col("corpus_doc_id"))
+      .dropDuplicates("doc_id", "corpus_doc_id")
+      .join(verify, Seq("corpus_doc_id"))
+      .withColumn("jaccard",
+        jaccard(col("sh"), col("c_sh"), col("sz"), col("c_sz")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_id"), col("corpus_doc_id"), col("jaccard"))
   }
 
   // ── Dedup clusters (connected components) ─────────────────────────────

@@ -142,6 +142,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.join(members, Seq("doc_id", "fp")).count() === got.count())
   }
 
+  test("streaming minhash candidates equal batch d3 pairs") {
+    // A live doc feed banded per-row (stateless HOF signature) and
+    // joined against the static MinHash index must find exactly the
+    // pairs the batch band self-join finds: streaming the corpus
+    // against its own index yields each unordered batch pair in both
+    // directions, nothing more, with identical exact-Jaccard values.
+    val docs = Tables.documents(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "minhashstream").toString
+    docs.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+    val index = graft.operators.Dedup.minhashIndex(spark, sfDir)
+    val out = graft.operators.Dedup.minhashCandidatesStream(stream, index)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("minhash_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("minhash_out")
+      .select(least(col("doc_id"), col("corpus_doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("corpus_doc_id")).as("doc_b"),
+        col("jaccard"))
+      .distinct()
+    val want = graft.operators.Dedup.minhashLshPairs(spark, sfDir)
+    assert(want.count() > 0)
+    val joined = got.as("g").join(want.as("b"), Seq("doc_a", "doc_b"), "full_outer")
+    // same pair set, bit-identical jaccard (same arithmetic both sides)
+    assert(joined.filter(col("g.jaccard").isNull || col("b.jaccard").isNull ||
+      col("g.jaccard") =!= col("b.jaccard")).count() === 0)
+    spark.catalog.clearCache() // batch side caches its shingle table
+  }
+
   test("stateful mapGroupsWithState per-user counts match batch groupBy") {
     import spark.implicits._
     val schema = Tables.events(spark, sfDir).schema
