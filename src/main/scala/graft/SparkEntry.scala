@@ -192,6 +192,8 @@ object SparkEntry {
     "t8_quality_filter" -> (TextAnalysis.qualityFilter(_, _)),
     // Corpus mix table: per-(lang, source) doc/token/char mass + share
     "t9_mix_stats" -> (TextAnalysis.mixStats(_, _)),
+    // Unigram-LM quality proxy: mean -ln p(token), add-one smoothing
+    "t10_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -836,6 +838,19 @@ object SparkEntry {
         |  CAST(top_2gram_count AS DOUBLE) / nullif(n_2grams, 0) AS top_2gram_frac
         |FROM base b LEFT JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t10_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT count(*) AS n,
+        |    (SELECT count(*) FROM cnt) AS v FROM toks)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  avg(-ln((c + 1.0) / (n + v))) AS avg_neg_logprob
+        |FROM toks JOIN cnt USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

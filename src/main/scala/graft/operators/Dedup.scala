@@ -506,7 +506,7 @@ object Dedup {
     * is constant per component, so the result is exactly the component
     * min (same contract the one-hop form had).
     */
-  private def minLabelComponents(pairs: DataFrame,
+  private[graft] def minLabelComponents(pairs: DataFrame,
       vertices: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     // Materialize the edge cache BEFORE the loop: the first round's job

@@ -306,4 +306,40 @@ object TextAnalysis {
         hash64(normalized(col("text"))).as("fp_hash64"),
         rollingHash(col("toks")).as("fp_rolling"))
       .orderBy(col("doc_id"))
+
+  /** t10 — unigram language-model quality proxy: each document's mean
+    * negative log-probability of its tokens under the CORPUS unigram
+    * distribution with add-one smoothing, p(t) = (count(t)+1)/(N+V).
+    * Low values = stereotyped text (high-frequency tokens only), high
+    * values = rare-token soup — the cheap LM-perplexity stand-in
+    * training pipelines gate on between heuristic quality (t3) and a
+    * real model scorer.
+    *
+    * Scale posture: one tokenize pass feeds all three consumers (term
+    * counts, corpus totals, the per-token score join) via the cached
+    * token table — the d11 cache-lifecycle contract (Bench/Verify
+    * clearCache per query; persist/checkpoint at cluster scale). The
+    * term-count join shuffles by term with map-side-combined counts;
+    * the vocabulary is ≪ the corpus (Heaps' law), so at 100 TB the
+    * count table is broadcastable instead — same plan, one fewer
+    * shuffle. Totals are a 1-row broadcast. Docs with zero tokens have
+    * no probability mass and are absent, on both engines, by the inner
+    * join's construction.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .cache()
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"), count_distinct(col("t")).as("v"))
+    toks.join(cnt, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        avg(-log((col("c") + lit(1.0)) / (col("n") + col("v"))))
+          .as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
 }

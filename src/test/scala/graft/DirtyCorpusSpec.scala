@@ -70,7 +70,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "t1_token_stats", "t2_lang_id", "t3_quality", "t4_fingerprint",
     "t5_repetition", "t6_tfidf", "t7_bigram_topk", "t8_quality_filter",
-    "t9_mix_stats",
+    "t9_mix_stats", "t10_unigram_logprob",
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_pairs",
     "d4_simhash", "d5_simhash_pairs", "d7_chargram_pairs",
     "d8_containment_pairs", "d9_dedup_clusters", "d10_dedup_corpus",
