@@ -512,30 +512,26 @@ object Dedup {
     // Materialize the edge cache BEFORE the loop: the first round's job
     // references `edges` through several subtrees (labels lineage +
     // neighbor join), and a cold cache would recompute the whole pair
-    // pipeline once per subtree within that job. The count ALSO sizes
-    // the fixpoint's parallelism: near-dup graphs are a sliver of the
-    // corpus, and iterating a KB-sized frame through full-width shuffles
-    // is pure scheduling overhead — so partition the loop frames at
-    // ~100k edges/partition (floor 1, cap at the session default). A
-    // 100 TB corpus with billions of pairs gets full width; the common
-    // sparse case runs each round as a couple of single-task stages.
-    // Both edge directions come from ONE scan of the pair relation via
-    // explode — `pairs.select(a,b).union(pairs.select(b,a))` would
-    // execute the entire (expensive) pair-generation pipeline twice
-    // inside the cache-materialization job, since the cache sits above
-    // the union (measured: 5.3s -> 2.6s for d13's edge build at sf0.1).
-    val edges0 = pairs
+    // pipeline once per subtree within that job.
+    //  - Both edge directions come from ONE scan of the pair relation
+    //    via explode — `pairs.select(a,b).union(pairs.select(b,a))`
+    //    would execute the entire (expensive) pair-generation pipeline
+    //    twice inside the cache-materialization job, since the cache
+    //    sits above the union (measured: 5.3s -> 2.6s for d13's edge
+    //    build at sf0.1).
+    //  - repartition by dst WITHOUT a partition count: AQE coalesces
+    //    the exchange by bytes, so the KB-sized near-dup graphs of the
+    //    common case collapse to one task per round while a
+    //    billion-pair graph keeps full width — no second cache +
+    //    count round-trip to size it manually.
+    val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .cache()
-    val nEdges = edges0.count()
-    val defaultParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 100000L + 1)).toInt
-    val edges = edges0.repartition(parts, col("dst")).cache()
-    edges.count()
-    edges0.unpersist()
+    val nEdges = edges.count()
     // Iterate ONLY over vertices that appear in a pair — near-dup
     // graphs are sparse, so the fixpoint frames are a sliver of the
     // corpus and every round's joins stay broadcast-sized; the
