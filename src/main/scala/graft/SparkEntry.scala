@@ -174,6 +174,8 @@ object SparkEntry {
     "q48_histogram"        -> (RelationalQueries3.priceHistogram(_, _)),
     "q49_local_supplier"   -> (RelationalQueries3.localSupplierRevenue(_, _)),
     "q50_top_supplier"     -> (RelationalQueries3.topSupplier(_, _)),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact, same key
+    "q53_sole_late_supplier" -> (RelationalQueries3.soleLateSupplier(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -240,6 +242,8 @@ object SparkEntry {
     "m2_media_fingerprint" -> (Multimodal.mediaFingerprint(_, _)),
     "m3_frame_sample"      -> (Multimodal.frameSample(_, _)),
     "m4_resize"            -> (Multimodal.mediaResize(_, _)),
+    // Binary-content exact dedup — the pre-decode multimodal dedup pass
+    "m5_media_dedup"       -> (Multimodal.mediaDedup(_, _)),
 
     // ── Event-time windows (streaming-shaped; batch == readStream) ───────
     "w1_tumbling_window" -> (graft.streaming.EventsWindows.tumbling(_, _)),
@@ -784,6 +788,30 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q53_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey, o_orderstatus
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL '30 days')
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "m5_media_dedup" ->
+      """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_doc_id""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

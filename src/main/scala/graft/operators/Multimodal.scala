@@ -144,4 +144,22 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"),
         md5(col("payload")).as("payload_md5"))
       .orderBy(col("doc_id"))
+
+  /** m5 — binary-content exact dedup: duplicate groups by payload
+    * digest, the FIRST dedup pass any multimodal pipeline runs —
+    * byte-identical copies (mirrors, re-uploads, crawl duplicates) are
+    * collapsed before a single decode cycle is spent on them. d1's
+    * shape on the binary column: one shuffle on a 128-bit digest, per
+    * group the lowest doc_id survives. Null payloads form their own
+    * group (null digest) rather than disappearing — a pipeline must
+    * account for every input row.
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("payload_md5"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
 }

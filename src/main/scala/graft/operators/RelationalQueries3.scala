@@ -189,6 +189,47 @@ object RelationalQueries3 {
     * the max" filter is a window max over that aggregate — one pass, no
     * rescan of lineitem, no collect.
     */
+  /** q53 — TPC-H Q21 shape (suppliers who kept waiting): for finished
+    * orders, count per supplier the late line items where (a) another
+    * supplier participated in the same order and (b) NO other supplier
+    * in that order was also late — the sole bottleneck supplier. "Late"
+    * = shipped more than 30 days after the order date (this schema has
+    * no commit/receipt dates).
+    *
+    * The classic three-way correlated shape: one EXISTS and one NOT
+    * EXISTS against the same fact, both correlated on the order key
+    * with a supplier inequality. Spark-first: both decorrelate to
+    * left-semi / left-anti joins keyed on l_orderkey with the
+    * inequality as a residual condition — so all three legs (base,
+    * semi, anti) shuffle on the SAME key and co-partition; no per-row
+    * subquery, no rescan. The lateness predicate needs o_orderdate, so
+    * the anti leg reuses the already-joined late-items relation (same
+    * order key → same order row → same threshold on both engines).
+    */
+  def soleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val lateItems = l
+      .join(Tables.orders(s, dir), l("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"))
+    val others = l.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = lateItems.select(col("l_orderkey").as("o3_orderkey"),
+      col("l_suppkey").as("o3_suppkey"))
+    val base = lateItems.filter(col("o_orderstatus") === "F")
+      .join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+    base.join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   def topSupplier(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&

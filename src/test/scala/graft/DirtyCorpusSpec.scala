@@ -75,7 +75,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d4_simhash", "d5_simhash_pairs", "d7_chargram_pairs",
     "d8_containment_pairs", "d9_dedup_clusters", "d10_dedup_corpus",
     "d11_decontaminate", "d12_curate",
-    "q46_regex", "q51_stratified_sample", "q52_weighted_mix")
+    "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
+    "m5_media_dedup")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>
