@@ -600,11 +600,16 @@ object Dedup {
         .select(col("doc_id"), col("component").as("_old"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-      val gatherCp = Shims.localCheckpointWithStats(gather, labelBytes)
-      // scatter: parent _old receives the min gathered value of its members
-      val toParent = gatherCp.groupBy(col("_old").as("p_id"))
+      // scatter: parent _old receives the min gathered value of its
+      // members. `gather` is referenced twice (the groupBy and the
+      // join-back) WITHOUT an intermediate checkpoint: its whole plan
+      // is one join + one aggregate over the cached edges and the
+      // previous checkpoint leaf, so executing it twice inside this
+      // stage is cheaper than materializing a third checkpoint per
+      // round — round latency is driver-scheduled jobs, not data.
+      val toParent = gather.groupBy(col("_old").as("p_id"))
         .agg(min(col("component")).as("p_min"))
-      val hooked = gatherCp.join(toParent, gatherCp("doc_id") === col("p_id"), "left")
+      val hooked = gather.join(toParent, gather("doc_id") === col("p_id"), "left")
         .select(col("doc_id"), col("_old"),
           least(col("component"), coalesce(col("p_min"), col("component")))
             .as("component"))
