@@ -253,6 +253,8 @@ object SparkEntry {
     "w4_first_event"     -> (graft.streaming.EventsWindows.firstEvents(_, _)),
     // Batch mirror of the watermarked stream-stream interval join
     "w5_funnel_join"     -> (graft.streaming.EventsWindows.clickToPurchase(_, _)),
+    // Windowed top-k (trending): streaming agg + rank over closed windows
+    "w6_window_topk"     -> (graft.streaming.EventsWindows.windowTopK(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1283,6 +1285,17 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |  event_type, count(*) AS n, sum(value) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w6_window_topk" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY win_start ORDER BY n DESC, event_type) AS INT) AS rank
+        |  FROM c)
+        |SELECT win_start, rank, event_type, n FROM r
+        |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin,
 
     "w2_sliding_window" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

@@ -97,4 +97,30 @@ object EventsWindows {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** w6 — windowed top-k ("trending"): the k most frequent event types
+    * per tumbling hour. The streaming decomposition is the standard
+    * one — the windowed COUNT is the incremental (watermarked) part,
+    * the rank-k filter runs over the materialized window results as
+    * they close (ranking is not incrementally maintainable per se, and
+    * pretending otherwise just hides a complete-mode sink); the batch
+    * form here composes both halves, and StreamingSpec drives the
+    * streaming agg + post-rank and asserts equality. The rank-1..k
+    * filter plans as WindowGroupLimit over the per-window counts —
+    * #windows × #types rows, nothing corpus-sized.
+    * Output: (win_start, rank, event_type, n).
+    */
+  def windowTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("w.start").as("win_start"), col("rank").cast("int").as("rank"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("rank"))
+  }
 }

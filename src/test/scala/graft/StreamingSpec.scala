@@ -142,6 +142,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.join(members, Seq("doc_id", "fp")).count() === got.count())
   }
 
+  test("streaming windowed top-k equals batch w6") {
+    // The incremental half (watermarked windowed counts) runs as a
+    // genuine stream; the rank-k filter is applied over the closed
+    // windows in the sink — the standard streaming decomposition of a
+    // non-incremental ranking.
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val counts = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("wtopk_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("n").desc, col("event_type"))
+    val got = spark.table("wtopk_out")
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= 3)
+      .select(col("w.start").as("win_start"), col("rank").cast("int").as("rank"),
+        col("event_type"), col("n"))
+    val want = EventsWindows.windowTopK(spark, sfDir)
+    val joined = got.as("g").join(want.as("b"),
+      Seq("win_start", "rank"), "full_outer")
+    assert(want.count() > 0)
+    assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
+      col("g.n") =!= col("b.n") ||
+      col("g.event_type") =!= col("b.event_type")).count() === 0)
+  }
+
   test("streaming minhash candidates equal batch d3 pairs") {
     // A live doc feed banded per-row (stateless HOF signature) and
     // joined against the static MinHash index must find exactly the
