@@ -384,14 +384,23 @@ object Dedup {
     */
   final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
 
-  /** Build the static MinHash index of the (batch) documents table. */
+  /** Build the static MinHash index of the (batch) documents table.
+    * Both frames are cache()d: a stream-static join re-executes the
+    * static side's plan EVERY micro-batch, so an uncached index would
+    * re-shingle and re-sign the whole corpus per batch. The cache is
+    * the local stand-in for the materialized (bucketed) index tables a
+    * cluster deployment would build once per corpus snapshot;
+    * lifecycle belongs to the caller (unpersist when the index is
+    * superseded).
+    */
   def minhashIndex(s: SparkSession, dir: String): MinhashIndex = {
-    val docs = docShingles(s, dir)
+    val docs = docShingles(s, dir).cache()
     val sigs = minhashSignatures(docs)
     MinhashIndex(
       sigs.select(col("doc_id"),
           explode(array(bandKeyCols(col("sig"), BandRows): _*)))
-        .select(col("doc_id"), col("col").as("band_key")),
+        .select(col("doc_id"), col("col").as("band_key"))
+        .cache(),
       docs)
   }
 
