@@ -8,6 +8,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sfDir = "/root/testdata/sf0.001"
 
+  test("s7 k-means inertia is non-increasing over iterations") {
+    // Lloyd's invariant: each E+M round can only lower the total
+    // within-cluster squared distance, so the final-assignment inertia
+    // must be monotone in the iteration budget — a wrong E-step argmin
+    // or a wrong M-step mean breaks this long before it breaks a
+    // fixed-oracle compare.
+    import org.apache.spark.sql.functions.sum
+    val inertia = Seq(0, 1, 2).map { it =>
+      val v = Similarity.kmeansIterate(spark, sfDir, iters = it)
+        .agg(sum("dist")).head().getDouble(0)
+      spark.catalog.clearCache() // kmeansIterate caches its corpus
+      v
+    }
+    assert(inertia(1) <= inertia(0) + 1e-9,
+      s"iter1 ${inertia(1)} > iter0 ${inertia(0)}")
+    assert(inertia(2) <= inertia(1) + 1e-9,
+      s"iter2 ${inertia(2)} > iter1 ${inertia(1)}")
+  }
+
   test("exact dedup keeps every distinct document once") {
     val d = Dedup.exactDedup(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
