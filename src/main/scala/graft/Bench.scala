@@ -92,7 +92,10 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"bench_out.json"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+    // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
+    // from the target, pass-0 times are NOT target-scale numbers and
+    // the artifact must say so rather than leave them misattributable.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

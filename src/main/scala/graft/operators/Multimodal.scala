@@ -155,8 +155,7 @@ object Multimodal {
     * account for every input row.
     */
   def mediaDedup(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    mediaTable(s, dir).toDF()
       .groupBy(md5(col("payload")).as("payload_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))

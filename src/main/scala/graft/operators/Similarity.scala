@@ -302,6 +302,13 @@ object Similarity {
       .select(col("cvec")).collect()
       .map(_.getSeq[Double](0).toArray)
     eD.unpersist()
+    // A corpus with no `dim`-length vector in the hash sample yields no
+    // centroids; an empty centroid table would make the probe-ranking
+    // expressions index empty arrays (an ANSI error per row). No index
+    // is buildable for such a corpus — fall back to the exact scan,
+    // which handles degenerate embeddings by construction.
+    if (centroids.isEmpty)
+      return bruteForceTopK(s, dir, k, nQueries)
     // squared-L2 distance to each centroid, as literal-array dots
     def distArr(emb: org.apache.spark.sql.Column) = array(centroids.map { c =>
       val lits = typedLit(c.toSeq)

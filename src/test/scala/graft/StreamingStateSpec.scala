@@ -37,6 +37,44 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(got === Tables.events(spark, sfDir).count())
   }
 
+  test("exactDedupStream's watermarked branch dedups within the delay") {
+    // Drives the dropDuplicatesWithinWatermark path: a doc feed with an
+    // event-time column, duplicate texts arriving within the watermark
+    // delay. Every duplicate fingerprint must collapse to one emission
+    // (all rows land inside the delay window here); the emitted
+    // (doc_id, fp) pairs must be genuine members of their content group.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val rows = Seq(
+      (1L, "alpha beta", ts(0)),
+      (2L, "alpha beta", ts(1)),   // dup of 1, one minute later
+      (3L, "gamma", ts(2)),
+      (4L, "gamma", ts(3)),        // dup of 3
+      (5L, "delta", ts(4)))
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "wmdedup").toString
+    rows.toDF("doc_id", "text", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(d)
+    val stream = spark.readStream
+      .schema(rows.toDF("doc_id", "text", "ts").schema).parquet(d)
+    val out = graft.operators.Dedup.exactDedupStream(
+      stream, watermark = Some("ts" -> "1 hour"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("wmdedup_out")
+    assert(got.count() === 3) // alpha-beta, gamma, delta — one each
+    assert(got.select("fp").distinct().count() === 3)
+    // emitted keepers are real members of their content group
+    import graft.functions.TextFunctions.fingerprint
+    val members = rows.toDF("doc_id", "text", "ts")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    assert(got.join(members, Seq("doc_id", "fp")).count() === 3)
+  }
+
   test("flatMapGroupsWithState: per-user running stats with custom state") {
     import spark.implicits._
     val schema = Tables.events(spark, sfDir).schema
