@@ -219,6 +219,9 @@ object SparkEntry {
     "d12_curate"           -> (CorpusOps.curate(_, _)),
     // d9's CC fixpoint over the d6 embedding pair graph (semantic dups)
     "d13_embedding_clusters" -> (Dedup.embeddingClusters(_, _)),
+    // Bloom-filter decontamination (bounded broadcast; superset of d11;
+    // engine-specific sketch → rows-only check + spec gates)
+    "d14_decontaminate_bloom" -> (CorpusOps.decontaminateBloom(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1357,7 +1360,12 @@ object SparkEntry {
     // s2_ann_topk / s3_ivf_topk: approximate by DESIGN (LSH buckets / IVF
     //   probes) — the correct contract is recall against the exact s1
     //   baseline, asserted >= 0.8 in DedupSimilaritySpec (measured 1.00
-    //   and 0.92 at sf0.01), not result equality with any SQL oracle.
+    //   and 0.84 at sf0.01), not result equality with any SQL oracle.
+    // d14_decontaminate_bloom: the Bloom sketch bytes are engine-specific
+    //   (Spark's bloom_filter_agg), so no cross-engine result equality
+    //   exists; the correct contract — flags are a SUPERSET of exact
+    //   d11's with bounded false-positive inflation — is asserted in
+    //   DedupSimilaritySpec.
   )
 
   /** Shared DuckDB prelude for the taxi oracles: raw CSV bytes → lines →

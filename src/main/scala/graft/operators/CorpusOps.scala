@@ -149,6 +149,67 @@ object CorpusOps {
         .select(col("doc_id"), col("text"))),
       bench.shingles)
 
+  /** d14 — decontamination against a BLOOM FILTER of the benchmark
+    * shingles instead of the exact broadcast set. At 100 TB the exact
+    * set is the right tool while the benchmark is MBs; once the
+    * held-out suite grows to GBs of distinct shingles, the broadcast
+    * becomes the bottleneck and a fixed-size Bloom filter (here
+    * `numBits` bits regardless of benchmark size) restores the
+    * stream-past-it shape at a bounded false-positive cost.
+    *
+    * Semantics: conservative — a Bloom filter has NO false negatives,
+    * so every exactly-contaminated doc is flagged and `n_shared_bloom`
+    * >= the exact shared count per doc; false positives only ever
+    * ADD flags (the safe direction for decontamination: never admit a
+    * contaminated doc). DedupSimilaritySpec asserts the superset
+    * relation and bounds the false-positive inflation against exact
+    * d11. Engine-specific sketch bytes → no SQL oracle (rows-only
+    * check), same policy as q27's HLL.
+    *
+    * The shingles are already 64-bit longs, which is exactly what
+    * Spark's bloom_filter_agg/might_contain consume — no extra hashing
+    * projection on either side.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String,
+      benchMod: Int = DefaultBenchMod,
+      expectedItems: Long = 100000L, numBits: Long = 1600000L): DataFrame = {
+    // same cached shingle table discipline as d11 (see decontaminate)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), g => hash64(g)).as("sh"))
+      .cache()
+    import org.apache.spark.sql.graft.Shims
+    // The sketch is collected to the driver and embedded as a BINARY
+    // literal: might_contain requires a constant (or scalar subquery)
+    // bloom side, and the whole point of the sketch is that its size is
+    // FIXED at numBits/8 bytes (~200 KB here) no matter how large the
+    // benchmark grows — the same bounded-driver-state class as the IVF
+    // centroid collect.
+    val bfBytes: Array[Byte] = docs
+      .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .select(explode(col("sh")).as("g"))
+      .agg(Shims.bloomFilterAgg(col("g"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+    // a shingle-less benchmark slice aggregates to a null sketch — then
+    // nothing can be contaminated (mirrors exact d11's empty-set join)
+    val flagged =
+      if (bfBytes == null) corpus.filter(lit(false))
+      else corpus.filter(Shims.mightContain(lit(bfBytes), col("g")))
+    flagged
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared_bloom"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared_bloom"),
+        (col("n_shared_bloom").cast("double") / col("n_shingles"))
+          .as("contamination_bloom"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d12 — end-to-end corpus curation, the whole pre-training data prep
     * as ONE declarative plan: exact dedup (keep the lowest doc_id per
     * content fingerprint) → per-language median quality gate computed

@@ -29,6 +29,23 @@ object Shims {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Spark's Bloom-filter sketch as user-facing Columns: the engine
+    * ships BloomFilterAggregate / BloomFilterMightContain for its own
+    * runtime-filter joins but registers no SQL surface for them — the
+    * expressions themselves are exactly the bounded-broadcast sketch a
+    * decontamination operator needs (input: 64-bit longs).
+    */
+  def bloomFilterAgg(c: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    column(new BloomFilterAggregate(ExpressionUtils.expression(c),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  def mightContain(bloom: Column, value: Column): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(value)))
+
   /** Eager localCheckpoint with PINNED statistics on the resulting leaf.
     *
     * `Dataset.localCheckpoint` truncates lineage but copies the source

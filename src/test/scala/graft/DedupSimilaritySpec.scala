@@ -27,6 +27,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"iter2 ${inertia(2)} > iter1 ${inertia(1)}")
   }
 
+  test("bloom decontamination flags a superset of exact d11 with bounded inflation") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.operators.CorpusOps.decontaminate(spark, sfDir)
+      .select(col("doc_id"), col("n_shared"))
+    val bloom = graft.operators.CorpusOps.decontaminateBloom(spark, sfDir)
+      .select(col("doc_id"), col("n_shared_bloom"))
+    // no false negatives: every exactly-flagged doc is bloom-flagged,
+    // and its bloom shared-count can only be inflated, never deflated
+    val j = exact.as("e").join(bloom.as("b"), Seq("doc_id"), "left")
+    assert(j.filter(col("b.n_shared_bloom").isNull ||
+      col("b.n_shared_bloom") < col("e.n_shared")).count() === 0)
+    // bounded false positives: at these bloom parameters the FP rate is
+    // ~1e-9, so extra flagged docs must stay a sliver of the corpus
+    val extra = bloom.join(exact, Seq("doc_id"), "left_anti").count()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(extra <= corpus / 20, s"$extra bloom-only flags on $corpus docs")
+    spark.catalog.clearCache() // both operators cache shingle tables
+  }
+
   test("exact dedup keeps every distinct document once") {
     val d = Dedup.exactDedup(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()

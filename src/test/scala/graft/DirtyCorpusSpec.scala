@@ -74,7 +74,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_pairs",
     "d4_simhash", "d5_simhash_pairs", "d7_chargram_pairs",
     "d8_containment_pairs", "d9_dedup_clusters", "d10_dedup_corpus",
-    "d11_decontaminate", "d12_curate",
+    "d11_decontaminate", "d12_curate", "d14_decontaminate_bloom",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m5_media_dedup")
 
