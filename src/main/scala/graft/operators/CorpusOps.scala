@@ -62,32 +62,38 @@ object CorpusOps {
     * contaminated docs only — shingles are per-doc distinct, so
     * n_shared counts distinct shared shingles.
     */
-  def decontaminate(s: SparkSession, dir: String,
-      benchMod: Int = DefaultBenchMod): DataFrame = {
-    // cache is load-bearing (the Dedup.prefixFilteredPairs pattern, for
-    // a different reason): InferFiltersFromGenerate puts a
-    // `size(sh) > 0` filter back under each explode EVEN WITH no
-    // explicit filter in this code, and predicate pushdown then clones
-    // the whole tokenize+shingle HOF chain into a Filter below these
-    // projections, where the un-aliased tokens expression re-evaluates
-    // PER LAMBDA ELEMENT (the TextFunctions.shinglesFromTokens gotcha)
-    // on the un-spread scan — measured 22-28s at sf0.1. The
-    // InMemoryRelation truncates that lineage: the inferred filter
-    // stays a cheap size() probe on the materialized column, and the
-    // shingle table is computed once for both consumers (~1.1s at sf0.1
-    // for the whole operator — bench_out.json, reproducible via
-    // `runMain graft.Bench`). Lifecycle ends with the query
-    // — Bench/Verify clearCache between queries. At cluster scale this
-    // is a persist of the shingle table both branches read; swap in
-    // MEMORY_AND_DISK_SER or a checkpoint if executors are
-    // memory-tight. Tables.spread parallelizes the CPU-heavy shingling
-    // past the single-row-group scan, as in Dedup.
-    val docs = Tables.documents(s, dir)
+  /** The cached corpus shingle table d11 and d14 share. The cache is
+    * load-bearing (the Dedup.prefixFilteredPairs pattern, for a
+    * different reason): InferFiltersFromGenerate puts a `size(sh) > 0`
+    * filter back under each explode EVEN WITH no explicit filter in
+    * this code, and predicate pushdown then clones the whole
+    * tokenize+shingle HOF chain into a Filter below these projections,
+    * where the un-aliased tokens expression re-evaluates PER LAMBDA
+    * ELEMENT (the TextFunctions.shinglesFromTokens gotcha) on the
+    * un-spread scan — measured 22-28s at sf0.1. The InMemoryRelation
+    * truncates that lineage: the inferred filter stays a cheap size()
+    * probe on the materialized column, and the shingle table is
+    * computed once for all consumers (~1.1s at sf0.1 for the whole d11
+    * operator — bench_out.json, reproducible via `runMain graft.Bench`).
+    * Spark keys the cache by plan, so d11 and d14 in one session share
+    * ONE InMemoryRelation. Lifecycle ends with the query — Bench/Verify
+    * clearCache between queries. At cluster scale this is a persist of
+    * the shingle table every branch reads; swap in MEMORY_AND_DISK_SER
+    * or a checkpoint if executors are memory-tight. Tables.spread
+    * parallelizes the CPU-heavy shingling past the single-row-group
+    * scan, as in Dedup.
+    */
+  private def docShinglesCached(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .transform(Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
       .cache()
+
+  def decontaminate(s: SparkSession, dir: String,
+      benchMod: Int = DefaultBenchMod): DataFrame = {
+    val docs = docShinglesCached(s, dir)
     val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
@@ -166,21 +172,20 @@ object CorpusOps {
     * d11. Engine-specific sketch bytes → no SQL oracle (rows-only
     * check), same policy as q27's HLL.
     *
-    * The shingles are already 64-bit longs, which is exactly what
-    * Spark's bloom_filter_agg/might_contain consume — no extra hashing
-    * projection on either side.
+    * Spark's Bloom expressions consume 64-bit longs, so the string
+    * shingles are hashed with the built-in xxhash64 AFTER the explode,
+    * on both sides identically. xxhash64, not the engine's md5-derived
+    * hash64: that convention buys cross-engine determinism for
+    * oracle-checked operators, which d14 — rows-only checked — does
+    * not need, and xxhash64 is an order of magnitude cheaper on the
+    * corpus-hot side. Hashing post-explode also means d14 shares d11's
+    * cached string-shingle relation instead of forking a second
+    * full-corpus cache.
     */
   def decontaminateBloom(s: SparkSession, dir: String,
       benchMod: Int = DefaultBenchMod,
       expectedItems: Long = 100000L, numBits: Long = 1600000L): DataFrame = {
-    // same cached shingle table discipline as d11 (see decontaminate)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .transform(Tables.spread(_, col("doc_id")))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), g => hash64(g)).as("sh"))
-      .cache()
+    val docs = docShinglesCached(s, dir)
     import org.apache.spark.sql.graft.Shims
     // The sketch is collected to the driver and embedded as a BINARY
     // literal: might_contain requires a constant (or scalar subquery)
@@ -190,12 +195,14 @@ object CorpusOps {
     // centroid collect.
     val bfBytes: Array[Byte] = docs
       .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
-      .select(explode(col("sh")).as("g"))
+      .select(explode(col("sh")).as("g0"))
+      .select(xxhash64(col("g0")).as("g"))
       .agg(Shims.bloomFilterAgg(col("g"), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("n_shingles"), xxhash64(col("g")).as("g"))
     // a shingle-less benchmark slice aggregates to a null sketch — then
     // nothing can be contaminated (mirrors exact d11's empty-set join)
     val flagged =
