@@ -85,7 +85,21 @@ object TaxiCsv {
     * kept transform-free in the hot scan).
     */
   def acceptedLines(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
+    // Expand a glob to explicit files via the S2 listing (driver-side
+    // metadata op) instead of handing the raw pattern to the reader:
+    // Spark's FileStreamSink.hasMetadata probe getFileStatus()es a
+    // SINGLE path verbatim — a glob string "does not exist" as a file,
+    // and the probe logs that FileNotFoundException with a full stack
+    // (the unattributable stderr trace in the r8 bench artifact). With
+    // an explicit multi-file list the probe is skipped entirely; an
+    // empty expansion falls through to the original path so the
+    // reader's PATH_NOT_FOUND contract is unchanged.
+    val paths =
+      if (path.exists("*?[{".contains(_))) {
+        val expanded = listFiles(spark, path)
+        if (expanded.nonEmpty) expanded else Seq(path)
+      } else Seq(path)
+    val lines = spark.read.text(paths: _*)
       .select(input_file_name().as("file"), col("value"))
     lines
       .withColumn("fields", split(col("value"), ","))

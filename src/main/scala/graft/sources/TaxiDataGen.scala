@@ -78,6 +78,9 @@ object TaxiDataGen {
     val current = marker.exists() &&
       new String(Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!current) {
+      // stamp the event: any stray stderr trace near corpus-(re)build
+      // time must be attributable to generation, not left an orphan
+      System.err.println(s"[taxigen] generating corpus at $dir ($stamp)")
       generate(ids, dir)
       Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
