@@ -1249,8 +1249,8 @@ object SparkEntry {
         |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS header_sum
         |  FROM documents)
         |SELECT doc_id, n_bytes, first_byte, last_byte, header_sum,
-        |  n_bytes % 640 AS fake_width,
-        |  first_byte % 480 AS fake_height,
+        |  n_bytes % 640 AS width,
+        |  first_byte % 480 AS height,
         |  CAST(3 AS INT) AS channels
         |FROM m ORDER BY doc_id""".stripMargin,
 

@@ -131,14 +131,19 @@ object Dedup {
     * those concerns).
     */
   private def shingleProject(docs: DataFrame,
-      prep: Column => Column, gram: Column => Column): DataFrame =
+      prep: Column => Column, gram: Column => Column,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns ride through unchanged (the streaming path keeps
+    // its event-time column so a watermark can bound downstream state)
+    val ex = carry.map(col)
     docs
-      .select(col("doc_id"), prep(col("text")).as("base"))
-      .select(col("doc_id"), gram(col("base")).as("shs"))
+      .select(col("doc_id") +: ex :+ prep(col("text")).as("base"): _*)
+      .select(col("doc_id") +: ex :+ gram(col("base")).as("shs"): _*)
       // hash64(g) only touches the lambda variable, so this transform
       // is safe from the per-element re-evaluation gotcha above
-      .select(col("doc_id"), transform(col("shs"), g => hash64(g)).as("sh"))
+      .select(col("doc_id") +: ex :+ transform(col("shs"), g => hash64(g)).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
+  }
       // NO .filter(sz > 0): predicate pushdown would clone the whole
       // shingle HOF chain into a Filter below these projections, where
       // the un-aliased `prep` sub-expression is re-evaluated PER LAMBDA
@@ -426,31 +431,52 @@ object Dedup {
     * corpus doc within threshold `t` of an arriving doc.
     */
   def minhashCandidatesStream(streamDocs: DataFrame, index: MinhashIndex,
-      t: Double = 0.5): DataFrame = {
+      t: Double = 0.5,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    // Optional watermark (mirrors exactDedupStream): the multi-band
+    // candidate collapse is this operator's ONE stateful op, keyed by
+    // (stream doc, corpus doc) — unbounded without an age-out. With
+    // (tsCol, delay) the event-time column rides through the shingle
+    // projections and the collapse becomes dropDuplicatesWithinWatermark,
+    // so state for docs older than the watermark is dropped. Without it
+    // (ad-hoc/batch-parity runs) plain dropDuplicates keeps exact
+    // all-time semantics.
+    val (src, carry) = watermark match {
+      case Some((tsCol, delay)) =>
+        (streamDocs.withWatermark(tsCol, delay)
+          .select(col("doc_id"), col("text"), col(tsCol)), Seq(tsCol))
+      case None =>
+        (streamDocs.select(col("doc_id"), col("text")), Nil)
+    }
     // materialize hv before the 128 per-permutation traversals: lambda
     // bodies re-evaluate argument EXPRESSIONS per element (the
     // shinglesFromTokens gotcha), so the mod-p reduction gets its own
     // projection
-    val shingled = shingleProject(
-        streamDocs.select(col("doc_id"), col("text")),
-        tokens, w => shinglesFromTokens(w, 3))
+    val shingled = shingleProject(src, tokens, w => shinglesFromTokens(w, 3),
+        carry)
       .filter(col("sz") > 0) // array_min of an empty array is null
       .withColumn("hv", transform(col("sh"), g => pmod(g, lit(MinhashP))))
     val sig = array(hashParams.map { case (a, b) =>
       array_min(transform(col("hv"), x => pmod(x * a + b, lit(MinhashP))))
     }: _*)
+    val carryCols = carry.map(col)
     val bands = shingled
-      .select(col("doc_id"), col("sh"), col("sz"), sig.as("sig"))
-      .select(col("doc_id"), col("sh"), col("sz"),
-        explode(array(bandKeyCols(col("sig"), BandRows): _*)).as("band_key"))
+      .select(col("doc_id") +: carryCols ++: Seq(col("sh"), col("sz"), sig.as("sig")): _*)
+      .select(col("doc_id") +: carryCols ++: Seq(col("sh"), col("sz"),
+        explode(array(bandKeyCols(col("sig"), BandRows): _*)).as("band_key")): _*)
     val corpus = index.bands.select(
       col("doc_id").as("corpus_doc_id"), col("band_key"))
     val verify = index.shingles.select(col("doc_id").as("corpus_doc_id"),
       col("sh").as("c_sh"), col("sz").as("c_sz"))
-    bands.join(corpus, Seq("band_key"))
+    val hits = bands.join(corpus, Seq("band_key"))
       .filter(col("doc_id") =!= col("corpus_doc_id"))
-      .select(col("doc_id"), col("sh"), col("sz"), col("corpus_doc_id"))
-      .dropDuplicates("doc_id", "corpus_doc_id")
+      .select(col("doc_id") +: carryCols ++:
+        Seq(col("sh"), col("sz"), col("corpus_doc_id")): _*)
+    val collapsed =
+      if (watermark.isDefined)
+        hits.dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
+      else hits.dropDuplicates("doc_id", "corpus_doc_id")
+    collapsed
       .join(verify, Seq("corpus_doc_id"))
       .withColumn("jaccard",
         jaccard(col("sh"), col("c_sh"), col("sz"), col("c_sz")))
@@ -489,7 +515,10 @@ object Dedup {
     */
   def embeddingClusters(s: SparkSession, dir: String, t: Double = 0.4): DataFrame =
     minLabelComponents(
-      embeddingNearDupPairs(s, dir, t)
+      // the unsorted pair feed: d6's presentation orderBy buys nothing
+      // under the CC edge build (the edges are exploded and
+      // repartitioned by dst immediately)
+      embeddingNearDupPairsUnsorted(s, dir, t)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")))
       .select(col("doc_id").as("vec_id"), col("component"))
@@ -633,9 +662,13 @@ object Dedup {
             least(jump("component"), coalesce(col("r_comp"), jump("component")))
               .as("component"))
       }
-      val next = Shims.localCheckpointWithStats(jump, labelBytes)
-      // the count scans the in-memory checkpoint blocks — cheap relative
-      // to the round's shuffle jobs
+      // LAZY checkpoint: the convergence count is the round's next
+      // action anyway, so let it materialize the blocks — one fewer
+      // driver-scheduled job per round (round latency on a sparse graph
+      // IS driver job scheduling). hookedCp stays eager: it is
+      // referenced 4x by the jump joins, and racing branches over an
+      // unmaterialized checkpoint recompute it.
+      val next = Shims.localCheckpointWithStats(jump, labelBytes, eager = false)
       changed = next.filter(col("component") =!= col("_old")).count()
       labels = next.select(col("doc_id"), col("component"))
     }
@@ -748,7 +781,15 @@ object Dedup {
     * Similarity.lshTopK / ivfTopK.
     */
   def embeddingNearDupPairs(s: SparkSession, dir: String, t: Double = 0.4,
-      nTiles: Int = 8): DataFrame = {
+      nTiles: Int = 8): DataFrame =
+    embeddingNearDupPairsUnsorted(s, dir, t, nTiles)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** The pair relation without the presentation sort — what consumers
+    * that immediately reshuffle (d13's CC edge build) should read.
+    */
+  private[graft] def embeddingNearDupPairsUnsorted(s: SparkSession,
+      dir: String, t: Double = 0.4, nTiles: Int = 8): DataFrame = {
     // Precompute each vector's norm ONCE (1 dot per pair instead of 3 at
     // the join). cos = dot/(nrm_a*nrm_b) is the bit-identical arithmetic,
     // just with the norm factored out. Zero-norm and null vectors are
@@ -776,6 +817,5 @@ object Dedup {
       .filter(col("cos") >= t)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 }

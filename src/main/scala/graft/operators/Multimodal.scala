@@ -28,9 +28,14 @@ object Multimodal {
   /** A media row: opaque payload + declared type. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 
-  /** Extracted metadata (deterministic stub of a real decoder). */
+  /** Extracted metadata. The byte-derived fields (n_bytes, first/last
+    * byte, header_sum) come straight off the payload for every format;
+    * width/height/channels are REAL decoded values for formats the JVM
+    * can decode (PNG/GIF/BMP via javax.imageio) and deterministic
+    * pseudo-values from the stub for everything else.
+    */
   case class MediaMeta(doc_id: Long, n_bytes: Int, first_byte: Int,
-      last_byte: Int, header_sum: Long, fake_width: Int, fake_height: Int,
+      last_byte: Int, header_sum: Long, width: Int, height: Int,
       channels: Int)
 
   /** documents → media rows: payload = UTF-8 bytes of text. */
@@ -42,12 +47,13 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: deterministic pseudo-decode of a payload.
-    * ??? in a real deployment this calls the image/audio codec; the
-    * container has none, so metadata is derived from the bytes
-    * themselves (and mirrored exactly by the DuckDB oracle).
+  /** STUB decoder: deterministic pseudo-decode of a payload for formats
+    * the JVM has no codec for (audio, video, JPEG-without-plugins…) —
+    * metadata is derived from the bytes themselves (and mirrored
+    * exactly by the DuckDB oracle). A production deployment swaps this
+    * for the codec call with the same signature.
     */
-  private[operators] def decodeStub(r: MediaRow): MediaMeta = {
+  private[graft] def decodeStub(r: MediaRow): MediaMeta = {
     val b = r.payload
     val n = b.length
     val first = if (n > 0) b(0) & 0xff else 0
@@ -55,20 +61,136 @@ object Multimodal {
     var i = 0; var hs = 0L
     while (i < math.min(16, n)) { hs += (b(i) & 0xff); i += 1 }
     MediaMeta(r.doc_id, n, first, last, hs,
-      fake_width = n % 640, fake_height = first % 480, channels = 3)
+      width = n % 640, height = first % 480, channels = 3)
   }
+
+  /** REAL decoder for JVM-supported image formats (PNG/GIF/BMP via
+    * javax.imageio): decoded width/height and raster band count, the
+    * byte-derived fields identical to the stub's. None when the payload
+    * does not decode (corrupt bytes, unsupported format) — the caller
+    * falls back to the stub, so one bad blob can never fail a
+    * partition.
+    */
+  private[graft] def decodeImage(r: MediaRow): Option[MediaMeta] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else Some(decodeStub(r).copy(width = img.getWidth,
+        height = img.getHeight, channels = img.getRaster.getNumBands))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batched partition-local metadata extraction: mapPartitions over the
     * typed Dataset, processing rows in fixed-size batches (the batch
     * boundary is where a real decoder would amortize model/codec init,
-    * exactly like mapInPandas' Arrow batches).
+    * exactly like mapInPandas' Arrow batches). Rows declaring an
+    * `image/...` media type take the real javax.imageio decode (stub
+    * fallback on failure); everything else is stub-decoded.
     */
   def extractMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // per-batch/partition init: in-memory decode only — the default
+      // ImageIO path spills a disk cache file per read
+      javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch init would go here (codec handles, model weights)
-        batch.map(decodeStub)
+        batch.map { r =>
+          if (r.media_type.startsWith("image/"))
+            decodeImage(r).getOrElse(decodeStub(r))
+          else decodeStub(r)
+        }
+      }
+    }
+  }
+
+  /** A sampled image tile (the image analog of m3's frame sampling):
+    * tile top-left at (x, y), digest over the raw decoded ARGB pixels —
+    * encoder-independent, so the value is stable across PNG writer
+    * implementations.
+    */
+  case class TileRow(doc_id: Long, tile_idx: Int, x: Int, y: Int,
+      tile_md5: String)
+
+  /** m3's REAL-decode analog: decode each image and emit fixed-size
+    * tiles on a stride grid (row-major), each with a digest of its
+    * decoded pixels — what a vision pipeline feeds per-tile embedding
+    * models. Same batched mapPartitions contract as extractMeta;
+    * undecodable payloads yield no tiles (they are the stub path's
+    * concern). Images smaller than one tile yield no rows, mirroring
+    * frameSample's short-payload contract.
+    */
+  def sampleTiles(media: Dataset[MediaRow], tile: Int = 16,
+      stride: Int = 64, batchSize: Int = 64): Dataset[TileRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          decodeBuffered(r).toSeq.flatMap { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val xs = 0 to (w - tile) by stride
+            val ys = 0 to (h - tile) by stride
+            val buf = new Array[Int](tile * tile)
+            ys.flatMap(y => xs.map(x => (x, y))).zipWithIndex.map {
+              case ((x, y), i) =>
+                img.getRGB(x, y, tile, tile, buf, 0, tile)
+                md.reset()
+                val bb = java.nio.ByteBuffer.allocate(buf.length * 4)
+                bb.asIntBuffer().put(buf)
+                TileRow(r.doc_id, i, x, y,
+                  md.digest(bb.array()).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def decodeBuffered(r: MediaRow): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One resized image: input/output dims + digest of the resized
+    * decoded pixels (encoder-independent, like TileRow).
+    */
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, out_md5: String)
+
+  /** m4's REAL-decode analog: decode, scale so the longest edge is
+    * `maxDim` (never upscale), digest the resized pixels. Bilinear via
+    * Graphics2D — deterministic for a given raster. Same batched
+    * contract; undecodable payloads yield no rows.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int = 64,
+      batchSize: Int = 64): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          decodeBuffered(r).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val (ow, oh) = (math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(ow, oh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+            g.dispose()
+            val px = out.getRGB(0, 0, ow, oh, null, 0, ow)
+            md.reset()
+            val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+            bb.asIntBuffer().put(px)
+            ResizedRow(r.doc_id, w, h, ow, oh,
+              md.digest(bb.array()).map("%02x".format(_)).mkString)
+          }
+        }
       }
     }
   }

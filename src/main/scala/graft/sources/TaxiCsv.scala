@@ -43,7 +43,6 @@ object TaxiCsv {
     "extra", "mta_tax", "tip_amount", "tolls_amount",
     "improvement_surcharge", "total_amount")
 
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
   /** S2 — source enumeration (GetFileListAsync analog,
     * Sample.cs:109-126): list the files a path/glob resolves to WITHOUT
@@ -107,15 +106,41 @@ object TaxiCsv {
         element_at(col("fields"), 1).try_cast("int").isNotNull)
   }
 
+  /** Strict fixed-layout timestamp parse (custom codegen'd expression —
+    * `gettimestamp`'s DateTimeFormatter path was the dominant cost of
+    * the GB-scale flagship, ~20× the text scan; see ParseTs19's doc).
+    * Identical accept/NULL behavior to
+    * `try_to_timestamp(c, "yyyy-MM-dd HH:mm:ss")` on this corpus.
+    *
+    * With `opaque = true` the parse is wrapped in `Opaque` — a PUSHDOWN
+    * BARRIER on the projection it appears in. Without it, Catalyst
+    * substitutes the projected aliases into every downstream predicate:
+    * the speed filters become ~8 copies of the parse chain inside one
+    * scan Filter, re-evaluated per row (measured 41-120 s on a 3 GB
+    * corpus vs seconds with the barrier — FilterExec's short-circuit
+    * codegen does no common-subexpression elimination). One
+    * non-deterministic field pins the WHOLE projection: no predicate
+    * pushes through, so consumers' filters operate on these columns as
+    * plain attributes, while the accept filter BELOW the projection
+    * still fuses into the scan. See Opaque's doc for why the
+    * filter-based barrier idioms (rand, opaque-true) fail.
+    */
+  private def parseTs(c: org.apache.spark.sql.Column, opaque: Boolean = false) = {
+    val e = graft.functions.ParseTs19(org.apache.spark.sql.graft.Shims.expression(c))
+    org.apache.spark.sql.graft.Shims.column(
+      if (opaque) graft.functions.Opaque(e) else e)
+  }
+
   /** Typed trips projection: only the columns the reference consumes.
     * Output: (file string, pickup_ts timestamp, dropoff_ts timestamp,
-    * trip_distance double).
+    * trip_distance double). Pushdown-barriered — consumers' filters
+    * operate on these columns, never on re-derived parse chains.
     */
   def trips(spark: SparkSession, path: String): DataFrame =
     acceptedLines(spark, path).select(
       col("file"),
-      try_to_timestamp(element_at(col("fields"), 2), lit(TsFmt)).as("pickup_ts"),
-      try_to_timestamp(element_at(col("fields"), 3), lit(TsFmt)).as("dropoff_ts"),
+      parseTs(element_at(col("fields"), 2), opaque = true).as("pickup_ts"),
+      parseTs(element_at(col("fields"), 3)).as("dropoff_ts"),
       element_at(col("fields"), 5).try_cast("double").as("trip_distance"))
 
   /** Fully-typed wide projection of all 17 columns (beyond the reference's
@@ -125,8 +150,8 @@ object TaxiCsv {
     val f = col("fields")
     val typed = Seq(
       element_at(f, 1).try_cast("int").as("vendor_id"),
-      try_to_timestamp(element_at(f, 2), lit(TsFmt)).as("tpep_pickup_datetime"),
-      try_to_timestamp(element_at(f, 3), lit(TsFmt)).as("tpep_dropoff_datetime"),
+      parseTs(element_at(f, 2), opaque = true).as("tpep_pickup_datetime"),
+      parseTs(element_at(f, 3)).as("tpep_dropoff_datetime"),
       element_at(f, 4).try_cast("int").as("passenger_count"),
       element_at(f, 5).try_cast("double").as("trip_distance"),
       element_at(f, 6).try_cast("int").as("ratecode_id"),

@@ -88,6 +88,77 @@ object TaxiDataGen {
     glob0
   }
 
+  /** Ensure a REFERENCE-VOLUME corpus (≥ `targetBytes`, default ~3.3 GB
+    * ≈ the reference's 4-file benchmark volume, README.md:186-187)
+    * derived from `sfDir`'s events by a row multiplier: each event id
+    * spawns `mult` synthetic trips (sid = id·1000 + j — disjoint from
+    * the base ids, month = sid mod 12 so all twelve files fill). Same
+    * `row` pure function, same header/edge-line/empty-month-12
+    * structure as the sf-bound corpus, so the ingest pipeline sees the
+    * identical accept/filter surface at reference scale. Stamped like
+    * `ensure` (generation is a one-time cost per machine; re-runs are
+    * metadata-only), written through streaming per-month writers — the
+    * multi-GB corpus never materializes in memory.
+    */
+  def ensureScaled(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 3_300_000_000L): String = synchronized {
+    val dir = new File(BaseDir,
+      new File(sfDir).getName + "_gb" + (targetBytes >> 30))
+    val glob0 = new File(dir, "*.csv").getAbsolutePath
+    if (sfDir == verified.get(dir.getAbsolutePath)) return glob0
+    import spark.implicits._
+    val ids = graft.Tables.events(spark, sfDir)
+      .select("event_id").as[Long].collect().sorted
+    // measure the actual mean row width on a sample of SYNTHETIC ids so
+    // mult lands the target within a few percent
+    val avgLen = if (ids.isEmpty) 100.0 else {
+      val sample = ids.take(1000)
+      sample.map(id => row(id * 1000, math.floorMod(id * 1000, 12).toInt + 1)
+        .length + 1).sum.toDouble / sample.length
+    }
+    val mult = math.min(1000, math.max(1,
+      math.ceil(targetBytes / (math.max(1, ids.length) * avgLen)).toLong.toInt))
+    val stamp = s"$Version scaled n=${ids.length} sum=${ids.sum} mult=$mult"
+    val marker = new File(dir, "_STAMP")
+    val current = marker.exists() &&
+      new String(Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!current) {
+      System.err.println(
+        s"[taxigen] generating GB-scale corpus at $dir ($stamp)")
+      generateScaled(ids, dir, mult)
+      Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    verified.put(dir.getAbsolutePath, sfDir)
+    glob0
+  }
+
+  /** Streaming writer for the scaled corpus: one pass over ids × mult,
+    * routed to 12 buffered per-month writers. Pure function of
+    * (ids, mult).
+    */
+  def generateScaled(ids: Seq[Long], dir: File, mult: Int): Unit = {
+    dir.mkdirs()
+    dir.listFiles().filter(_.getName.endsWith(".csv")).foreach(_.delete())
+    val writers = (1 to 12).map { m =>
+      m -> new java.io.BufferedWriter(new java.io.FileWriter(
+        new File(dir, f"yellow_tripdata_2017-$m%02d.csv")), 1 << 20)
+    }.toMap
+    try {
+      writers.foreach { case (m, w) =>
+        w.write(Header); w.write('\n')
+        if (m != 12) { w.write(edgeLines.head); w.write('\n') }
+      }
+      for (id <- ids; j <- 0 until mult) {
+        val sid = id * 1000 + j
+        val m = math.floorMod(sid, 12).toInt + 1
+        if (m != 12) { val w = writers(m); w.write(row(sid, m)); w.write('\n') }
+      }
+      writers.foreach { case (m, w) =>
+        if (m != 12) edgeLines.tail.foreach { l => w.write(l); w.write('\n') }
+      }
+    } finally writers.valuesIterator.foreach(_.close())
+  }
+
   /** Write `yellow_tripdata_2017-01..12.csv` into `dir` (replacing any
     * previous contents). Month 12 is header-only. Pure function of `ids`.
     */

@@ -63,12 +63,18 @@ object Shims {
     * Pinning a small true size per round resets the compounding AND
     * keeps every fixpoint join broadcastable. `sizeInBytes` should be
     * an honest upper bound for the checkpointed data (rows × width).
+    *
+    * `eager = false` defers materialization to the caller's next action
+    * (one fewer driver-scheduled job when that action runs immediately
+    * anyway — a fixpoint's convergence count); only safe when the frame
+    * is referenced once before that action, else racing branch
+    * computations recompute the blocks.
     */
   def localCheckpointWithStats(df: org.apache.spark.sql.DataFrame,
-      sizeInBytes: Long): org.apache.spark.sql.DataFrame = {
+      sizeInBytes: Long, eager: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.execution.LogicalRDD
-    val cp = df.localCheckpoint(true)
+    val cp = df.localCheckpoint(eager)
     cp.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val spark = cp.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -78,7 +84,18 @@ object Shims {
           Some(Statistics(sizeInBytes = BigInt(math.max(1L, sizeInBytes)))),
           None)
         org.apache.spark.sql.classic.Dataset.ofRows(spark, pinned)
-      case _ => cp
+      case _ =>
+        // A non-LogicalRDD checkpoint plan means a Spark upgrade changed
+        // the shape this shim pins stats through — the exponential-stats
+        // optimizer stall it prevents would silently return. Warn loudly
+        // so the regression is found here, not as an unexplained hang
+        // (GraphCCSpec asserts the pinned path is taken).
+        System.err.println(
+          "[graft] WARN localCheckpointWithStats: checkpoint plan is " +
+            s"${cp.queryExecution.analyzed.getClass.getSimpleName}, not " +
+            "LogicalRDD — stats NOT pinned; iterative fixpoints may stall " +
+            "the optimizer (see Shims.scala)")
+        cp
     }
   }
 }

@@ -82,6 +82,26 @@ class GraphCCSpec extends AnyFunSuite {
     assert(rounds <= 4, s"star took $rounds rounds")
   }
 
+  test("localCheckpointWithStats pins the declared size on a LogicalRDD leaf") {
+    // The fixpoint depends on this shim taking the stats-pinning branch:
+    // if a Spark upgrade changes the checkpoint plan shape, the shim
+    // falls back to a plain checkpoint (with a stderr warning) and the
+    // exponential-stats optimizer stall silently returns. Fail HERE
+    // instead. Covers both eager and lazy forms.
+    import spark.implicits._
+    for (eager <- Seq(true, false)) {
+      val df = (1 to 10).toDF("x")
+      val cp = org.apache.spark.sql.graft.Shims
+        .localCheckpointWithStats(df, 12345L, eager)
+      assert(cp.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        s"eager=$eager: checkpoint plan is not a LogicalRDD")
+      assert(cp.queryExecution.analyzed.stats.sizeInBytes === BigInt(12345),
+        s"eager=$eager: stats were not pinned")
+      assert(cp.count() === 10, s"eager=$eager")
+    }
+  }
+
   test("two components plus isolated vertices keep distinct min labels") {
     // component A: 0-1-2, component B: 5-6 (7,8 isolated)
     val n = 9

@@ -59,4 +59,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("header_sum") ===
       bytes.take(16).map(_ & 0xff).map(_.toLong).sum)
   }
+
+  /** Deterministic PNG fixture: w×h RGB gradient, re-encoded by the
+    * JVM's own PNG writer — real compressed image bytes, no codec
+    * stubbing anywhere in the path.
+    */
+  private def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 977) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def pngMedia(rows: (Long, Int, Int)*): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    rows.map { case (id, w, h) =>
+      Multimodal.MediaRow(id, png(w, h, id.toInt), "image/png")
+    }.toDS().repartition(2)
+  }
+
+  test("m1 real decode: PNG dims/channels from javax.imageio, byte fields stub-par") {
+    val media = pngMedia((1L, 40, 30), (2L, 64, 64), (3L, 7, 5))
+    val got = Multimodal.extractMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got(1L).width === 40 && got(1L).height === 30)
+    assert(got(2L).width === 64 && got(2L).height === 64)
+    assert(got(3L).width === 7 && got(3L).height === 5)
+    assert(got.values.forall(_.channels === 3))
+    // stub-vs-real column parity: same schema, and the byte-derived
+    // fields of the real decode equal the stub's on the same payload
+    media.collect().foreach { r =>
+      val stub = Multimodal.decodeStub(r)
+      val real = Multimodal.decodeImage(r).get
+      assert(real.n_bytes === stub.n_bytes)
+      assert(real.first_byte === stub.first_byte) // 0x89, the PNG magic
+      assert(real.first_byte === 0x89)
+      assert(real.last_byte === stub.last_byte)
+      assert(real.header_sum === stub.header_sum)
+    }
+  }
+
+  test("real decode falls back to the stub on undecodable image payloads") {
+    import spark.implicits._
+    val corrupt = Seq(
+      Multimodal.MediaRow(9L, Array[Byte](1, 2, 3, 4), "image/png")).toDS()
+    val m = Multimodal.extractMeta(corrupt).head()
+    val stub = Multimodal.decodeStub(
+      Multimodal.MediaRow(9L, Array[Byte](1, 2, 3, 4), "image/png"))
+    assert(m === stub) // one bad blob cannot fail the partition
+  }
+
+  test("m3 real decode: tile sampling covers the stride grid, deterministic") {
+    val media = pngMedia((1L, 100, 50), (2L, 16, 16), (3L, 10, 10))
+    val tiles = Multimodal.sampleTiles(media, tile = 16, stride = 32)
+      .collect().groupBy(_.doc_id)
+    // 100x50: x in {0,32,64}, y in {0,32} → 6 tiles; 16x16: exactly 1;
+    // 10x10 (smaller than one tile): none — frameSample's short-payload rule
+    assert(tiles(1L).length === 6)
+    assert(tiles(1L).map(t => (t.x, t.y)).toSet ===
+      (for (y <- Seq(0, 32); x <- Seq(0, 32, 64)) yield (x, y)).toSet)
+    assert(tiles(2L).length === 1)
+    assert(!tiles.contains(3L))
+    // pixel digests are decode-deterministic across runs
+    val again = Multimodal.sampleTiles(media, tile = 16, stride = 32)
+      .collect().groupBy(_.doc_id)
+    assert(tiles(1L).sortBy(_.tile_idx).map(_.tile_md5).toSeq ===
+      again(1L).sortBy(_.tile_idx).map(_.tile_md5).toSeq)
+  }
+
+  test("m4 real decode: resize caps the longest edge, never upscales") {
+    val media = pngMedia((1L, 128, 96), (2L, 96, 128), (3L, 20, 10))
+    val out = Multimodal.resizeImages(media, maxDim = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).out_width === 64 && out(1L).out_height === 48)
+    assert(out(2L).out_width === 48 && out(2L).out_height === 64)
+    assert(out(3L).out_width === 20 && out(3L).out_height === 10) // no upscale
+    assert(out.values.forall(_.out_md5.length === 32))
+    // deterministic: same pixels → same digest
+    val again = Multimodal.resizeImages(media, maxDim = 64)
+      .collect().map(r => r.doc_id -> r.out_md5).toMap
+    assert(out.view.mapValues(_.out_md5).toMap === again)
+  }
 }

@@ -205,6 +205,41 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache() // batch side caches its shingle table
   }
 
+  test("watermarked streaming minhash candidates equal batch d3 pairs") {
+    // Same parity contract as above, through the WATERMARKED state path
+    // (dropDuplicatesWithinWatermark on the candidate keys): with all
+    // docs inside one micro-batch nothing ages out, so the result must
+    // still equal batch d3 exactly — what changes is that the candidate
+    // collapse state is now bounded by the watermark instead of
+    // unbounded (the production continuous-ingest configuration).
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "minhashwm").toString
+    docs.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+    val index = graft.operators.Dedup.minhashIndex(spark, sfDir)
+    val out = graft.operators.Dedup.minhashCandidatesStream(stream, index,
+      watermark = Some(("ts", "10 minutes")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("minhash_wm_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("minhash_wm_out")
+      .select(least(col("doc_id"), col("corpus_doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("corpus_doc_id")).as("doc_b"),
+        col("jaccard"))
+      .distinct()
+    val want = graft.operators.Dedup.minhashLshPairs(spark, sfDir)
+    assert(want.count() > 0)
+    val joined = got.as("g").join(want.as("b"), Seq("doc_a", "doc_b"), "full_outer")
+    assert(joined.filter(col("g.jaccard").isNull || col("b.jaccard").isNull ||
+      col("g.jaccard") =!= col("b.jaccard")).count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("stateful mapGroupsWithState per-user counts match batch groupBy") {
     import spark.implicits._
     val schema = Tables.events(spark, sfDir).schema

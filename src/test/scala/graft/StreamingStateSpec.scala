@@ -129,4 +129,58 @@ class StreamingStateSpec extends AnyFunSuite {
       col("purchase_ts") >= col("click_ts") + expr("INTERVAL 10 MINUTES"))
     assert(bad.count() === 0)
   }
+
+  test("w6 append-mode sink: closed windows only, equal to batch w6") {
+    // The PRODUCTION shape of the w6 decomposition: the incremental half
+    // (windowed counts) runs in APPEND mode — a window's counts emit
+    // exactly once, when the watermark passes its end — and the rank-k
+    // filter runs over the closed-window emissions (not a complete-mode
+    // re-materialization). Two-chunk feed: all real events, then a
+    // far-future sentinel whose only job is to advance the watermark
+    // past every real window so they all close; the sentinel's own
+    // window stays open and must NOT be emitted.
+    val ev = Tables.events(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "w6append").toString
+    ev.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(ev.schema).parquet(d)
+    val counts = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("w6_append_out").start()
+    try {
+      q.processAllAvailable()
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // one day past the last event, 5 min into its hour: every real
+      // window ends ≥ 50 min before the advanced watermark
+      val sentinelMs = (maxTs.getTime / 3600000L + 24) * 3600000L + 300000L
+      ev.limit(1)
+        .withColumn("ts", lit(new java.sql.Timestamp(sentinelMs)))
+        .withColumn("event_type", lit("zzz_sentinel"))
+        .write.mode("append").parquet(d)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("w6_append_out")
+    // the open sentinel window was not emitted
+    assert(emitted.filter(col("event_type") === "zzz_sentinel").count() === 0)
+    // rank the closed-window emissions (the batch half of the decomposition)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("n").desc, col("event_type"))
+    val got = emitted
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= 3)
+      .select(col("w.start").as("win_start"),
+        col("rank").cast("int").as("rank"), col("event_type"), col("n"))
+    val want = graft.streaming.EventsWindows.windowTopK(spark, sfDir)
+    assert(want.count() > 0)
+    val joined = got.as("g").join(want.as("b"),
+      Seq("win_start", "rank"), "full_outer")
+    assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
+      col("g.n") =!= col("b.n") ||
+      col("g.event_type") =!= col("b.event_type")).count() === 0)
+  }
 }
