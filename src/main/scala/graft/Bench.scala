@@ -43,6 +43,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL execution through the noop sink, NOT count():
+    // count() lets the optimizer ELIMINATE subtrees whose rows provably
+    // don't change the cardinality — on the faithful flagship the
+    // 3 GB-scan branch sits behind a left join with unique build-side
+    // keys, and count() measured a 7-row local plan with ZERO bytes
+    // read (caught via input-metrics audit on the GB corpus). A write
+    // needs every column of every row, so nothing is elidable.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // clearCache after EVERY query: operator-internal cache() calls
     // (Dedup's shingle table) persist in the session CacheManager, and
@@ -55,7 +64,7 @@ object Bench {
       // per-pass JVM/codegen/C2 warmup is not attributed to it (one run
       // compiles; steady state needs the compiled code to actually run)
       for (i <- 1 to 3) {
-        try queries.head._2(spark, dir).count()
+        try run(queries.head._2(spark, dir))
         catch { case NonFatal(e) =>
           // name + full stack: any trace in bench stderr must be
           // attributable to a specific query and phase (r8 shipped an
@@ -68,7 +77,7 @@ object Bench {
       }
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, dir).count(); true }
+        val ok = try { run(fn(spark, dir)); true }
           catch { case NonFatal(e) =>
             System.err.println(s"[bench] $name failed:")
             e.printStackTrace()
@@ -78,6 +87,21 @@ object Bench {
         spark.catalog.clearCache()
         name -> (if (ok) dt else -1.0)
       }.toMap
+    }
+    // FULL WARM SWEEP at a tiny SF before any timed pass: the three
+    // sacrificial runs only warm the first-sorted query's subtree —
+    // every other query's codegen/C2 compilation still lands on its own
+    // first timed run (observed: s4's pass-0 at 65 s vs 5.8 s warm).
+    // One sweep at sf0.001 compiles every plan shape for ~1 min total,
+    // so both timed passes run against a warm JIT. Skipped when the
+    // sweep dir is absent (or set SPARK_GRAFT_WARMSWEEP_DIR= to disable).
+    val sweepDir = sys.env.getOrElse("SPARK_GRAFT_WARMSWEEP_DIR",
+      "/root/testdata/sf0.001")
+    if (sweepDir.nonEmpty && new java.io.File(sweepDir).isDirectory) {
+      val s0 = System.nanoTime()
+      timeOnce(sweepDir)
+      System.err.println(
+        f"[bench] warm sweep at $sweepDir: ${(System.nanoTime() - s0) / 1e9}%.1f s")
     }
     // Both passes are complete runs at the target SF; reporting the
     // per-query minimum measures steady-state throughput and shields
@@ -118,6 +142,47 @@ object Bench {
       e.printStackTrace()
       (-1.0, -1.0)
     }
+    // GB-scale flagship: the one comparison BASELINE.md publishes at
+    // like volume — the reference's 481 s is over ~3.2 GB of taxi CSV;
+    // run the real ingest pipeline (S2 listing → text scan → accept →
+    // speed → two-level mean) over a ≥3 GB generated corpus and record
+    // both reduce modes. Generation is stamped (one-time per machine);
+    // opt out with SPARK_GRAFT_GB=0.
+    val gbJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_GB", "1") == "0") ""
+      else try {
+        val g0 = System.nanoTime()
+        val glob = graft.sources.TaxiDataGen.ensureScaled(spark, sfDir)
+        val genSec = (System.nanoTime() - g0) / 1e9
+        val bytes = new java.io.File(glob).getParentFile
+          .listFiles().filter(_.getName.endsWith(".csv")).map(_.length).sum
+        // collect through formatResult — the reference's own output step,
+        // and a 7-row collect cannot be subtree-eliminated. Two runs per
+        // mode, both recorded raw: run 1 usually pays page-cache and
+        // first-use codegen, but ambient load waves on this host can
+        // hit either run, so cold/warm labels would misattribute — the
+        // headline *_sec is the min (the steady-state claim), the runs
+        // array is the evidence.
+        def t(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def faithful(): Unit = { graft.operators.TaxiSpeed.formatResult(
+          graft.operators.TaxiSpeed.faithfulAvgByDowListed(spark, glob)); () }
+        def weighted(): Unit = { graft.operators.TaxiSpeed.formatResult(
+          graft.operators.TaxiSpeed.weightedAvgByDow(
+            graft.sources.TaxiCsv.trips(spark, glob))); () }
+        val fRuns = Seq(t(faithful()), t(faithful()))
+        val wRuns = Seq(t(weighted()), t(weighted()))
+        val (fSec, wSec) = (fRuns.min, wRuns.min)
+        System.err.println(f"[bench] gb_flagship: $bytes%d bytes, " +
+          f"faithful $fSec%.1f s ${fRuns.map(r => f"$r%.1f").mkString("[", ",", "]")}, " +
+          f"weighted $wSec%.1f s ${wRuns.map(r => f"$r%.1f").mkString("[", ",", "]")} (baseline 481 s)")
+        s""""gb_flagship":{"bytes":$bytes,"gen_sec":$genSec,"faithful_sec":$fSec,"faithful_runs":${fRuns.mkString("[", ",", "]")},"weighted_sec":$wSec,"weighted_runs":${wRuns.mkString("[", ",", "]")},"baseline_sec":481},"""
+      } catch { case NonFatal(e) =>
+        System.err.println("[bench] gb_flagship failed:")
+        e.printStackTrace()
+        ""
+      }
     val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -130,7 +195,7 @@ object Bench {
     // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
     // from the target, pass-0 times are NOT target-scale numbers and
     // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

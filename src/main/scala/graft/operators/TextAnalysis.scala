@@ -228,30 +228,41 @@ object TextAnalysis {
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    // NON-distinct 2-grams (repetition needs occurrence counts, so no
-    // array_distinct here, unlike the dedup shingles); `toks` is a
-    // materialized column, so the lambda re-evaluation gotcha
-    // (TextFunctions.shinglesFromTokens) does not bite.
-    val g2 = when(size(col("toks")) >= 2,
-      transform(sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1))))
-      .otherwise(array())
-    val base = d.select(col("doc_id"), col("toks"), g2.as("g2"))
-      .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        col("g2"),
-        size(col("g2")).as("n_2grams"),
-        size(array_distinct(col("g2"))).as("n_distinct_2grams"))
-    val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
+    // token-side stats: one pass over the materialized token array
+    val tokStats = d.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct_tokens"))
+    // 2-gram stats: stream NON-distinct 2-grams out of a generator
+    // (explode of the position sequence; the gram string is built in
+    // the projection ABOVE the generator, so no per-doc gram array is
+    // ever materialized) and take every aggregate from one (doc, gram)
+    // count table — sum(c) = n_2grams, count(*) = n_distinct_2grams,
+    // max(c) = top count. The earlier shape materialized the gram
+    // array per row twice (main + top branches) and ran array_distinct
+    // over it per row — 3 full gram passes the aggregation replaces;
+    // per-doc worst-case memory is now one token array, not O(doc²)
+    // gram bytes. `when` guard: sequence(1, 0) would run DESCENDING
+    // (Spark infers step -1), not empty. explode (not _outer) drops
+    // the <2-token docs, restored by the left join below — NULL stats
+    // for them, exactly the old top-join miss semantics.
+    val g2Stats = d
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("toks"), col("i")),
+        element_at(col("toks"), col("i") + 1)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_count"))
-    base.drop("g2").join(top, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("int").as("n_2grams"),
+        count(lit(1)).cast("int").as("n_distinct_2grams"),
+        max(col("c")).as("top_2gram_count"))
+    tokStats.join(g2Stats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (lit(1.0) - try_divide(col("n_distinct_tokens").cast("double"),
           col("n_tokens"))).as("dup_token_ratio"),
-        col("n_2grams"),
+        coalesce(col("n_2grams"), lit(0)).as("n_2grams"),
         (lit(1.0) - try_divide(col("n_distinct_2grams").cast("double"),
           col("n_2grams"))).as("dup_2gram_ratio"),
         col("top_2gram_count"),
