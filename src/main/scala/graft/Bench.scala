@@ -142,6 +142,22 @@ object Bench {
       e.printStackTrace()
       (-1.0, -1.0)
     }
+    // s2 LSH build-vs-query split, same contract as s3's.
+    val (lshBuild, lshQuery) = try {
+      graft.operators.Similarity.invalidateLshIndexes()
+      val b0 = System.nanoTime()
+      val idx = graft.operators.Similarity.lshIndexFor(spark, sfDir)
+      val b = (System.nanoTime() - b0) / 1e9
+      val q0 = System.nanoTime()
+      graft.operators.Similarity.lshTopK(spark, sfDir).count()
+      val q = (System.nanoTime() - q0) / 1e9
+      require(idx != null)
+      (b, q)
+    } catch { case NonFatal(e) =>
+      System.err.println("[bench] s2 lsh build/query split failed:")
+      e.printStackTrace()
+      (-1.0, -1.0)
+    }
     // GB-scale flagship: the one comparison BASELINE.md publishes at
     // like volume — the reference's 481 s is over ~3.2 GB of taxi CSV;
     // run the real ingest pipeline (S2 listing → text scan → accept →
@@ -195,7 +211,7 @@ object Bench {
     // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
     // from the target, pass-0 times are NOT target-scale numbers and
     // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

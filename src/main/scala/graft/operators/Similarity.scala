@@ -451,35 +451,93 @@ object Similarity {
     */
   def lshTopK(s: SparkSession, dir: String,
       k: Int = 5, nQueries: Int = 5, nBits: Int = 4, nTables: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    lshQuery(lshIndexFor(s, dir, nBits, nTables, dim), k, nQueries)
+
+  /** Prebuilt multi-table LSH index, two checkpointed relations:
+    *
+    *  - `sigs`: ONE row per vector — embedding + the `nTables` bucket
+    *    signatures. The signatures are the expensive half of the
+    *    scheme (nTables × nBits hyperplane dot products per corpus
+    *    row: 32 dots of dim 64 at the defaults, ~6× the dot-product
+    *    work of the exact s1 scan when only 5 queries probe), so like
+    *    IvfIndex they are paid once at build.
+    *  - `postings`: the exploded (bucket, neighbor_id) posting list —
+    *    nTables skinny int rows per vector, NO embedding. Candidate
+    *    generation at query time streams only these ~12 bytes/row;
+    *    vectors are fetched from `sigs` by id AFTER the (query,
+    *    neighbor) dedup, so embedding bytes move once per surviving
+    *    candidate instead of nTables× per corpus row (the posture
+    *    that matters at 100 TB: posting-list join, then fetch).
+    *
+    * Bucket keys are ints — (table << nBits) | signature — not
+    * concat_ws strings: integer equi-join keys hash cheaper and pack
+    * the nTables disjoint key spaces without collisions.
+    * Pattern mirrors IvfIndex / Dedup.MinhashIndex.
+    */
+  final case class LshIndex(sigs: DataFrame, postings: DataFrame,
+      nBits: Int, nTables: Int, dim: Int)
+
+  def buildLshIndex(s: SparkSession, dir: String, nBits: Int = 4,
+      nTables: Int = 8, dim: Int = 64): LshIndex = {
     val e = Tables.embeddings(s, dir)
       .transform(Tables.spread(_, col("vec_id")))
-    val sigs = (0 until nTables).map { t =>
+    val sigCols = (0 until nTables).map { t =>
       signature(col("embedding"), hyperplanes(nBits, dim, t)).as(s"sig$t")
     }
-    val withSigs = e.select(col("vec_id") +: col("embedding") +: sigs: _*)
-    // corpus rows keyed by (table, bucket) — one key per table
-    val corpusKeys = (0 until nTables).map(t =>
-      concat_ws("_", lit(t), col(s"sig$t")))
-    val corpus = withSigs.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb"),
-        explode(array(corpusKeys: _*)).as("bucket"))
+    val sigs = e.select(col("vec_id") +: col("embedding") +: sigCols: _*)
+      .localCheckpoint(true)
+    val postingKeys = (0 until nTables).map(t =>
+      (lit(t << nBits).bitwiseOR(col(s"sig$t"))).cast("int"))
+    val postings = sigs
+      .select(col("vec_id").as("neighbor_id"),
+        explode(array(postingKeys: _*)).as("bucket"))
+      .localCheckpoint(true)
+    LshIndex(sigs, postings, nBits, nTables, dim)
+  }
+
+  /** Memoized per (session, corpus dir, params) — build-on-first-call,
+    * same amortization contract as `ivfIndexFor`.
+    */
+  private val lshIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LshIndex]()
+
+  def lshIndexFor(s: SparkSession, dir: String, nBits: Int = 4,
+      nTables: Int = 8, dim: Int = 64): LshIndex =
+    lshIndexes.computeIfAbsent((s, s"$dir|$nBits|$nTables|$dim"),
+      _ => buildLshIndex(s, dir, nBits, nTables, dim))
+
+  def invalidateLshIndexes(): Unit = lshIndexes.clear()
+
+  /** The query side of s2: probe + Hamming-1 posting-list join →
+    * (query, neighbor) dedup → fetch vectors by id → exact cosine
+    * re-rank. No per-call corpus hashing, and no embedding bytes in
+    * the candidate-generation stream.
+    */
+  def lshQuery(index: LshIndex, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val nBits = index.nBits
+    val nTables = index.nTables
     // queries probe own + Hamming-1 buckets in EVERY table
     val probeKeys = (0 until nTables).flatMap { t =>
       val own = col(s"sig$t")
       (own +: (0 until nBits).map(i => own.bitwiseXOR(lit(1 << i))))
-        .map(sig => concat_ws("_", lit(t), sig))
+        .map(sig => (lit(t << nBits).bitwiseOR(sig)).cast("int"))
     }
-    val q = withSigs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+    val qProbes = index.sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
         explode(array(probeKeys: _*)).as("bucket"))
+    // skinny candidate pairs; a pair found in several tables re-ranks once
+    val cand = index.postings.join(broadcast(qProbes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qVecs = index.sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      // a pair found in several tables is re-ranked once
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("q_emb")).as("q_emb"), first(col("n_emb")).as("n_emb"))
+    index.sigs
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .filter(col("cos").isNotNull) // zero/null vectors rank nowhere
       .withColumn("rank", row_number().over(w))
