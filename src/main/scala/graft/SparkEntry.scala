@@ -196,6 +196,10 @@ object SparkEntry {
     "t9_mix_stats" -> (TextAnalysis.mixStats(_, _)),
     // Unigram-LM quality proxy: mean -ln p(token), add-one smoothing
     "t10_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _)),
+    // PII scrub: email/IPv4/phone -> typed placeholders, per-class counts
+    "t11_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
+    // Token-budget sequence packing: per-shard cumulative-count bins
+    "t12_sequence_pack" -> (TextAnalysis.sequencePack(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -884,6 +888,45 @@ object SparkEntry {
         |  avg(-ln((c + 1.0) / (n + v))) AS avg_neg_logprob
         |FROM toks JOIN cnt USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t11: the raw column is derived identically on both engines so the
+    // oracle checks Java-regex-vs-RE2 agreement on real matches; the
+    // patterns stay inside the two dialects' intersection.
+    "t11_pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com from 10.0.'
+        |      || (doc_id % 256) || '.7 call +1 415 555 0' || (doc_id % 100)
+        |      AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d ]{6,}\d')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d ]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "t12_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS INT) AS shard, CAST(n_tok AS INT) AS n_tok,
+        |  CAST(floor((cum - n_tok) / 256) AS INT) AS bin,
+        |  CAST((cum - n_tok) % 256 AS INT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

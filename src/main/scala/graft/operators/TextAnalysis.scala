@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -351,6 +352,74 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         avg(-log((col("c") + lit(1.0)) / (col("n") + col("v"))))
           .as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t11 — PII redaction: replace emails, IPv4 addresses, and
+    * international-format phone numbers with typed placeholders, and
+    * count the redactions per class. The canonical pre-training scrub
+    * step; shuffle-free codegen'd regexp scan.
+    *
+    * The synthetic corpus contains no PII, so the registered query
+    * derives a deterministic PII-bearing column from doc_id on BOTH
+    * engines first — the oracle then genuinely checks that the two
+    * regex engines (Java regex here, RE2 in DuckDB) agree on every
+    * match boundary, instead of trivially diffing no-ops. The patterns
+    * stay inside the dialect intersection: character classes, bounded
+    * repetition, \b and \d (no lookaround, no backrefs).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phonePat = "\\+\\d[\\d ]{6,}\\d"
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10.0."),
+      pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".7 call +1 415 555 0"),
+      pmod(col("doc_id"), lit(100)).cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(ipPat), lit(0))).as("n_ips"),
+        // phones counted AFTER email/IP removal, as redaction applies them
+        // in that order (an IP's digits must not count as a phone)
+        size(regexp_extract_all(
+          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"), lit(phonePat), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"), phonePat, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t12 — sequence packing: assign documents to fixed-token-budget
+    * training sequences (bins) by cumulative token count, per shard.
+    * The boundary-overflow greedy variant (a doc that crosses the
+    * budget closes the bin it started in): bin = floor(tokens-before /
+    * capacity) over doc_id order within a shard — ONE window per
+    * shard, fully distributable (exact first-fit packing is inherently
+    * sequential; per-shard chunking is how it actually runs at scale,
+    * and shard count = write parallelism). Output is the pack manifest
+    * a sequence-builder job consumes: (doc, shard, bin, tokens,
+    * offset-in-bin).
+    */
+  def sequencePack(s: SparkSession, dir: String,
+      capacity: Int = 256, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(tokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard").cast("int").as("shard"),
+        col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(capacity)).cast("int")
+          .as("bin"),
+        pmod(col("cum") - col("n_tok"), lit(capacity)).cast("int")
+          .as("bin_offset"))
       .orderBy(col("doc_id"))
   }
 }

@@ -40,4 +40,42 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"doc $id (lang $lang, score $score) flipped outside medians [$lo, $hi]")
     }
   }
+
+  test("t11 redacts every injected email/IP/phone and nothing survives") {
+    val rows = TextAnalysis.piiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, redacted) = (r.getLong(0), r.getString(4))
+      assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1,
+        s"doc $id: expected exactly one match per class, got " +
+          s"(${r.getInt(1)}, ${r.getInt(2)}, ${r.getInt(3)})")
+      assert(redacted.contains("<EMAIL>") && redacted.contains("<IP>") &&
+        redacted.contains("<PHONE>"), s"doc $id: placeholder missing")
+      assert(!redacted.contains("@") && !redacted.contains("10.0.") &&
+        !redacted.contains("+1 "), s"doc $id: raw PII survived: $redacted")
+    }
+  }
+
+  test("t12 packing matches an independent sequential re-pack") {
+    val capacity = 256
+    val got = TextAnalysis.sequencePack(spark, sfDir, capacity, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(got.nonEmpty)
+    // independent reference: per shard, walk docs in id order with a
+    // plain running counter (the semantics a sequence-builder consumer
+    // assumes), and compare every assignment
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, nTok, bin, off) =>
+        assert(bin == (cum / capacity).toInt,
+          s"doc $id shard $shard: bin $bin != ${cum / capacity}")
+        assert(off == (cum % capacity).toInt,
+          s"doc $id shard $shard: offset $off != ${cum % capacity}")
+        cum += nTok
+      }
+    }
+    // every doc packed exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+  }
 }
