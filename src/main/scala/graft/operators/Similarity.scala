@@ -32,9 +32,13 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, cos).
     */
   def bruteForceTopK(s: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5): DataFrame =
+    bruteForceTopKFrom(Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id"))), k, nQueries)
+
+  /** Same, over any (vec_id, embedding) relation. */
+  def bruteForceTopKFrom(e: DataFrame,
       k: Int = 5, nQueries: Int = 5): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .transform(Tables.spread(_, col("vec_id")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
@@ -479,9 +483,13 @@ object Similarity {
       nBits: Int, nTables: Int, dim: Int)
 
   def buildLshIndex(s: SparkSession, dir: String, nBits: Int = 4,
+      nTables: Int = 8, dim: Int = 64): LshIndex =
+    buildLshIndexFrom(Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id"))), nBits, nTables, dim)
+
+  /** Same, over any (vec_id, embedding) relation. */
+  def buildLshIndexFrom(e: DataFrame, nBits: Int = 4,
       nTables: Int = 8, dim: Int = 64): LshIndex = {
-    val e = Tables.embeddings(s, dir)
-      .transform(Tables.spread(_, col("vec_id")))
     val sigCols = (0 until nTables).map { t =>
       signature(col("embedding"), hyperplanes(nBits, dim, t)).as(s"sig$t")
     }
@@ -514,7 +522,12 @@ object Similarity {
     * re-rank. No per-call corpus hashing, and no embedding bytes in
     * the candidate-generation stream.
     */
-  def lshQuery(index: LshIndex, k: Int = 5, nQueries: Int = 5): DataFrame = {
+  /** The skinny candidate pairs the posting-list join produces — the
+    * pruning half of s2, exposed so its selectivity is measurable
+    * (DedupSimilaritySpec asserts it prunes hard on clustered data;
+    * on THIS near-isotropic corpus it is documented to flood).
+    */
+  def lshCandidates(index: LshIndex, nQueries: Int = 5): DataFrame = {
     val nBits = index.nBits
     val nTables = index.nTables
     // queries probe own + Hamming-1 buckets in EVERY table
@@ -526,10 +539,14 @@ object Similarity {
     val qProbes = index.sigs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(array(probeKeys: _*)).as("bucket"))
-    // skinny candidate pairs; a pair found in several tables re-ranks once
-    val cand = index.postings.join(broadcast(qProbes), Seq("bucket"))
+    // a pair found in several tables re-ranks once
+    index.postings.join(broadcast(qProbes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
+  }
+
+  def lshQuery(index: LshIndex, k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val cand = lshCandidates(index, nQueries)
     val qVecs = index.sigs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))

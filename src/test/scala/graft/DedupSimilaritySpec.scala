@@ -150,6 +150,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  // The sf corpora are deliberately near-isotropic (neighbors at cos
+  // 0.4-0.55 against a 0.3 background), where NO sub-quadratic scheme
+  // can prune without losing recall — there s2's value is the
+  // build/query split alone. This test is the operator's existence
+  // proof on data LSH is FOR: clustered embeddings (the shape real
+  // near-dup corpora have), where the same index at more bits / fewer
+  // tables must cut the candidate set hard while keeping recall.
+  test("LSH candidates prune hard on clustered data at recall >= 0.8") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val dim = 64; val nClusters = 20; val n = 2000; val nQueries = 20
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      // per-dim sigma 0.15/sqrt(dim): total noise norm ~0.15 around a
+      // UNIT center (same-cluster cos ~0.98) — per-dim 0.15 would give
+      // noise norm ~1.2 and dissolve the clusters
+      (i.toLong, c.map(x =>
+        x + (0.15 / math.sqrt(dim) * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .repartition(8)
+    val index = Similarity.buildLshIndexFrom(e, nBits = 8, nTables = 4,
+      dim = dim)
+    val candidates = Similarity.lshCandidates(index, nQueries).count()
+    val fraction = candidates.toDouble / (nQueries.toLong * (n - 1))
+    val exact = Similarity.bruteForceTopKFrom(e, k = 5, nQueries = nQueries)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshQuery(index, k = 5, nQueries = nQueries)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(s"clustered corpus: candidate fraction = $fraction, recall@5 = $recall")
+    assert(fraction < 0.3, s"LSH failed to prune: fraction $fraction")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
