@@ -293,9 +293,13 @@ object Similarity {
     * assignment is ONE scan, then checkpointed.
     */
   def buildIvfIndex(s: SparkSession, dir: String, nCells: Int = 16,
+      dim: Int = 64, lloydIters: Int = 2): IvfIndex =
+    buildIvfIndexFrom(Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id"))), nCells, dim, lloydIters)
+
+  /** Same, over any (vec_id, embedding) relation. */
+  def buildIvfIndexFrom(e: DataFrame, nCells: Int = 16,
       dim: Int = 64, lloydIters: Int = 2): IvfIndex = {
-    val e = Tables.embeddings(s, dir)
-      .transform(Tables.spread(_, col("vec_id")))
     val eD = e.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .filter(size(col("emb")) === dim)

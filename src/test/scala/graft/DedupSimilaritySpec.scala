@@ -192,6 +192,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF probes a small corpus fraction on clustered data at recall >= 0.8") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val dim = 64; val nClusters = 20; val n = 2000; val nQueries = 20
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x =>
+        x + (0.15 / math.sqrt(dim) * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .repartition(8)
+    val index = Similarity.buildIvfIndexFrom(e, nCells = 16, dim = dim)
+    // nProbe 3 of 16: on clustered data Lloyd centroids align with the
+    // real clusters, so a few probed cells hold a query's whole
+    // neighborhood (nProbe 2 measures 0.81 — at the gate; 3 buys margin)
+    val nProbe = 3
+    val queries = index.corpus.filter(col("neighbor_id") < nQueries)
+      .select(col("neighbor_id").as("query_id"), col("n_emb").as("q_emb"),
+        col("n_nrm").as("q_nrm"))
+    val exact = Similarity.bruteForceTopKFrom(e, k = 5, nQueries = nQueries)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfQuery(index, queries, k = 5, nProbe = nProbe)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"clustered corpus: nProbe $nProbe/16, recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
