@@ -243,6 +243,8 @@ object SparkEntry {
     // Full iterated Lloyd's k-means (fixed init + fixed rounds =
     // deterministic and SQL-oracle-able via CTE unrolling)
     "s7_kmeans_iter" -> (Similarity.kmeansIterate(_, _)),
+    // Per-vector int8 scalar quantization (4x embedding storage cut)
+    "s8_quantize_int8" -> (Similarity.quantizeInt8(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -1187,6 +1189,25 @@ object SparkEntry {
     // final E-step, each round one assign CTE + one centroid CTE — the
     // same deterministic arithmetic the Spark side evaluates.
     "s7_kmeans_iter" -> kmeansIterOracle(iters = 2),
+
+    // s8: arithmetic is explicit-double floor(x+0.5) on BOTH engines —
+    // engine `round` functions differ in half-way handling, and float
+    // arithmetic differs from double; neither may leak into a hashed
+    // value compare.
+    "s8_quantize_int8" ->
+      """WITH s AS (SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+        |    embedding
+        |  FROM embeddings)
+        |SELECT vec_id, mn, mx,
+        |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding, x ->
+        |         CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) AS INT))
+        |  END AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "s4_knn_join" ->
       """WITH cos AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -566,4 +566,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ── Embedding storage quantization ───────────────────────────────────
+  /** s8 — per-vector int8 scalar quantization: q[i] = floor((x[i]-mn)/
+    * scale + 0.5) with scale = (mx-mn)/255 — 4× smaller embedding
+    * storage (the difference between fitting an embedding corpus in
+    * cluster memory or not at 100 TB), with reconstruction error
+    * bounded by scale/2 per element (spec-asserted).
+    *
+    * All arithmetic is explicit-double and expressed as floor(x+0.5),
+    * not an engine `round`: float-vs-double promotion and
+    * half-even/half-up rounding are exactly where two engines silently
+    * disagree, and the oracle is a value-level hash. Constant vectors
+    * (scale 0) quantize to all zeros on both engines by the same CASE.
+    * Shuffle-free codegen'd scan.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id")))
+      .select(col("vec_id"),
+        expr("CAST(array_min(embedding) AS DOUBLE)").as("mn"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("mx"),
+        col("embedding"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        when(col("scale") === 0.0,
+          expr("transform(embedding, x -> 0)"))
+          .otherwise(expr(
+            "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5d) AS INT))"))
+          .as("qvec"))
+      .orderBy(col("vec_id"))
 }

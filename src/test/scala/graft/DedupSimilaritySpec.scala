@@ -227,6 +227,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("s8 int8 quantization reconstructs within scale/2 per element") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.quantizeInt8(spark, sfDir)
+    val orig = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = q.collect()
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val (id, mn, mx) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val qv = r.getSeq[Int](3)
+      val scale = (mx - mn) / 255.0
+      qv.zip(orig(id)).foreach { case (qi, x) =>
+        assert(qi >= 0 && qi <= 255, s"vec $id: q=$qi out of int8 range")
+        val err = math.abs(mn + qi * scale - x)
+        assert(err <= scale / 2 + 1e-9,
+          s"vec $id: reconstruction error $err > ${scale / 2}")
+      }
+    }
+  }
+
   test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
