@@ -226,6 +226,9 @@ object SparkEntry {
     // Bloom-filter decontamination (bounded broadcast; superset of d11;
     // engine-specific sketch → rows-only check + spec gates)
     "d14_decontaminate_bloom" -> (CorpusOps.decontaminateBloom(_, _)),
+    // Per-doc duplicated word-8-gram span fraction (exact-substring
+    // dedup detection, Lee et al. 2022)
+    "d15_ngram_spans"      -> (Dedup.ngramSpanStats(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1288,6 +1291,31 @@ object SparkEntry {
         |  CAST(coalesce(least(c.vid, c.mn), v.vec_id) AS BIGINT) AS component
         |FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vid
         |ORDER BY v.vec_id""".stripMargin,
+
+    // d15: both engines split on a single space and build word-8-grams
+    // positionally (DuckDB 1-based inclusive slice == Spark slice(ws,i,8)),
+    // so the gram groups are string-identical; dup_frac is explicit
+    // double division on both sides.
+    "d15_ngram_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |    array_to_string(words[CAST(i AS INT):CAST(i+7 AS INT)], ' ') AS gram
+        |  FROM w, UNNEST(generate_series(1, len(words)-7)) AS t(i)
+        |  WHERE len(words) >= 8),
+        |df AS (SELECT gram FROM g GROUP BY gram
+        |       HAVING count(DISTINCT doc_id) > 1),
+        |pd AS (SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN df.gram IS NOT NULL THEN 1 ELSE 0 END) AS dup_grams
+        |  FROM g LEFT JOIN df USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(pd.dup_grams, 0) AS BIGINT) AS dup_grams,
+        |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(pd.dup_grams AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

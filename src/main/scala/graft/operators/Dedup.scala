@@ -818,4 +818,64 @@ object Dedup {
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
   }
+
+  // ── Duplicated-span detection (exact-substring dedup) ────────────────
+  /** d15 — per-document duplicated n-gram span fraction, the detection
+    * half of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": duplicated ~50-token
+    * spans across a corpus measurably hurt the trained model; the cure
+    * is finding every n-gram position whose n-gram recurs in ANOTHER
+    * document). Output: (doc_id, n_grams, dup_grams, dup_frac) — the
+    * per-doc count of word-`n`-gram positions, how many of those grams
+    * also occur in a different doc, and the fraction. Docs shorter than
+    * `n` words contribute a (doc_id, 0, 0, 0.0) row: "no spans" is a
+    * statement about the doc, not a reason to drop it.
+    *
+    * Shape at scale: one shuffle to compute per-gram document frequency
+    * (map-side partial aggregation collapses a doc's repeated grams
+    * before the wire), one broadcast-able-when-small / shuffle join of
+    * positions against the df>1 gram set, one shuffle back to doc_id.
+    * The gram strings are the join key here because the DuckDB oracle
+    * must form identical groups; a 100 TB deployment keys the df table
+    * by a 128-bit gram hash instead (collision odds ~n²/2¹²⁸), which
+    * cuts the shuffle payload ~5× for 8-word grams. n-gram generation
+    * is transform(sequence)+explode inside codegen — no driver-side
+    * lists, rows stream out of the scan.
+    */
+  def ngramSpanStats(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    ngramSpanStatsFrom(
+      Tables.documents(s, dir).transform(Tables.spread(_, col("doc_id"))), n)
+
+  /** d15 over any (doc_id, text) relation — the composable form. */
+  def ngramSpanStatsFrom(docsRaw: DataFrame, n: Int = 8): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val grams = docs
+      .select(col("doc_id"),
+        explode(expr(
+          s"CASE WHEN size(words) >= $n THEN transform(" +
+          s"sequence(1, size(words) - ${n - 1}), " +
+          s"i -> array_join(slice(words, i, $n), ' ')) " +
+          "ELSE array() END")).as("gram"))
+    // df>1 grams only: the singleton majority never leaves the agg.
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1)
+      .select(col("gram"))
+    val perDoc = grams
+      .join(dupGrams.withColumn("is_dup", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("dup_grams"))
+    // Left join from the doc spine so gram-less (short) docs keep a row.
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("dup_grams").cast("double") /
+            col("n_grams").cast("double")))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -8,6 +8,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sfDir = "/root/testdata/sf0.001"
 
+  test("d15 ngram spans: per-doc counts, bounds, and exact-dup docs at 1.0") {
+    import org.apache.spark.sql.functions._
+    val stats = Dedup.ngramSpanStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stats.size == docs.size, "one output row per document")
+    docs.foreach { case (id, nw) =>
+      val (ng, dg, frac) = stats(id)
+      assert(ng == math.max(0, nw - 7), s"doc $id: n_grams $ng for $nw words")
+      assert(dg >= 0 && dg <= ng, s"doc $id: dup_grams $dg out of [0,$ng]")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id: dup_frac $frac")
+    }
+    // Planted fixture (the corpus has no byte-identical texts): twin
+    // docs share EVERY gram → dup_frac exactly 1.0; a unique doc → 0.0;
+    // a doc embedding the twin text plus unique words → strictly
+    // between. Catches off-by-one gram windows and df-threshold slips.
+    import spark.implicits._
+    val twin = (1 to 12).map(i => s"w$i").mkString(" ") // 12 words, 5 grams
+    val planted = Seq(
+      (1L, twin), (2L, twin),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (4L, twin + " " + (1 to 8).map(i => s"x$i").mkString(" ")),
+      (5L, "too short")).toDF("doc_id", "text")
+    val p = Dedup.ngramSpanStatsFrom(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(p(1L) == ((5L, 5L, 1.0)) && p(2L) == ((5L, 5L, 1.0)), s"twins: $p")
+    assert(p(3L) == ((5L, 0L, 0.0)), s"unique doc: ${p(3L)}")
+    assert(p(4L)._1 == 13L && p(4L)._2 == 5L, s"superset doc: ${p(4L)}")
+    assert(p(5L) == ((0L, 0L, 0.0)), s"short doc: ${p(5L)}")
+  }
+
   test("s7 k-means inertia is non-increasing over iterations") {
     // Lloyd's invariant: each E+M round can only lower the total
     // within-cluster squared distance, so the final-assignment inertia
