@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -140,18 +139,23 @@ object RelationalQueries3 {
       .orderBy(col("doc_id"))
 
   /** q48 — histogram + share-of-total: fixed-width value buckets, then
-    * a window over the aggregate for the global share (the window input
-    * is already the tiny bucket table — sum-over-all is cheap; the
-    * alternative scalar-subquery rescan is not).
+    * the global share via a one-row total aggregate broadcast-joined
+    * back (the q21/q38 plan shape). An unpartitioned window would give
+    * the same numbers but funnels the whole bucket table through ONE
+    * WindowExec task — bounded today, but the aggregate+broadcast form
+    * stays parallel at any bucket count and keeps the bench log free of
+    * single-partition warnings.
     */
   def priceHistogram(s: SparkSession, dir: String,
       width: Double = 50000.0): DataFrame = {
     val agg = Tables.orders(s, dir)
       .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("bucket_value"))
-    agg
+    val total = agg.agg(sum(col("n_orders")).as("total_orders"))
+    agg.crossJoin(broadcast(total))
       .withColumn("pct_orders",
-        lit(100.0) * col("n_orders") / sum(col("n_orders")).over(Window.partitionBy()))
+        lit(100.0) * col("n_orders") / col("total_orders"))
+      .drop("total_orders")
       .orderBy(col("bucket"))
   }
 
@@ -237,9 +241,14 @@ object RelationalQueries3 {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("total_revenue"))
+    // "equal to the max" as a one-row max aggregate broadcast-joined
+    // back, not max().over(Window.partitionBy()): the unpartitioned
+    // window pushes every per-supplier row through ONE task, which
+    // grows linearly with #suppliers; this form keeps the filter a
+    // parallel broadcast-hash join at any scale (q21/q38's shape).
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
-      .withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
-      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
