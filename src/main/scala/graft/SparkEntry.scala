@@ -246,8 +246,12 @@ object SparkEntry {
     // Full iterated Lloyd's k-means (fixed init + fixed rounds =
     // deterministic and SQL-oracle-able via CTE unrolling)
     "s7_kmeans_iter" -> (Similarity.kmeansIterate(_, _)),
-    // Per-vector int8 scalar quantization (4x embedding storage cut)
-    "s8_quantize_int8" -> (Similarity.quantizeInt8(_, _)),
+    // Per-vector int8 scalar quantization (4x embedding storage cut);
+    // registered flat (codes comma-joined) so the gate can sort/hash it
+    "s8_quantize_int8" -> (Similarity.quantizeInt8Flat(_, _)),
+    // Exact top-k over the dequantized int8 corpus — the consumer that
+    // proves quantized storage still ranks like the float corpus
+    "s9_dequantized_topk" -> (Similarity.dequantizedTopK(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -1206,11 +1210,41 @@ object SparkEntry {
         |    embedding
         |  FROM embeddings)
         |SELECT vec_id, mn, mx,
-        |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding, x ->
-        |         CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) AS INT))
-        |  END AS qvec
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x ->
+        |           CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) AS INT))
+        |    END, ',') AS qvec_csv
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // s9: reconstruction mn + q*scale in DOUBLE on both engines, then
+    // the s1 oracle shape over the reconstructed vectors (same
+    // sequential-double cosine, same (cos DESC, neighbor_id) tie-break).
+    "s9_dequantized_topk" ->
+      """WITH s AS (SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |r AS (SELECT vec_id,
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(embedding, x -> mn + 0 * scale)
+        |         ELSE list_transform(embedding, x ->
+        |           mn + CAST(CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5)
+        |             AS INT) AS DOUBLE) * scale)
+        |    END AS emb
+        |  FROM s),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM r WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, emb AS ne FROM r),
+        |cos AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS cos
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM cos)
+        |SELECT query_id, rank, neighbor_id, cos FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s4_knn_join" ->
       """WITH cos AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -40,18 +40,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microsecond) cannot represent natively — read it as raw long nanos
-    * (legacy conf) and truncate to microseconds with integer arithmetic
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's TimestampType
+    * (microsecond) cannot represent natively, so it surfaces as a raw
+    * long under the legacy conf and we truncate with integer arithmetic
     * (`div`, not `/`: ns since epoch exceeds 2^53, double division would
-    * lose precision).
+    * lose precision) — and plain TIMESTAMP(MICROS) without a timezone
+    * annotation, which Spark 4.x reads as TIMESTAMP_NTZ. Both are
+    * normalized here, at the single choke point, to session-local
+    * TimestampType (the session TZ is pinned UTC, so NTZ→LTZ is a
+    * value-preserving reinterpretation). Downstream code — range joins
+    * that cast ts to double, `withWatermark` (which requires LTZ) —
+    * assumes TimestampType and must not re-handle raw layouts.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp_ltz"))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

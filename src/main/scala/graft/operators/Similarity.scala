@@ -582,6 +582,13 @@ object Similarity {
     * Shuffle-free codegen'd scan.
     */
   def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir).orderBy(col("vec_id"))
+
+  /** Unordered quantization core shared by the registered s8 form and
+    * the s9 consumer (no orderBy: a sort below a join/rank is wasted
+    * work the optimizer cannot always remove).
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .transform(Tables.spread(_, col("vec_id")))
       .select(col("vec_id"),
@@ -595,5 +602,35 @@ object Similarity {
           .otherwise(expr(
             "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5d) AS INT))"))
           .as("qvec"))
+
+  /** s8, registered form — the int8 codes emitted as a comma-joined
+    * string instead of `array<int>`: the correctness gate's column-wise
+    * sort cannot order array cells (pandas factorize chokes on ndarray
+    * values), and the joined string carries the identical value-level
+    * evidence — every code, in element order — in a sortable scalar.
+    */
+  def quantizeInt8Flat(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .select(col("vec_id"), col("mn"), col("mx"),
+        array_join(col("qvec"), ",").as("qvec_csv"))
       .orderBy(col("vec_id"))
+
+  /** s9 — exact cosine top-k over DEQUANTIZED vectors
+    * (x̂[i] = mn + q[i]·scale): the consumer that closes the
+    * quantization loop. Searching the 4×-smaller int8 corpus must rank
+    * (nearly) like the float corpus — recall vs s1 is gated in
+    * DedupSimilaritySpec. Unlike s2/s3 the ranking is fully
+    * deterministic (no probing, no candidate generation), so it carries
+    * a complete SQL oracle: DuckDB reconstructs with the same
+    * double-precision expression and ranks with the same tie-break.
+    */
+  def dequantizedTopK(s: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5): DataFrame = {
+    val recon = quantized(s, dir)
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .select(col("vec_id"),
+        expr("transform(qvec, q -> mn + CAST(q AS DOUBLE) * scale)")
+          .as("embedding"))
+    bruteForceTopKFrom(recon, k, nQueries)
+  }
 }

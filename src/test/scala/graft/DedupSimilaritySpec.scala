@@ -283,6 +283,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // s9 closes the quantization loop: searching the dequantized int8
+  // corpus must return (nearly) the float corpus's neighbors. Per-
+  // element quantization error <= scale/2 ~ range/510, tiny against
+  // the 0.4-0.55 neighbor cosines — so unlike s2/s3 the expected
+  // recall here is ~1.0; the 0.8 bar guards regressions, the info line
+  // records the measured value.
+  test("s9 dequantized top-k recall@5 >= 0.8 vs float brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deq = Similarity.dequantizedTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect deq).size.toDouble / exact.size
+    info(s"s9 dequantizedTopK recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
