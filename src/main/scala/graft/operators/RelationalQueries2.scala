@@ -218,6 +218,14 @@ object RelationalQueries2 {
     * price is within 1000 below the current row's, per status. RANGE
     * frames are value-determined, so ties are handled identically in
     * any engine — deterministic without a tiebreak.
+    *
+    * SCALE NOTE: the partition key `o_orderstatus` has only 3 values,
+    * so each partition is a per-status TOTAL ORDER — at 100x one
+    * status's rows funnel through one task. That is inherent to the
+    * query's semantics (a value-range frame needs its partition sorted
+    * end to end), not an implementation choice: scaling it out requires
+    * changing the question (finer partition key, or a bucketed
+    * approximation of the rolling frame).
     */
   def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -261,6 +269,12 @@ object RelationalQueries2 {
     * and positional first/nth/last values over the full partition frame.
     * Deterministic because (o_totalprice, o_orderkey) is a total order
     * within each status partition.
+    *
+    * SCALE NOTE: same caveat as windowRangeFrame — 3-value partition
+    * key means a per-status total order through one task at scale;
+    * distribution functions (ntile/percent_rank/cume_dist) are
+    * rank-against-the-whole-partition by definition, so this does not
+    * scale out without changing semantics (e.g. approx percentiles).
     */
   def windowDistributions(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

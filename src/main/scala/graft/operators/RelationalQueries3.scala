@@ -188,11 +188,6 @@ object RelationalQueries3 {
       .orderBy(col("n_name"))
   }
 
-  /** q50 — TPC-H Q15 shape: top supplier(s) by shipped revenue. The
-    * per-supplier aggregate is tiny relative to the fact; the "equal to
-    * the max" filter is a window max over that aggregate — one pass, no
-    * rescan of lineitem, no collect.
-    */
   /** q53 — TPC-H Q21 shape (suppliers who kept waiting): for finished
     * orders, count per supplier the late line items where (a) another
     * supplier participated in the same order and (b) NO other supplier
@@ -234,6 +229,14 @@ object RelationalQueries3 {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** q50 — TPC-H Q15 shape: top supplier(s) by shipped revenue. The
+    * per-supplier revenue aggregate is computed once and the "equal to
+    * the max" filter is a one-row max aggregate broadcast-joined back —
+    * a parallel broadcast-hash join at any scale, instead of
+    * max().over(Window.partitionBy()) which pushes every per-supplier
+    * row through ONE task (q21/q38's shape). No rescan of lineitem, no
+    * collect.
+    */
   def topSupplier(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'") &&
@@ -241,11 +244,16 @@ object RelationalQueries3 {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("total_revenue"))
-    // "equal to the max" as a one-row max aggregate broadcast-joined
-    // back, not max().over(Window.partitionBy()): the unpartitioned
-    // window pushes every per-supplier row through ONE task, which
-    // grows linearly with #suppliers; this form keeps the filter a
-    // parallel broadcast-hash join at any scale (q21/q38's shape).
+      // persist: rev feeds BOTH the max aggregate and the filter join.
+      // Without it, Spark evaluates the aggregate subtree once per
+      // consumer; exchange reuse dedupes the shuffle WRITE, but each
+      // consumer's final merge re-adds fetched blocks in its own
+      // nondeterministic order, so the two double sums can drift at ulp
+      // level and `total_revenue === max_rev` could then match NOTHING
+      // (intermittently empty result). Caching the per-supplier frame
+      // (#suppliers rows — bounded, small) pins ONE set of values that
+      // both consumers read, making the exact-equality join total.
+      .persist()
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
       .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
