@@ -229,6 +229,9 @@ object SparkEntry {
     // Per-doc duplicated word-8-gram span fraction (exact-substring
     // dedup detection, Lee et al. 2022)
     "d15_ngram_spans"      -> (Dedup.ngramSpanStats(_, _)),
+    // Exact-substring span REMOVAL (keep-first): merged duplicate
+    // intervals cut from the text — the consumer of d15's detection
+    "d16_ngram_span_removal" -> (Dedup.ngramSpanRemoval(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1349,6 +1352,47 @@ object SparkEntry {
         |       ELSE CAST(pd.dup_grams AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
         |  END AS dup_frac
         |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d16: same gram formation as d15; keep-first via row_number over
+    // (doc_id, pos) per gram; gaps-and-islands interval merge; the cut
+    // is NOT EXISTS containment; text rebuilt as kept words joined —
+    // both engines rebuild from the same split, so spacing normalizes
+    // identically.
+    "d16_ngram_span_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(words[CAST(i AS INT):CAST(i+7 AS INT)], ' ') AS gram
+        |  FROM w, UNNEST(generate_series(1, len(words)-7)) AS t(i)
+        |  WHERE len(words) >= 8),
+        |m AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM
+        |    (SELECT doc_id, pos, row_number() OVER (
+        |       PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g)
+        |  WHERE rn > 1),
+        |i AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pme FROM m),
+        |i2 AS (SELECT doc_id, s, e, sum(CASE WHEN pme IS NULL OR s > pme + 1
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM i),
+        |mi AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |  FROM i2 GROUP BY 1, 2),
+        |wp AS (SELECT doc_id, CAST(i AS INT) AS idx, words[CAST(i AS INT)] AS word
+        |  FROM w, UNNEST(generate_series(1, len(words))) AS t(i)),
+        |kept AS (SELECT wp.* FROM wp WHERE NOT EXISTS
+        |  (SELECT 1 FROM mi WHERE mi.doc_id = wp.doc_id
+        |     AND wp.idx BETWEEN mi.s AND mi.e)),
+        |rb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_clean
+        |  FROM kept GROUP BY 1),
+        |st AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS cut_words
+        |  FROM mi GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(st.cut_words, 0) AS BIGINT) AS cut_words,
+        |  coalesce(rb.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN rb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "s1_cosine_topk" ->

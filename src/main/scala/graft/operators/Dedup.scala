@@ -88,7 +88,7 @@ object Dedup {
     * Tokens are materialized in their own projection before shingling —
     * see TextFunctions.shinglesFromTokens for why this matters.
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
     docShinglesBy(s, dir, tokens, w => shinglesFromTokens(w, 3))
 
   /** Character n-gram variant: shingles = distinct n-char substrings of
@@ -264,8 +264,35 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, dir: String, t: Double = 0.8): DataFrame = {
     val docs = docShingles(s, dir).cache()
+    verifyPairs(containmentCandidates(docs, t), docs, t, "containment",
+      (shA, shB, szA, szB) =>
+        size(array_intersect(shA, shB)).cast("double") / least(szA, szB))
+  }
+
+  /** d8's candidate generator, exposed so the selectivity is observable
+    * in-code (DedupSimilaritySpec counts it; measured at t=0.8: 40
+    * candidates for 28 true pairs over 500 docs at sf0.001, 36 for 25
+    * at sf0.01 — ~3e-4 of the 124,750 unordered pairs, so the
+    * blocking, not the verify, does the work).
+    */
+  private[graft] def containmentCandidates(docs: DataFrame, t: Double): DataFrame = {
     val ranked = rankedPostings(docs)
     val prefix = ranked.filter(col("rk") <= prefixLen(t))
+    // y-side positional prune: the join's positional bound needs
+    // 1 + (sz_y - rk_y) >= ceil(t * min(sz_x, sz_y)) and
+    // min(sz_x, sz_y) >= s_min (the corpus-wide minimum doc size), so
+    // any y posting with rk_y > sz_y - ceil(t*s_min) + 1 cannot satisfy
+    // the bound against ANY partner — drop it before the shuffle
+    // instead of carrying it into the join (the full ranked side is the
+    // join's bulk; measured at sf0.01 this keeps 82% of it — modest
+    // here because s_min is only 8, but it is free and grows with the
+    // corpus's minimum doc size). Lossless:
+    // the pair-catching posting always has capacity for the actual
+    // requirement, which is >= the s_min-relaxed requirement.
+    val sMin = docs.agg(min(col("sz")).as("s_min"))
+    val yPruned = ranked.join(broadcast(sMin),
+        col("rk") <= col("sz") - ceil(lit(t) * col("s_min")).cast("int") + 1)
+      .drop("s_min")
     // Positional prune (PPJoin's bound adapted to containment): at the
     // first shared shingle of the global (df, g) order — where both
     // remaining capacities are maximal — the achievable intersection is
@@ -274,16 +301,13 @@ object Dedup {
     // same relative order in both docs' rankings, so the first shared
     // element lies inside the smaller doc's prefix.
     val needed = ceil(lit(t) * least(col("x.sz"), col("y.sz")))
-    val candidates = prefix.as("x").join(ranked.as("y"),
+    prefix.as("x").join(yPruned.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id") &&
           (lit(1) + least(col("x.sz") - col("x.rk"),
             col("y.sz") - col("y.rk"))) >= needed)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(candidates, docs, t, "containment",
-      (shA, shB, szA, szB) =>
-        size(array_intersect(shA, shB)).cast("double") / least(szA, szB))
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to shingle arrays and keep
@@ -845,6 +869,96 @@ object Dedup {
   def ngramSpanStats(s: SparkSession, dir: String, n: Int = 8): DataFrame =
     ngramSpanStatsFrom(
       Tables.documents(s, dir).transform(Tables.spread(_, col("doc_id"))), n)
+
+  /** d16 — exact-substring dedup with span REMOVAL (the consumer d15's
+    * detection feeds): cut every duplicated n-gram span under a
+    * KEEP-FIRST policy and emit the cleaned text.
+    *
+    * Semantics (deterministic, oracle-checkable):
+    *  - an occurrence of an n-gram (doc_id, pos) is a DUPLICATE iff it
+    *    is not the globally first occurrence of that gram in
+    *    (doc_id, pos) order — within-doc repeats count;
+    *  - each duplicate occurrence marks its word interval
+    *    [pos, pos+n-1]; per doc, overlapping-or-adjacent intervals are
+    *    merged (gaps-and-islands);
+    *  - the cleaned text is the doc's words outside every merged
+    *    interval, rejoined with single spaces; a fully-covered doc
+    *    becomes the empty string.
+    *
+    * Output: (doc_id, n_spans, cut_words, text_clean) — one row per
+    * document, zero-stats for docs with nothing duplicated.
+    *
+    * Shape at scale: one shuffle keyed on the gram (row_number picks
+    * the keep-first occurrence — a per-gram partition is occurrence
+    * count, bounded), one shuffle back to doc_id for the interval
+    * merge (per-doc window over marked intervals only), and the cut is
+    * an equi-join on doc_id with the interval-containment residual —
+    * co-partitioned, no cross-doc traffic. Gram strings key the shuffle
+    * for oracle parity; a 100 TB deployment keys a 128-bit gram hash
+    * (see ngramSpanStats' note).
+    */
+  def ngramSpanRemoval(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    ngramSpanRemovalFrom(
+      Tables.documents(s, dir).transform(Tables.spread(_, col("doc_id"))), n)
+
+  /** d16 over any (doc_id, text) relation — the composable form. */
+  def ngramSpanRemovalFrom(docsRaw: DataFrame, n: Int = 8): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .cache()
+    val grams = docs.select(col("doc_id"),
+      explode(expr(
+        s"CASE WHEN size(words) >= $n THEN transform(" +
+        s"sequence(1, size(words) - ${n - 1}), " +
+        s"i -> struct(i AS pos, array_join(slice(words, i, $n), ' ') AS gram)) " +
+        "ELSE array() END")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    // keep-first: occurrence rank in global (doc_id, pos) order per
+    // gram; rank 1 survives, every later occurrence marks its span.
+    val marked = grams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(n - 1)).as("e"))
+    // merge overlapping-or-adjacent intervals per doc: running max of
+    // prior ends; a row starts a new island when it clears that max.
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val islands = marked
+      .withColumn("pme", max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // cut: a word survives iff no merged interval covers its position;
+    // equi-join on doc_id, containment as residual — co-partitioned.
+    val words = docs.select(col("doc_id"),
+        posexplode(col("words")).as(Seq("idx0", "word")))
+      .select(col("doc_id"), (col("idx0") + 1).as("idx"), col("word"))
+    val kept = words.as("w").join(islands.as("m"),
+        col("w.doc_id") === col("m.doc_id") &&
+          col("w.idx") >= col("m.s") && col("w.idx") <= col("m.e"),
+        "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("word")))),
+          x => x("word")), " ").as("text_clean"))
+    val stats = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("cut_words"))
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_words"), lit(0L)).as("cut_words"),
+        // a doc with every word cut has no kept rows — empty, not null
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
 
   /** d15 over any (doc_id, text) relation — the composable form. */
   def ngramSpanStatsFrom(docsRaw: DataFrame, n: Int = 8): DataFrame = {

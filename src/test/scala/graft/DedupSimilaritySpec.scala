@@ -43,6 +43,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p(5L) == ((0L, 0L, 0.0)), s"short doc: ${p(5L)}")
   }
 
+  test("d16 span removal: planted overlaps cut exactly, keep-first") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val planted = Seq(
+      (1L, a),                                              // all first occurrences
+      (2L, (1 to 10).map(i => s"a$i").mkString(" ") + " " + // 10-word prefix shared
+        (11 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, ((1 to 8) ++ (1 to 8)).map(i => s"c$i").mkString(" ")), // within-doc repeat
+      (4L, (1 to 8).map(i => s"a$i").mkString(" ")),        // fully duplicated doc
+      (5L, "too short"),
+      (6L, (1 to 8).map(i => s"a$i").mkString(" ") + " " +  // two disjoint spans
+        (9 to 12).map(i => s"f$i").mkString(" ") + " " +
+        (1 to 8).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramSpanRemovalFrom(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, a)), s"doc1 (first copy untouched): ${got(1L)}")
+    assert(got(2L) == ((1L, 10L, (11 to 20).map(i => s"b$i").mkString(" "))),
+      s"doc2 (merged [1,10] prefix cut): ${got(2L)}")
+    assert(got(3L) == ((1L, 8L, (1 to 8).map(i => s"c$i").mkString(" "))),
+      s"doc3 (second within-doc repeat cut): ${got(3L)}")
+    assert(got(4L) == ((1L, 8L, "")), s"doc4 (fully covered -> empty): ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, "too short")), s"doc5 (gram-less): ${got(5L)}")
+    assert(got(6L) == ((2L, 16L, (9 to 12).map(i => s"f$i").mkString(" "))),
+      s"doc6 (two islands, middle survives): ${got(6L)}")
+  }
+
+  test("d8 containment equals the naive quadratic; candidates stated") {
+    import org.apache.spark.sql.functions._
+    val t = 0.8
+    val docs = Dedup.docShingles(spark, sfDir)
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("ov", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("ov") >= t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nCand = Dedup.containmentCandidates(docs, t).count()
+    val got = Dedup.containmentPairs(spark, sfDir, t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = docs.count()
+    info(s"d8: $nCand candidates for ${got.size} true pairs over " +
+      s"$nDocs docs (${nDocs * (nDocs - 1) / 2} unordered pairs)")
+    assert(got === naive, "pruned blocking must be lossless")
+    assert(nCand >= got.size && nCand <= nDocs * (nDocs - 1) / 2)
+  }
+
   test("s7 k-means inertia is non-increasing over iterations") {
     // Lloyd's invariant: each E+M round can only lower the total
     // within-cluster squared distance, so the final-assignment inertia
