@@ -289,10 +289,18 @@ object Dedup {
     // corpus's minimum doc size). Lossless:
     // the pair-catching posting always has capacity for the actual
     // requirement, which is >= the s_min-relaxed requirement.
-    val sMin = docs.agg(min(col("sz")).as("s_min"))
-    val yPruned = ranked.join(broadcast(sMin),
-        col("rk") <= col("sz") - ceil(lit(t) * col("s_min")).cast("int") + 1)
-      .drop("s_min")
+    // s_min is evaluated EAGERLY (one int off a bounded aggregate) so
+    // the prune is a plain filter that fuses into y's scan projection —
+    // joining the 1-row aggregate in lazily always degrades to a
+    // non-equi 1-row join (BroadcastNestedLoop; a constant equi-key
+    // gets folded away and the condition pulled into the join), which
+    // the d8 plan gate rejects as a shape. Cost: plan-only callers pay
+    // one small driver job at construction (min over the cached
+    // shingle table), bounded and shared with the query's own work.
+    val sMinRow = docs.agg(min(col("sz"))).head
+    val sMinVal = if (sMinRow.isNullAt(0)) 0 else sMinRow.getInt(0)
+    val yPruned = ranked.filter(
+      col("rk") <= col("sz") - lit(math.ceil(t * sMinVal).toInt) + 1)
     // Positional prune (PPJoin's bound adapted to containment): at the
     // first shared shingle of the global (df, g) order — where both
     // remaining capacities are maximal — the achievable intersection is
