@@ -232,6 +232,10 @@ object SparkEntry {
     // Exact-substring span REMOVAL (keep-first): merged duplicate
     // intervals cut from the text — the consumer of d15's detection
     "d16_ngram_span_removal" -> (Dedup.ngramSpanRemoval(_, _)),
+    // SemDeDup-style semantic dedup: cluster-bounded near-dup drop
+    // (keep-min within cluster; cross-cluster pairs out of scope by
+    // design — the approximation that bounds the quadratic)
+    "d17_semantic_dedup"   -> (Similarity.semanticDedup(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1194,6 +1198,31 @@ object SparkEntry {
         |    PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM d)
         |SELECT vec_id, label, c_label AS assigned_label, dist FROM rk WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // d17: s6's assignment CTEs verbatim, then the keep-min rule as an
+    // anti-join on within-cluster smaller-id cosine partners — cosine
+    // via list_cosine_similarity on the same DOUBLE[] arithmetic.
+    "d17_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |cd AS (SELECT label AS c_label, i AS dim, avg(emb[i]) AS c
+        |  FROM e, range(1, 65) r(i) GROUP BY label, i),
+        |cent AS (SELECT c_label, list(c ORDER BY dim) AS cvec FROM cd GROUP BY c_label),
+        |d AS (SELECT e.vec_id, c.c_label,
+        |    list_reduce(list_prepend(0.0,
+        |      [ (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]) for i in range(1, 65) ]),
+        |      (a, v) -> a + v) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM d),
+        |asg AS (SELECT a.vec_id, a.c_label, e.emb FROM rk a
+        |  JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+        |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.emb, b.emb) >= 0.4)
+        |SELECT a.vec_id, a.c_label, (d.vec_id IS NULL) AS kept
+        |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     // Lloyd's unrolled: fixed init (per-label means) + 2 E+M rounds +
     // final E-step, each round one assign CTE + one centroid CTE — the

@@ -238,6 +238,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** d17 — SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — public): bound the quadratic near-dup search by
+    * CLUSTERING FIRST, then dedup only within a cluster. A vector is
+    * DROPPED iff some smaller-id vector in the SAME cluster has cosine
+    * >= t to it (one-pass keep-min rule — the paper's keep-one-per-
+    * ε-ball greedy, made deterministic by the id order; not a
+    * transitive closure, which is d9/d13's job).
+    *
+    * The approximation is the point: cross-cluster near-dup pairs are
+    * invisible BY DESIGN — that is what turns the O(n²) global search
+    * into k independent O((n/k)²) blocks whose work scales out with
+    * the cluster count (at 100 TB, k grows with the corpus so the
+    * per-cluster quadratic stays bounded; a skewed giant cluster is
+    * the known failure mode and is monitored, not load-balanced away,
+    * because splitting it changes which pairs are compared). Recall
+    * against the exact global pair set (d6) is spec-gated; precision
+    * is exactly 1.0 by construction (within-cluster pairs are a subset
+    * of all pairs, same cosine arithmetic).
+    *
+    * Assignment = s6's deterministic E-step (per-label mean centroids,
+    * sequential-fold L2, ties to smaller label) so the whole operator
+    * is DuckDB-oracle-checkable end to end.
+    * Output: (vec_id, c_label, kept).
+    */
+  def semanticDedup(s: SparkSession, dir: String,
+      t: Double = 0.4, dim: Int = 64): DataFrame =
+    semanticDedupFrom(Tables.embeddings(s, dir), t, dim)
+
+  /** d17 over any (vec_id, label, embedding) relation — the composable
+    * form (the clustered-data spec feeds synthetic corpora through it).
+    */
+  def semanticDedupFrom(embeddings: DataFrame,
+      t: Double = 0.4, dim: Int = 64): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(size(col("emb")) === dim)
+      .cache() // feeds centroids + assignment + both pair sides
+    val assigned = assignStep(e, labelCentroids(e, dim))
+      .select(col("vec_id"), col("c_label"), col("emb"))
+    val a = assigned.select(col("c_label"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"))
+    val b = assigned.select(col("c_label"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"))
+    // within-cluster pairs only: equi-join on the cluster label — the
+    // shuffle key is the cluster, never a doc pair
+    val dropped = a.join(b, Seq("c_label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= t)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned.join(dropped.withColumn("_drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_label"), col("_drop").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   // ── Random-hyperplane LSH ────────────────────────────────────────────
   /** Fixed-seed Gaussian hyperplanes: nBits × dim. Deterministic;
     * `table` varies the seed so multi-table LSH gets independent

@@ -96,6 +96,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nCand >= got.size && nCand <= nDocs * (nDocs - 1) / 2)
   }
 
+  test("d17 semantic dedup: drops are a strict subset of the exact rule") {
+    import org.apache.spark.sql.functions._
+    // exact global keep-min rule: drop b iff ANY a < b has cos >= t —
+    // derived from d6's exact all-pairs set (same threshold, same
+    // cosine arithmetic)
+    val exactDrops = Dedup.embeddingNearDupPairs(spark, sfDir)
+      .select(col("vec_b")).distinct().collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    val d17 = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    val drops = d17.collect { case (id, false) => id }.toSet
+    // precision 1.0 by construction: within-cluster pairs ⊆ all pairs
+    assert(drops.subsetOf(exactDrops),
+      s"d17 dropped outside the exact rule: ${drops -- exactDrops}")
+    val recall =
+      if (exactDrops.isEmpty) 1.0
+      else (drops intersect exactDrops).size.toDouble / exactDrops.size
+    info(s"d17: ${drops.size} cluster-bounded drops of ${exactDrops.size} " +
+      s"exact drops (recall $recall)")
+    // The sf corpora are near-isotropic (neighbors at cos 0.4-0.55 on a
+    // 0.3 background, no cluster structure — see the LSH note), which
+    // is the WORST case for cluster-bounded dedup: partners land in
+    // different clusters and the measured recall is ~0.31. The gate
+    // here only pins the subset property + a floor; the operator's
+    // existence proof on data it is FOR is the clustered test below.
+    assert(recall >= 0.2, s"recall $recall")
+    assert(d17.length === Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === 64).count(), "one row per vector")
+  }
+
+  test("d17 on clustered data: near-total recall, quadratic stays bounded") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val dim = 64; val nClusters = 20; val n = 1000
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    // same-cluster cos ~0.98 (see the LSH clustered test's sigma note);
+    // label = i % 10 is COARSER than the 20 true clusters, so the
+    // k-means assignment has real work to do
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, (i % 10).toLong, c.map(x =>
+        x + (0.15 / math.sqrt(dim) * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+      .repartition(8)
+    val t = 0.9
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exactDrops = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= t)
+      .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    val d17 = Similarity.semanticDedupFrom(e, t).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    spark.catalog.clearCache()
+    val drops = d17.collect { case (id, false) => id }.toSet
+    assert(drops.subsetOf(exactDrops))
+    val recall = (drops intersect exactDrops).size.toDouble / exactDrops.size
+    info(s"clustered corpus: ${drops.size}/${exactDrops.size} drops, " +
+      s"recall $recall")
+    assert(exactDrops.size > n / 2, "fixture must actually contain near-dups")
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
   test("s7 k-means inertia is non-increasing over iterations") {
     // Lloyd's invariant: each E+M round can only lower the total
     // within-cluster squared distance, so the final-assignment inertia
