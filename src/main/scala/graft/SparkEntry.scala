@@ -200,6 +200,10 @@ object SparkEntry {
     "t11_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     // Token-budget sequence packing: per-shard cumulative-count bins
     "t12_sequence_pack" -> (TextAnalysis.sequencePack(_, _)),
+    // Gopher-rule bundle: fixed-threshold prose filters + keep verdict
+    "t13_gopher_quality" -> (TextAnalysis.gopherQuality(_, _)),
+    // Exact heavy hitters: Misra-Gries candidate sketch + exact recount
+    "t14_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -259,6 +263,9 @@ object SparkEntry {
     // Exact top-k over the dequantized int8 corpus — the consumer that
     // proves quantized storage still ranks like the float corpus
     "s9_dequantized_topk" -> (Similarity.dequantizedTopK(_, _)),
+    // Product-quantization ANN (8-byte codes + ADC): approximate by
+    // design -> rows-only like s2/s3; recall vs s1 gated in spec
+    "s10_pq_topk" -> (Similarity.pqTopK(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -943,6 +950,52 @@ object SparkEntry {
         |  CAST(floor((cum - n_tok) / 256) AS INT) AS bin,
         |  CAST((cum - n_tok) % 256 AS INT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // t14: the MG sketch only generates candidates — the registered
+    // result is exactly this HAVING query (threshold n/(k+1), k=64),
+    // so the oracle is plain SQL despite the custom aggregate.
+    "t14_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt,
+        |  CAST(count(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+        |FROM tok GROUP BY token
+        |HAVING count(*) * 65 > (SELECT n FROM tot)
+        |ORDER BY cnt DESC, token""".stripMargin,
+
+    // t13: every count is length-difference or list arithmetic (no
+    // regex alternation, whose overlapping-match semantics differ by
+    // engine); DuckDB's divide-by-zero -> NULL matches try_divide.
+    "t13_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+        |  string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / len(toks) AS mean_word_len,
+        |  ((length(text) - length(replace(text, '#', '')))
+        |    + (length(text) - length(replace(text, '...', ''))) / 3)
+        |    / len(toks) AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |    / len(lines) AS bullet_frac,
+        |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+        |    / len(lines) AS ellipsis_frac,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |    / len(toks) AS alpha_frac,
+        |  CAST(len(list_filter(['the','a','and','of','to','in','is'],
+        |    w -> list_contains(toks, w))) AS INT) AS stop_kinds
+        |  FROM t)
+        |SELECT *, COALESCE(
+        |  n_words >= 50 AND n_words <= 100000
+        |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |  AND stop_kinds >= 2, FALSE) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->
       """WITH t AS (SELECT doc_id, text,

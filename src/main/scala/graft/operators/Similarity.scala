@@ -691,4 +691,113 @@ object Similarity {
           .as("embedding"))
     bruteForceTopKFrom(recon, k, nQueries)
   }
+
+  // ── Product quantization (PQ) ANN ────────────────────────────────────
+  /** s10 — product-quantization ANN (Jégou, Douze & Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI —
+    * public): the third point in the index family's compression/recall
+    * space. s8/s9 compress per-vector (256 bytes -> 64 + 2 doubles);
+    * PQ compresses to `m` SUBSPACE CODES (here 8 bytes a vector — a
+    * 100 TB float corpus becomes ~3 TB of codes, small enough to keep
+    * the whole searchable index in cluster memory) by learning a
+    * per-subspace k-means codebook and quantizing each dim/m-slice to
+    * its nearest centroid.
+    *
+    * Search is the paper's two-stage shape: asymmetric distance
+    * computation (ADC) over the codes — the query stays float; per
+    * query a (m × codes)-entry lookup table of partial squared-L2
+    * distances is computed against the codebook, and a candidate's
+    * distance is the sum of its m table hits — then an EXACT re-rank
+    * of the top-`shortlist` ADC candidates against their float
+    * vectors. Pure ADC recall@5 on this unclustered corpus is ~0.4
+    * (measured across (m, codes) grids); the re-rank is not a local
+    * embellishment but how PQ deploys — the codes prune 100 TB to a
+    * per-query shortlist, the floats of only that shortlist are
+    * fetched. Vectors are L2-NORMALIZED first, so ADC's L2² ranking
+    * is 2 − 2·cos and the re-rank's dot IS cosine — the recall gate
+    * against s1 (DedupSimilaritySpec) compares like with like.
+    *
+    * Scale posture: codebook training is s7's Lloyd shape run over ALL
+    * m subspaces in ONE plan (subvector rows keyed by sub_id; the
+    * codebook — m·codes·(dim/m) doubles — broadcasts; the only
+    * corpus-sized shuffle per round is the rank-1 WindowGroupLimit).
+    * The ADC join streams the n·m code rows past the broadcast
+    * nQueries·m·codes LUT and partial-aggregates map-side down to
+    * n·nQueries sums — no quadratic pair set, no BNLJ anywhere. The
+    * re-rank touches nQueries·shortlist rows: the shortlist broadcasts
+    * and the float corpus streams past it once (fetch-by-id, same as
+    * s2's verify stage). Deterministic end to end (pmod init, fixed
+    * rounds, ties to the smaller code/id) but the 8-subspace unrolled
+    * k-means makes a SQL oracle impractical — registered rows-only,
+    * recall-gated in spec like s2/s3.
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def pqTopK(s: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5, m: Int = 8, nCodes: Int = 256,
+      iters: Int = 2, dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    val sub = dim / m
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0 && size(col("emb")) === dim)
+      .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
+      .cache() // subvector explode + query side re-scan; Bench/Verify clearCache
+    def subvectors(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            i => slice(col("emb"), i * lit(sub) + 1, lit(sub))))
+          .as(Seq("sub_id", "sv")))
+    val subv = subvectors(e, "vec_id")
+    val l2 = aggregate(zip_with(col("sv"), col("cvec"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+    def subMeans(df: DataFrame): DataFrame =
+      df.groupBy(col("sub_id"), col("code"))
+        .agg(array((0 until sub).map(i =>
+          avg(element_at(col("sv"), i + 1))): _*).as("cvec"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("sub_id"))
+        .orderBy(col("dist"), col("code"))
+      subv.join(broadcast(cent), "sub_id")
+        .withColumn("dist", l2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub_id"), col("sv"), col("code"))
+    }
+    // deterministic init (code = vec_id mod nCodes), fixed Lloyd budget
+    var cent = subMeans(subv.withColumn("code", pmod(col("vec_id"), lit(nCodes))))
+    for (_ <- 1 to iters) cent = subMeans(assign(cent))
+    val codes = assign(cent).select(col("vec_id"), col("sub_id"), col("code"))
+    // per-query LUT: partial distance to every (sub_id, code) centroid
+    val lut = subvectors(e.filter(col("vec_id") < nQueries), "query_id")
+      .withColumnRenamed("sv", "qv")
+      .join(cent, "sub_id")
+      .withColumn("pdist", aggregate(zip_with(col("qv"), col("cvec"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v))
+      .select(col("query_id"), col("sub_id"), col("code"), col("pdist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val short = codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: fetch the shortlist's float vectors by id (the
+    // corpus streams past the broadcast nQueries×shortlist id set),
+    // dot on unit vectors = cosine
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
+        "query_id")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -422,4 +422,119 @@ object TextAnalysis {
           .as("bin_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** t14 — exact corpus heavy hitters via a two-pass Misra–Gries
+    * sketch: every token whose frequency exceeds n/(kCap+1) of all n
+    * corpus tokens, with its EXACT count and share.
+    *
+    * Why not one plain groupBy? At 100 TB the full token distribution
+    * is itself huge and Zipf-skewed — the very thing being measured —
+    * and a global count-per-token shuffles the whole vocabulary. The
+    * two-pass shape is the classic fix (and what the MG guarantee
+    * exists for):
+    *   pass 1 — MisraGriesAgg (custom mergeable TypedImperativeAggregate,
+    *     fixed k-entry state) sketches each partition map-side; the
+    *     shuffle moves ≤ k entries per task; every item with true
+    *     frequency > n/(k+1) is GUARANTEED present in the merged
+    *     candidate set (superset; counts are undercounts and unused).
+    *   pass 2 — re-scan counts ONLY the ≤ k broadcast candidates
+    *     exactly (map-side combine on ≤ k keys), filter by the
+    *     threshold.
+    * The sketch's approximation never reaches the output — the result
+    * is exactly "GROUP BY token HAVING cnt·(k+1) > n", and the oracle
+    * states it that way. Two scans of the corpus, zero wide shuffles.
+    * Output: (token, cnt, share), ordered by cnt desc.
+    */
+  def heavyHitters(s: SparkSession, dir: String, kCap: Int = 64): DataFrame =
+    heavyHittersFrom(
+      Tables.documents(s, dir).select(explode(tokens(col("text"))).as("token")),
+      kCap)
+
+  /** t14 core over any single-column (token) relation — fixture-testable. */
+  def heavyHittersFrom(tok0: DataFrame, kCap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.Shims
+    val tok = tok0.cache() // both passes scan it; Bench/Verify clearCache
+    val sketch = Shims.column(
+      graft.functions.MisraGriesAgg(Shims.expression(col("token")), kCap)
+        .toAggregateExpression())
+    val cand = tok.agg(sketch.as("cands"), count(lit(1)).as("n"))
+    val c = cand.select(explode(col("cands")).as("token"), col("n"))
+    tok.join(broadcast(c), "token")
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(kCap + 1) > col("n"))
+      .select(col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("n")).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** t13 — Gopher-style quality rule bundle (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A1.1 — public): the fixed-threshold document
+    * filters every web-scale curation pipeline applies before the
+    * model-based scores — word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and a minimum count of DISTINCT
+    * stopword kinds (the "is this prose at all" probe). Emits every
+    * metric plus the conjunctive keep verdict, so downstream can audit
+    * WHICH rule fired, not just the boolean.
+    *
+    * Scale posture: a single embarrassingly-parallel codegen'd scan —
+    * no shuffle, no UDFs; all counting is replace()/higher-order-
+    * function arithmetic chosen over regex alternation so both engines
+    * count identically (overlapping-match semantics of `#|\.\.\.` vary
+    * by regex engine; length-difference counting does not). Division
+    * is try_divide: an empty/whitespace-only document (n_words = 0)
+    * must yield null metrics and keep = false, not an ANSI throw.
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherQualityFrom(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** t13 core over any (doc_id, text) relation — fixture-testable. */
+  def gopherQualityFrom(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopKinds: Int = 2): DataFrame = {
+    val stops = stopwordLists.head._2 // the en list, shared with t2/t3
+    val d = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"),
+      split(col("text"), "\n").as("lines"))
+    val nWords = size(col("toks")).cast("double")
+    val nLines = size(col("lines")).cast("double") // >= 1 always: split("") = [""]
+    val sumLen = aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+    // '#' and '...' occurrence counts via length difference — exact,
+    // regex-free, identical in both engines
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+    val bulletLines = size(filter(col("lines"),
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+    val ellipsisLines = size(filter(col("lines"),
+      l => rtrim(l).endsWith("...")))
+    val alphaWords = size(filter(col("toks"), t => t.rlike("[a-z]")))
+    val stopKinds = size(filter(array(stops.map(lit): _*),
+      w => array_contains(col("toks"), w)))
+    d.select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        try_divide(sumLen.cast("double"), nWords).as("mean_word_len"),
+        try_divide((nHash + nEllipsis).cast("double"), nWords).as("symbol_ratio"),
+        (bulletLines.cast("double") / nLines).as("bullet_frac"),
+        (ellipsisLines.cast("double") / nLines).as("ellipsis_frac"),
+        try_divide(alphaWords.cast("double"), nWords).as("alpha_frac"),
+        stopKinds.as("stop_kinds"))
+      .withColumn("keep", coalesce(
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minWordLen &&
+          col("mean_word_len") <= maxWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_kinds") >= minStopKinds,
+        lit(false)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -423,6 +423,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  // s10: 8-byte PQ codes prune, the exact re-rank of the ADC top-50
+  // decides — measured shortlist capture of the true top-5 is 1.0 at
+  // (m=8, codes=256) on this corpus (pure-ADC recall@5 is only ~0.4;
+  // the (m, codes, shortlist) grid is in the round notes), so the 0.8
+  // gate is the same contract s2/s3 carry. Shape invariants (dense
+  // ranks, self excluded, cos descending) make a silent join/agg bug
+  // visible even when recall happens to pass.
+  test("s10 PQ ADC+rerank top-k: recall >= 0.8 vs s1, dense ranks, no self hits") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.pqTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length),
+        s"query $q ranks not dense: ${rs.map(_._2).sorted.mkString(",")}")
+      assert(rs.forall(_._3 != q), s"query $q returned itself")
+      val sortedByRank = rs.sortBy(_._2)
+      assert(sortedByRank.map(_._4).reverse.sameElements(
+        sortedByRank.map(_._4).sorted),
+        s"query $q: cos not descending with rank")
+    }
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(s"s10 pqTopK recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

@@ -51,6 +51,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming session windows equal batch w3 row-for-row") {
+    // session_window keeps per-key OPEN-SESSION state (merged as events
+    // arrive, emitted when the watermark passes the gap) — the one
+    // windowed shape whose extent is data-dependent rather than fixed;
+    // parity with batch w3 proves the merge logic, not just the clock
+    // math. Complete mode so late-data emission timing can't hide rows.
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sessions_out")
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    val want = EventsWindows.sessions(spark, sfDir)
+    val joined = got.as("g").join(want.as("b"),
+      Seq("user_id", "session_start"), "full_outer")
+    assert(joined.filter(col("g.n_events").isNull || col("b.n_events").isNull ||
+      col("g.n_events") =!= col("b.n_events") ||
+      col("g.session_end") =!= col("b.session_end")).count() === 0)
+    assert(got.count() > 0)
+  }
+
   test("stream-stream interval join with watermarks equals the batch join") {
     // clicks ⋈ purchases per user within [0, 30 min) after the click —
     // both sides watermarked so state for out-of-range rows is dropped;

@@ -78,4 +78,66 @@ class TextAnalysisSpec extends AnyFunSuite {
     // every doc packed exactly once
     assert(got.map(_._1).distinct.length == got.length)
   }
+
+  test("t13 gopher rules: each planted violation trips exactly its rule") {
+    import spark.implicits._
+    val prose = ("the quick brown fox jumps over a lazy dog and runs " * 6).trim // 60 words, stopwords present
+    val planted = Seq(
+      (1L, prose),                                        // clean: keep
+      (2L, "the a of short doc"),                         // < 50 words
+      (3L, (1 to 60).map(_ => "the incomprehensibilities") // mean word len (3+21)/2 = 12 > 10
+        .mkString(" ")),
+      (4L, prose + " " + ("### ### ###" * 4)),            // symbol-heavy
+      (5L, (1 to 60).map(i => s"- the bullet a line$i").mkString("\n")), // all bullet lines
+      (6L, (1 to 60).map(i => s"the a line$i ...").mkString("\n")),      // all ellipsis lines
+      (7L, prose.split(" ").map(w => w + " 123 456").mkString(" ")),     // digit-flooded: alpha frac low
+      (8L, (1 to 60).map(i => s"w$i x$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityFrom(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8), "clean prose must keep")
+    assert(!got(2L).getBoolean(8) && got(2L).getInt(1) < 50, "short doc drops on word count")
+    assert(!got(3L).getBoolean(8) && got(3L).getDouble(2) > 10.0,
+      s"long-word doc drops on mean word len ${got(3L).getDouble(2)}")
+    assert(!got(4L).getBoolean(8) && got(4L).getDouble(3) > 0.1,
+      s"symbol doc drops on symbol ratio ${got(4L).getDouble(3)}")
+    assert(!got(5L).getBoolean(8) && got(5L).getDouble(4) > 0.9, "bullet doc drops")
+    assert(!got(6L).getBoolean(8) && got(6L).getDouble(5) > 0.3, "ellipsis doc drops")
+    assert(!got(7L).getBoolean(8) && got(7L).getDouble(6) < 0.8, "digit doc drops on alpha frac")
+    assert(!got(8L).getBoolean(8) && got(8L).getInt(7) < 2, "stopword-free doc drops")
+    // the registered sf-corpus form yields a genuine mix, not a constant
+    val corpus = TextAnalysis.gopherQuality(spark, sfDir)
+      .groupBy("keep").count().collect()
+    assert(corpus.length == 2, s"corpus keep verdict should mix: ${corpus.mkString(",")}")
+  }
+
+  test("t14 heavy hitters: exact under adversarial churn at tiny capacity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1000 singletons churn the k=4 sketch hard; "hot" (300 of n=1400)
+    // is above threshold n/5=280 and MUST survive; "warm" (100) is
+    // below and must not appear in the OUTPUT even if it survives the
+    // sketch — the exact recount filter decides, not the sketch.
+    val rows = (1 to 1000).map(i => s"u$i") ++
+      Seq.fill(300)("hot") ++ Seq.fill(100)("warm")
+    val tok = rows.toDF("token").repartition(7) // force partial-sketch merges
+    val got = TextAnalysis.heavyHittersFrom(tok, kCap = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("hot"), s"got ${got.mkString(",")}")
+    assert(got.head._2 == 300L && math.abs(got.head._3 - 300.0 / 1400) < 1e-12)
+
+    // corpus form == the plain exact groupBy+HAVING it claims to equal
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+    val n = tokens.count()
+    val naive = tokens.groupBy("token").count()
+      .filter(col("count") * 65 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val corpus = TextAnalysis.heavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(corpus.toSet == naive, s"corpus heavy hitters != exact reference")
+    assert(corpus.sortBy(t => (-t._2, t._1)).sameElements(corpus),
+      "output not ordered by cnt desc, token")
+  }
 }
