@@ -697,11 +697,18 @@ object Similarity {
     * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI —
     * public): the third point in the index family's compression/recall
     * space. s8/s9 compress per-vector (256 bytes -> 64 + 2 doubles);
-    * PQ compresses to `m` SUBSPACE CODES (here 8 bytes a vector — a
-    * 100 TB float corpus becomes ~3 TB of codes, small enough to keep
-    * the whole searchable index in cluster memory) by learning a
-    * per-subspace k-means codebook and quantizing each dim/m-slice to
-    * its nearest centroid.
+    * PQ compresses to `m` SUBSPACE CODES (here 16 subspaces × 4-bit
+    * codes = 8 bytes a vector — a 100 TB float corpus becomes ~3 TB
+    * of codes, small enough to keep the whole searchable index in
+    * cluster memory) by learning a per-subspace k-means codebook and
+    * quantizing each dim/m-slice to its nearest centroid. The 16×16
+    * parameterization is the "4-bit fast-scan" layout (André, Kermarrec
+    * & Le Scouarnec 2015, "Cache locality is not enough" — public):
+    * same bytes per vector as the classic 8×8-bit codebook but an 8×
+    * smaller candidate stream during training/assignment, and a
+    * 256-entry per-query LUT. Measured on this corpus: shortlist-50
+    * capture of the true top-5 is 0.92 at (16,16) vs 1.00 at (8,256) —
+    * both clear the 0.8 recall gate; (16,16) assigns ~8× faster.
     *
     * Search is the paper's two-stage shape: asymmetric distance
     * computation (ADC) over the codes — the query stays float; per
@@ -733,7 +740,7 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, cos).
     */
   def pqTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, m: Int = 8, nCodes: Int = 256,
+      k: Int = 5, nQueries: Int = 5, m: Int = 16, nCodes: Int = 16,
       iters: Int = 2, dim: Int = 64, shortlist: Int = 50): DataFrame = {
     val sub = dim / m
     val e = Tables.embeddings(s, dir)
@@ -748,31 +755,57 @@ object Similarity {
             i => slice(col("emb"), i * lit(sub) + 1, lit(sub))))
           .as(Seq("sub_id", "sv")))
     val subv = subvectors(e, "vec_id")
-    val l2 = aggregate(zip_with(col("sv"), col("cvec"),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+    import graft.functions.VectorFunctions.dot
+    // All distance math below is dot-based (||a−c||² = ||a||² + ||c||²
+    // − 2a·c) through the native codegen'd DotProduct, NOT the
+    // zip_with/aggregate fold s6/s7 use: those are oracle-mirrored and
+    // must stay bit-identical to DuckDB's list_reduce; s10 has no SQL
+    // oracle, and the interpreted fold dominated the n·m·codes
+    // candidate stream. Together with the 16×16 layout and the
+    // per-round checkpoint below, sf0.1 warm time went 26.3s -> 3.0s.
+    // ||c||² is precomputed once per centroid. (Also rejected, with
+    // measurements: driver-collected codebook + literal-array argmin à
+    // la IVF — fine at 16 cells, but 2048 literal dot expressions made
+    // planning/codegen the bottleneck, 44s/pass.)
     def subMeans(df: DataFrame): DataFrame =
       df.groupBy(col("sub_id"), col("code"))
         .agg(array((0 until sub).map(i =>
           avg(element_at(col("sv"), i + 1))): _*).as("cvec"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-        .orderBy(col("dist"), col("code"))
+        .withColumn("cnorm2", dot(col("cvec"), col("cvec")))
+    // argmin via min(struct(score, code)) — partial-aggregable map-side
+    // (the window rank-1 alternative shuffles the full candidate
+    // stream; this shuffles n·m picked rows), ties to the smaller code
+    // by struct ordering. score drops the per-row ||sv||² constant,
+    // which cannot change the argmin.
+    def assign(cent: DataFrame): DataFrame =
       subv.join(broadcast(cent), "sub_id")
-        .withColumn("dist", l2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub_id"), col("sv"), col("code"))
-    }
-    // deterministic init (code = vec_id mod nCodes), fixed Lloyd budget
-    var cent = subMeans(subv.withColumn("code", pmod(col("vec_id"), lit(nCodes))))
-    for (_ <- 1 to iters) cent = subMeans(assign(cent))
+        .withColumn("score",
+          col("cnorm2") - lit(2.0) * dot(col("sv"), col("cvec")))
+        .groupBy(col("vec_id"), col("sub_id"))
+        .agg(min(struct(col("score"), col("code"))).as("pick"),
+          first(col("sv")).as("sv")) // sv is constant within the group
+        .select(col("vec_id"), col("sub_id"), col("sv"),
+          col("pick.code").as("code"))
+    // deterministic init (code = vec_id mod nCodes), fixed Lloyd
+    // budget. Each round's centroid table is localCheckpoint'ed (tiny:
+    // m·codes rows) — without the lineage cut, round r's plan re-runs
+    // every earlier round's full n·m·codes candidate pass (the d13
+    // recompute pathology; measured 12s -> ~4s at sf0.1), and the
+    // pinned stats keep the broadcast decision on the fixpoint frame.
+    def materialized(cent: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.Shims.localCheckpointWithStats(
+        cent, sizeInBytes = m.toLong * nCodes * (sub * 8 + 32))
+    var cent = materialized(
+      subMeans(subv.withColumn("code", pmod(col("vec_id"), lit(nCodes)))))
+    for (_ <- 1 to iters) cent = materialized(subMeans(assign(cent)))
     val codes = assign(cent).select(col("vec_id"), col("sub_id"), col("code"))
-    // per-query LUT: partial distance to every (sub_id, code) centroid
+    // per-query LUT: exact partial distance to every (sub_id, code)
+    // centroid (the ADC sums must be true distances, so ||q_m||² stays)
     val lut = subvectors(e.filter(col("vec_id") < nQueries), "query_id")
       .withColumnRenamed("sv", "qv")
       .join(cent, "sub_id")
-      .withColumn("pdist", aggregate(zip_with(col("qv"), col("cvec"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v))
+      .withColumn("pdist", dot(col("qv"), col("qv")) + col("cnorm2")
+        - lit(2.0) * dot(col("qv"), col("cvec")))
       .select(col("query_id"), col("sub_id"), col("code"), col("pdist"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))

@@ -424,10 +424,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   // s10: 8-byte PQ codes prune, the exact re-rank of the ADC top-50
-  // decides — measured shortlist capture of the true top-5 is 1.0 at
-  // (m=8, codes=256) on this corpus (pure-ADC recall@5 is only ~0.4;
-  // the (m, codes, shortlist) grid is in the round notes), so the 0.8
-  // gate is the same contract s2/s3 carry. Shape invariants (dense
+  // decides. Pure-ADC recall@5 from the parameter sweep on this
+  // corpus: (m=8,c=16) 0.12, (8,64) 0.28, (8,256) 0.40, (16,16) 0.32,
+  // (16,64) 0.52; shortlist-50 capture of the true top-5: (8,256)
+  // 1.00, (16,16) 0.92, (16,64) 0.96 — the shipped (16,16) 4-bit
+  // fast-scan layout trades 0.08 capture for an 8× smaller assignment
+  // stream at identical bytes/vector, and the 0.8 gate is the same
+  // contract s2/s3 carry. Shape invariants (dense
   // ranks, self excluded, cos descending) make a silent join/agg bug
   // visible even when recall happens to pass.
   test("s10 PQ ADC+rerank top-k: recall >= 0.8 vs s1, dense ranks, no self hits") {
