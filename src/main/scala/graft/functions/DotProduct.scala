@@ -1,12 +1,15 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen'd sequential dot product over two array<double>
-  * columns (array<float> inputs are implicitly cast).
+/** Native codegen'd sequential dot product over two array<double> OR
+  * array<float> columns (element types may differ per side; floats are
+  * widened per ELEMENT, which is exact, instead of materializing a
+  * casted copy of the whole array).
   *
   * Why a custom Catalyst Expression (SURVEY.md §7.3): Spark's
   * higher-order functions (zip_with/aggregate) are evaluated
@@ -16,10 +19,18 @@ import org.apache.spark.sql.types._
   * loop). doGenCode emits a tight primitive loop that stays inside
   * WholeStageCodegen.
   *
+  * Reading array<float> natively matters twice at scale: (a) no
+  * per-row (or worse, per-candidate-pair) Cast allocation of a doubled
+  * array, and (b) operators can shuffle the raw float column — half
+  * the bytes of a pre-cast array<double> — and still dot in double.
+  * float→double widening is EXACT, so `(double) a.getFloat(i) *
+  * (double) b.getFloat(i)` is bit-identical to casting the arrays to
+  * DOUBLE[] first; the DuckDB `list_cosine_similarity(a::DOUBLE[], ...)`
+  * oracle hash compare stays exact.
+  *
   * Accumulation is sequential in element order — bit-identical to both
   * the zip_with/aggregate formulation and DuckDB's
-  * list_cosine_similarity over DOUBLE[], keeping the oracle hash
-  * compare exact.
+  * list_cosine_similarity over DOUBLE[].
   *
   * Assumes array elements are non-null (embedding vectors); mismatched
   * lengths dot over the common prefix.
@@ -27,18 +38,41 @@ import org.apache.spark.sql.types._
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must already be array<double> — VectorFunctions.dot casts
-  // before constructing this node (ImplicitCastInputTypes is
-  // private[sql], so casting happens at the wrapper).
+  // Inputs must be array<double> or array<float> (checked at analysis
+  // time below — ImplicitCastInputTypes is private[sql], so there is no
+  // implicit coercion; callers cast other element types explicitly).
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float> or array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -47,11 +81,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      def get(arr: String, e: Expression): String =
+        if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -18,11 +18,14 @@ object VectorFunctions {
 
   /** Sequential-order dot product in double precision, as a native
     * codegen'd expression (see DotProduct — bit-identical to the
-    * higher-order-function formulation, ~10x faster).
+    * higher-order-function formulation, ~10x faster). array<float> and
+    * array<double> inputs are consumed NATIVELY (no casted array copy —
+    * floats widen per element inside the loop, which is exact); any
+    * other element type is cast to array<double> first.
     */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Shims
-    Shims.column(DotProduct(Shims.expression(d(a)), Shims.expression(d(b))))
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
   }
 
   /** The interpreted higher-order-function formulation (kept as the
