@@ -204,6 +204,8 @@ object SparkEntry {
     "t13_gopher_quality" -> (TextAnalysis.gopherQuality(_, _)),
     // Exact heavy hitters: Misra-Gries candidate sketch + exact recount
     "t14_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
+    // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
+    "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -266,6 +268,9 @@ object SparkEntry {
     // Product-quantization ANN (8-byte codes + ADC): approximate by
     // design -> rows-only like s2/s3; recall vs s1 gated in spec
     "s10_pq_topk" -> (Similarity.pqTopK(_, _)),
+    // Exact cosine radius (range) search around the query vectors —
+    // map-only over the corpus, no shuffle at all
+    "s11_radius_search" -> (Similarity.radiusSearch(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -1476,6 +1481,46 @@ object SparkEntry {
         |  coalesce(rb.text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN rb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // s11: same cosine arithmetic as s1, threshold instead of rank.
+    "s11_radius_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings)
+        |SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS cos
+        |FROM q, c WHERE query_id <> neighbor_id
+        |  AND list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) >= 0.35
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // t15: per-term BM25 contributions summed in FIXED query-term order
+    // (table, scan, join) on BOTH engines — see bm25Rank's determinism
+    // note; all constant arithmetic is written with the same literal
+    // ops ((1.2 + 1.0), not 2.2) so the doubles are bit-identical.
+    "t15_bm25_rank" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |tfw AS (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |st AS (SELECT sum(cnt) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM tf),
+        |hits AS (SELECT *, count(*) OVER (PARTITION BY term) AS dfr
+        |  FROM tfw WHERE term IN ('table', 'scan', 'join')),
+        |wv AS (SELECT doc_id, term,
+        |    (ln(1.0 + (nd - dfr + 0.5) / (dfr + 0.5)) * (cnt * (1.2 + 1.0)))
+        |      / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * n_tok / avgdl)) AS w
+        |  FROM hits CROSS JOIN n CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'table' THEN w END), 0.0)
+        |      + coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0)
+        |      + coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS bm25
+        |  FROM wv GROUP BY doc_id),
+        |rk AS (SELECT doc_id, bm25, CAST(row_number() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT doc_id, rank, bm25 FROM rk WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

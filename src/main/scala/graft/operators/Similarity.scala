@@ -56,6 +56,38 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s11 — exact cosine RADIUS search: for each query vector (vec_id <
+    * nQueries), EVERY corpus vector with cosine >= t (self excluded) —
+    * the range-query companion to s1's top-k (top-k bounds the result
+    * count, radius search bounds the similarity; a retrieval pipeline
+    * needs both: "give me everything closer than t" has no k).
+    *
+    * Output: (query_id, neighbor_id, cos), ordered.
+    *
+    * Scale posture: identical to s1 — the query side is tiny and
+    * broadcast, the corpus is scanned ONCE with no shuffle at all (the
+    * threshold filter needs no ranking window, so unlike s1 there is
+    * not even the per-query top-k shuffle: map-only over the corpus).
+    * At 100 TB this is the cheapest possible exact form; the indexed
+    * variants (s2 LSH / s3 IVF) bound the scan instead when the
+    * threshold is high enough for pruning to be sound (see d6's tiling
+    * note for why a LOW threshold cannot be pruned).
+    */
+  def radiusSearch(s: SparkSession, dir: String,
+      t: Double = 0.35, nQueries: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      // null cos = undefined (zero/null vector) — can satisfy no radius
+      .filter(col("cos") >= t)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** s4 — exact k-NN self-JOIN: every vector gets its k nearest
     * neighbors among all others (the batch primitive under clustering /
     * near-dup candidate mining, vs s1's fixed small query set).

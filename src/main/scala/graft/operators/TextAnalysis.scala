@@ -537,4 +537,66 @@ object TextAnalysis {
         lit(false)))
       .orderBy(col("doc_id"))
   }
+
+  /** t15 — Okapi BM25 document ranking for a fixed query term set (the
+    * retrieval scorer next to t6's per-document TF-IDF keywords: t6
+    * describes documents, BM25 RANKS them against a query — the
+    * standard lexical-retrieval baseline a training pipeline uses to
+    * mine topical subsets and hard negatives).
+    *
+    *   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))   (Okapi+1 form)
+    *   score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *
+    * Determinism: the per-term contributions are summed in FIXED query-
+    * term order via one conditional aggregate per term (each sums at
+    * most ONE row, so there is no partial-aggregation reorder) — a
+    * plain sum(w) would add the 1–3 doubles in whichever order partial
+    * merge delivers them, and ulp drift near the top-K boundary could
+    * then disagree with the oracle's own addition order.
+    *
+    * Scale posture: one tokenize pass builds the cached tf table (the
+    * t10 cache-lifecycle contract — Bench/Verify clearCache per query;
+    * persist/checkpoint at cluster scale) feeding doc-length windows,
+    * the corpus stats aggregate, and the hit scoring; the dfr window
+    * runs AFTER the query-term filter, over #query-terms partitions of
+    * matching docs only. Global top-K is TakeOrderedAndProject
+    * (distributed heap-k, no total sort); the rank window runs over the
+    * ≤ topK surviving rows — bounded, not a scale concern.
+    */
+  def bm25Rank(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("table", "scan", "join"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok",
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .cache()
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val stats = tf.agg((sum(col("cnt")) * lit(1.0) /
+      count_distinct(col("doc_id"))).as("avgdl"))
+    val hits = tf.filter(col("term").isin(queryTerms: _*))
+      .withColumn("dfr", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val idf = log(lit(1.0) +
+      (col("nd") - col("dfr") + lit(0.5)) / (col("dfr") + lit(0.5)))
+    val w = (idf * (col("cnt") * (lit(k1) + lit(1.0)))) /
+      (col("cnt") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("n_tok") / col("avgdl")))
+    val perTerm = queryTerms.map(t =>
+      sum(when(col("term") === t, col("w"))).as(s"w_$t"))
+    val scored = hits
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(stats))
+      .withColumn("w", w)
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("bm25",
+        queryTerms.map(t => coalesce(col(s"w_$t"), lit(0.0))).reduce(_ + _))
+    scored
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), col("bm25"))
+      .orderBy(col("rank"))
+  }
 }

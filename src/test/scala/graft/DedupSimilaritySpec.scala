@@ -534,6 +534,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mine === brute)
   }
 
+  test("s11 radius search agrees with a driver-side exact reference") {
+    import org.apache.spark.sql.functions._
+    val t = 0.35
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], bb: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * bb(i); na += a(i) * a(i); nb += bb(i) * bb(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (qid, q) <- vecs.filter(_._1 < 5)
+      (nid, n) <- vecs if nid != qid
+      c = cos(q, n) if c >= t
+    } yield (qid, nid)).toSet
+    val got = Similarity.radiusSearch(spark, sfDir, t = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= t), "emitted a pair below the radius")
+    assert(got.map(x => (x._1, x._2)).toSet === expected,
+      s"pair set mismatch (got ${got.length}, want ${expected.size})")
+    // ordered output contract
+    assert(got.sortBy(x => (x._1, x._2)).sameElements(got))
+  }
+
   test("t6 tfidf: k rows per doc, rare terms outrank common ones") {
     import org.apache.spark.sql.functions._
     val t6 = graft.operators.TextAnalysis.tfidfTopK(spark, sfDir, k = 3)

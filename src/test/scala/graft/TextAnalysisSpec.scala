@@ -140,4 +140,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus.sortBy(t => (-t._2, t._1)).sameElements(corpus),
       "output not ordered by cnt desc, token")
   }
+
+  test("t15 bm25 matches a driver-side scalar reference") {
+    val queryTerms = Seq("table", "scan", "join")
+    val (k1, b) = (1.2, 0.75)
+    // independent reference: collect token lists and score in plain Scala
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val nd = docs.length.toLong
+    val withToks = docs.filter(_._2.nonEmpty)
+    val avgdl = withToks.map(_._2.size.toLong).sum * 1.0 / withToks.length
+    val df = queryTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val score = queryTerms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (nd - df(t) + 0.5) / (df(t) + 0.5))
+          (idf * (tf * (k1 + 1.0))) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+        }
+      }.sum
+      if (queryTerms.exists(toks.contains)) Some(id -> score) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = TextAnalysis.bm25Rank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == (1 to got.length).toSeq, "ranks not dense")
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+      s"doc order mismatch: got ${got.take(5).mkString(",")} " +
+        s"want ${expected.take(5).mkString(",")}")
+    got.zip(expected).foreach { case ((_, _, sc), (_, ref)) =>
+      assert(math.abs(sc - ref) < 1e-9, s"score $sc != $ref")
+    }
+  }
 }
