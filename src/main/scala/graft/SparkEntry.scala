@@ -206,6 +206,9 @@ object SparkEntry {
     "t14_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
+    // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
+    // word-ORDER-sensitive rung above t10's unigram proxy
+    "t16_bigram_logprob" -> (TextAnalysis.bigramLogprob(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -242,6 +245,9 @@ object SparkEntry {
     // (keep-min within cluster; cross-cluster pairs out of scope by
     // design — the approximation that bounds the quadratic)
     "d17_semantic_dedup"   -> (Similarity.semanticDedup(_, _)),
+    // Quality-representative fuzzy dedup: keep the best-quality member
+    // of each d9 cluster (ties to smaller id), not the lowest id
+    "d18_quality_dedup"    -> (CorpusOps.qualityDedup(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1282,6 +1288,42 @@ object SparkEntry {
         |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // d18: d9's component closure + t3's quality formula, argmax per
+    // component as a rank-1 window (quality DESC with a -1e18 NULL
+    // sentinel in the ORDER — matching the Spark struct-min sort key —
+    // then doc_id ASC; the emitted kept_quality is the UN-coalesced
+    // score, so unscoreable winners stay NULL on both engines).
+    "d18_quality_dedup" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id,
+        |    CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+        |      AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |q AS (SELECT doc_id,
+        |    0.5 * (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(toks))
+        |     + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text))
+        |     + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+        |  FROM (SELECT doc_id, text,
+        |      list_filter(string_split_regex(lower(text), '\\s+'),
+        |        x -> x <> '') AS toks
+        |    FROM documents)),
+        |r AS (SELECT component, l.doc_id, quality_score,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY coalesce(quality_score, -1e18) DESC, l.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS cluster_size
+        |  FROM lab l JOIN q ON l.doc_id = q.doc_id)
+        |SELECT component, doc_id AS kept_doc_id,
+        |  quality_score AS kept_quality, cluster_size
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+
     // Lloyd's unrolled: fixed init (per-label means) + 2 E+M rounds +
     // final E-step, each round one assign CTE + one centroid CTE — the
     // same deterministic arithmetic the Spark side evaluates.
@@ -1521,6 +1563,33 @@ object SparkEntry {
         |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM sc)
         |SELECT doc_id, rank, bm25 FROM rk WHERE rank <= 20
         |ORDER BY rank""".stripMargin,
+
+    // t16: zipped double-unnest of the shifted token-list slices builds
+    // the adjacent pairs; every scored pair occurs in the corpus it is
+    // counted against, so the bigram term needs no smoothing and the
+    // joins are inner on both engines. Same left-assoc double
+    // arithmetic as the Spark side.
+    "t16_bigram_logprob" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS t FROM base),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT count(*) AS n,
+        |    (SELECT count(*) FROM cnt) AS v FROM toks),
+        |pairs AS (SELECT doc_id,
+        |    unnest(w[1:len(w)-1]) AS wp, unnest(w[2:len(w)]) AS wc
+        |  FROM base WHERE len(w) >= 2),
+        |bcnt AS (SELECT wp, wc, count(*) AS c2 FROM pairs GROUP BY wp, wc)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |  avg(-ln(0.7 * c2 / cp.c
+        |    + 0.3 * (cc.c + 1.0) / (n + v))) AS interp_neg_logprob
+        |FROM pairs JOIN bcnt USING (wp, wc)
+        |  JOIN cnt cp ON pairs.wp = cp.t
+        |  JOIN cnt cc ON pairs.wc = cc.t
+        |  CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

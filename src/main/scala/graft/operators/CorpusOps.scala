@@ -292,6 +292,45 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** d18 — quality-representative fuzzy dedup: for every near-duplicate
+    * cluster (d9's MinHash-verified connected components) keep the
+    * HIGHEST-quality member instead of d10's lowest-id convention —
+    * the curation policy production pipelines actually want, since
+    * near-dup groups usually contain one clean original and several
+    * degraded copies (truncated, boilerplate-wrapped, re-encoded).
+    * Ties break to the smaller doc_id; unscoreable docs (NULL quality:
+    * empty/whitespace-only text) rank last but can still represent a
+    * cluster that has no scoreable member. Output: (component,
+    * kept_doc_id, kept_quality, cluster_size).
+    *
+    * Scale posture: d9's labels are one log-round CC fixpoint; quality
+    * is a shuffle-free projection over one documents scan; the argmax
+    * is a single (component) shuffle whose min(struct(...)) aggregate
+    * combines map-side — per-cluster rank windows would sort where a
+    * running min suffices. The negated-score struct key makes "max
+    * quality, then min id" one ascending struct comparison, and the
+    * struct also CARRIES the un-coalesced score so the output keeps
+    * NULL for unscoreable winners rather than the sort sentinel.
+    */
+  def qualityDedup(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    val labels = Dedup.dedupClusters(s, dir, t)
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityExpr(col("text"), col("toks")).as("quality_score"))
+    labels.join(q, "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        min(struct(
+          (-coalesce(col("quality_score"), lit(-1e18))).as("nq"),
+          col("doc_id").as("id"),
+          col("quality_score").as("q"))).as("pick"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component"), col("pick.id").as("kept_doc_id"),
+        col("pick.q").as("kept_quality"), col("cluster_size"))
+      .orderBy(col("component"))
+  }
+
   /** q51 — stratified (per-language) deterministic downsampling: the
     * rebalance step that keeps an over-represented stratum from
     * dominating the training mix. Sampling is a pure hash predicate on

@@ -599,4 +599,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("bm25"))
       .orderBy(col("rank"))
   }
+
+  /** t16 — bigram-interpolated LM score: each document's mean negative
+    * log-probability of its adjacent token pairs under a corpus bigram
+    * model with unigram back-off, p(w_i | w_{i-1}) = λ·c(w_{i-1},w_i)/
+    * c(w_{i-1}) + (1−λ)·(c(w_i)+1)/(N+V) — the next rung above t10's
+    * unigram proxy on the ladder toward a real LM perplexity gate
+    * (Jelinek–Mercer interpolation; both terms are corpus-derived, no
+    * model weights). Low = fluent/stereotyped word order, high =
+    * shuffled-token soup; unlike t10 it actually penalizes unnatural
+    * ORDER, which is the signal a machine-generated-gibberish filter
+    * needs. The bigram term needs no smoothing of its own: every scored
+    * pair occurs in the corpus it is counted against (c₂ ≥ 1), and λ<1
+    * keeps p bounded away from both 0 and 1.
+    *
+    * Scale posture: ONE tokenize pass materializes the token arrays
+    * (cached: the unigram stream, the pair stream, and the scoring
+    * re-scan all consume it — d11's cache-lifecycle contract); pairs
+    * stream out of a position-sequence generator exactly like t5/t9 (no
+    * per-doc gram array). The bigram count is one (w_prev, w_cur)
+    * shuffle with map-side combine; the three vocabulary joins move
+    * vocab-sized tables (≪ corpus by Heaps' law — broadcastable at
+    * 100 TB, same plan minus the shuffles); totals are a 1-row
+    * broadcast. Docs with <2 tokens have no pairs and are absent, on
+    * both engines, by construction.
+    */
+  def bigramLogprob(s: SparkSession, dir: String,
+      lambda: Double = 0.7): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val toks = d.select(col("doc_id"), explode(col("toks")).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"), count_distinct(col("t")).as("v"))
+    val pairs = d
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("wp"),
+        element_at(col("toks"), col("i") + 1).as("wc"))
+    val bcnt = pairs.groupBy(col("wp"), col("wc")).agg(count(lit(1)).as("c2"))
+    val cp = cnt.select(col("t").as("wp"), col("c").as("cp"))
+    val cc = cnt.select(col("t").as("wc"), col("c").as("cc"))
+    pairs.join(bcnt, Seq("wp", "wc")).join(cp, "wp").join(cc, "wc")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(-log(lit(lambda) * col("c2") / col("cp")
+          + lit(1.0 - lambda) * (col("cc") + lit(1.0)) / (col("n") + col("v"))))
+          .as("interp_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
 }

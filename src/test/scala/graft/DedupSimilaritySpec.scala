@@ -559,6 +559,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.sortBy(x => (x._1, x._2)).sameElements(got))
   }
 
+  test("d18 quality dedup: keeps the argmax-quality member of every d9 cluster") {
+    import org.apache.spark.sql.functions.col
+    val labels = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NegativeInfinity else r.getDouble(1))).toMap
+    val got = graft.operators.CorpusOps.qualityDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2),
+        r.getLong(3)))
+    // one row per component, sizes partition the corpus
+    val byComp = labels.groupBy(_._2).map { case (c, xs) => c -> xs.keys.toSeq }
+    assert(got.map(_._1).toSet == byComp.keySet)
+    assert(got.map(_._4).sum == labels.size)
+    got.foreach { case (comp, kept, keptQ, size) =>
+      val members = byComp(comp)
+      assert(size == members.length, s"component $comp size")
+      val best = members.map(id => (-quality(id), id)).min
+      assert(kept == best._2,
+        s"component $comp: kept $kept, expected argmax ${best._2}")
+      assert(keptQ == quality(kept), s"component $comp: reported quality")
+    }
+    // at least one multi-doc cluster exercises the argmax
+    assert(got.exists(_._4 > 1))
+  }
+
   test("t6 tfidf: k rows per doc, rare terms outrank common ones") {
     import org.apache.spark.sql.functions._
     val t6 = graft.operators.TextAnalysis.tfidfTopK(spark, sfDir, k = 3)

@@ -177,4 +177,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(sc - ref) < 1e-9, s"score $sc != $ref")
     }
   }
+
+  test("t16 bigram logprob matches a driver-side scalar reference") {
+    val lambda = 0.7
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = docs.map(_._2.size.toLong).sum
+    val v = uni.size.toLong
+    val bi = docs.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = docs.flatMap { case (id, toks) =>
+      val pairs = toks.sliding(2).filter(_.size == 2).toSeq
+      if (pairs.isEmpty) None
+      else {
+        val nll = pairs.map { p =>
+          val (wp, wc) = (p(0), p(1))
+          -math.log(lambda * bi((wp, wc)) / uni(wp)
+            + (1.0 - lambda) * (uni(wc) + 1.0) / (n + v))
+        }
+        Some(id -> ((pairs.length, nll.sum / nll.length)))
+      }
+    }.toMap
+    val got = TextAnalysis.bigramLogprob(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet, "doc coverage mismatch")
+    assert(got.nonEmpty)
+    got.foreach { case (id, (nb, sc)) =>
+      val (rnb, ref) = expected(id)
+      assert(nb == rnb, s"doc $id: n_bigrams $nb != $rnb")
+      assert(math.abs(sc - ref) < 1e-9, s"doc $id: $sc != $ref")
+    }
+  }
 }
