@@ -209,6 +209,8 @@ object SparkEntry {
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
     // word-ORDER-sensitive rung above t10's unigram proxy
     "t16_bigram_logprob" -> (TextAnalysis.bigramLogprob(_, _)),
+    // Zipf rank-frequency OLS fit over the top-R vocabulary head
+    "t17_zipf_fit" -> (TextAnalysis.zipfFit(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -277,6 +279,9 @@ object SparkEntry {
     // Exact cosine radius (range) search around the query vectors —
     // map-only over the corpus, no shuffle at all
     "s11_radius_search" -> (Similarity.radiusSearch(_, _)),
+    // Greedy k-center coreset (farthest-point traversal): k spread
+    // representatives; deterministic -> full unrolled-CTE oracle
+    "s12_kcenter_coreset" -> (Similarity.kcenterCoreset(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -285,6 +290,9 @@ object SparkEntry {
     "m4_resize"            -> (Multimodal.mediaResize(_, _)),
     // Binary-content exact dedup — the pre-decode multimodal dedup pass
     "m5_media_dedup"       -> (Multimodal.mediaDedup(_, _)),
+    // Audio-style per-frame waveform stats (mean/RMS/peak) — one
+    // shuffle-free codegen'd generator + HOF-aggregate projection
+    "m6_audio_energy"      -> (Multimodal.audioEnergy(_, _)),
 
     // ── Event-time windows (streaming-shaped; batch == readStream) ───────
     "w1_tumbling_window" -> (graft.streaming.EventsWindows.tumbling(_, _)),
@@ -296,6 +304,9 @@ object SparkEntry {
     "w5_funnel_join"     -> (graft.streaming.EventsWindows.clickToPurchase(_, _)),
     // Windowed top-k (trending): streaming agg + rank over closed windows
     "w6_window_topk"     -> (graft.streaming.EventsWindows.windowTopK(_, _)),
+    // Batch mirror of the watermarked LEFT OUTER stream-stream join:
+    // first purchase per click, null-extended abandonment rows
+    "w7_click_attribution" -> (graft.streaming.EventsWindows.clickAttribution(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -855,6 +866,24 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY keep_doc_id""".stripMargin,
+
+    // m6: integer byte sums (ASCII payload == char codes, the m1
+    // equivalence) divided by the literal width — the doubles are
+    // bit-identical; same frame generator as m3's oracle at width 64.
+    "m6_audio_energy" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (SELECT doc_id, text, unnest(range(1, n - 62, 64)) AS o FROM d),
+        |b AS (SELECT doc_id, o, [ascii(substr(text, CAST(o + j AS INT), 1))
+        |    for j in range(0, 64)] AS bytes
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST((o - 1) // 64 AS INT) AS frame_idx,
+        |  CAST(o AS INT) AS frame_offset,
+        |  list_sum(bytes) / 64.0 AS mean_amp,
+        |  sqrt(list_sum(list_transform(bytes, x -> x * x)) / 64.0) AS rms_amp,
+        |  CAST(list_max(bytes) AS INT) AS peak
+        |FROM b ORDER BY doc_id, frame_offset""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets
@@ -1535,6 +1564,13 @@ object SparkEntry {
         |  AND list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) >= 0.35
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // s12: the same greedy farthest-point rule unrolled as k chained
+    // CTEs — each pick r is an ORDER BY mind DESC, vec_id LIMIT 1 over
+    // the least() of distances to all prior picks (the Spark side's
+    // min(struct(-mind, id)) with the identical tie-break); cosine via
+    // the s1-proven list_cosine_similarity-on-DOUBLE[] equivalence.
+    "s12_kcenter_coreset" -> kcenterOracle(8),
+
     // t15: per-term BM25 contributions summed in FIXED query-term order
     // (table, scan, join) on BOTH engines — see bm25Rank's determinism
     // note; all constant arithmetic is written with the same literal
@@ -1590,6 +1626,23 @@ object SparkEntry {
         |  JOIN cnt cc ON pairs.wc = cc.t
         |  CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t17: regr_* aggregates exist with matching semantics on both
+    // engines; the ln() inputs are identical doubles, so the moment
+    // sums agree inside the 9-sig-digit compare.
+    "t17_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1000),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank
+        |  FROM top)
+        |SELECT CAST(count(*) AS INT) AS n_terms,
+        |  regr_slope(ln(c), ln(rank)) AS slope,
+        |  regr_intercept(ln(c), ln(rank)) AS intercept,
+        |  regr_r2(ln(c), ln(rank)) AS r2
+        |FROM rk""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -1718,6 +1771,28 @@ object SparkEntry {
         |  AND purchase_ts < click_ts + INTERVAL '10 minutes'
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
+    // w7: within a click's rank partition either every purchase column
+    // is non-null or the single row is the null-extended one, so the
+    // rank-1 pick needs no explicit NULLS ordering on either engine.
+    "w7_click_attribution" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id AS b_user, event_id AS purchase_id,
+        |    ts AS purchase_ts
+        |  FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.click_id, c.click_ts,
+        |    b.purchase_id, b.purchase_ts
+        |  FROM c LEFT JOIN b ON c.user_id = b.b_user
+        |    AND b.purchase_ts >= c.click_ts
+        |    AND b.purchase_ts < c.click_ts + INTERVAL '10 minutes'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY click_id
+        |    ORDER BY purchase_ts, purchase_id) AS rn FROM j)
+        |SELECT user_id, click_id, click_ts, purchase_id, purchase_ts,
+        |  purchase_id IS NOT NULL AS converted
+        |FROM r WHERE rn = 1 ORDER BY user_id, click_id""".stripMargin,
+
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and
     //   DuckDB's approx_count_distinct disagree within their error bounds,
@@ -1795,6 +1870,34 @@ object SparkEntry {
     * same sequential left fold as the s6 oracle (list_reduce with a 0.0
     * seed), matching Spark's zip_with+aggregate bit-for-bit.
     */
+  /** s12's unrolled greedy k-center: pick 1 is the smallest vec_id;
+    * pick r maximizes the least() cosine distance to picks 1..r-1
+    * (ties to the smaller id, DuckDB's NULLS-LAST DESC mirroring the
+    * Spark side's null-mind exclusion).
+    */
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p1 AS (SELECT vec_id AS id, emb FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+    for (r <- 2 to k) {
+      val terms = (1 until r).map(j =>
+        s"1 - list_cosine_similarity(v.emb, (SELECT emb FROM p$j))")
+      val mind = if (terms.size == 1) terms.head
+        else terms.mkString("least(", ", ", ")")
+      val prior = (1 until r).map(j => s"SELECT id FROM p$j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+        |p$r AS (SELECT v.vec_id AS id, v.emb, $mind AS mind
+        |  FROM e v WHERE v.vec_id NOT IN ($prior)
+        |  ORDER BY mind DESC, v.vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= "\nSELECT 1 AS rank, id AS vec_id, NULL::DOUBLE AS mind FROM p1"
+    for (r <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT $r, id, mind FROM p$r"
+    sb ++= "\nORDER BY rank"
+    sb.toString
+  }
+
   private def kmeansIterOracle(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings

@@ -256,6 +256,37 @@ object Multimodal {
         md5(col("resized")).as("resized_md5"))
       .orderBy(col("doc_id"))
 
+  /** m6 — audio-style frame features: non-overlapping fixed-width
+    * sample windows per payload with mean amplitude, RMS energy, and
+    * peak — the waveform-feature pass an audio pipeline runs before
+    * VAD/segmentation, with payload bytes standing in for PCM samples
+    * (the codec stand-in contract of m1/m3; a production deployment
+    * decodes real samples into the same per-frame shape). Everything is
+    * a generator + higher-order-function aggregate in ONE codegen'd
+    * projection: no shuffle, no per-doc frame list on the driver, and
+    * the integer sums make the doubles bit-identical on both engines.
+    */
+  def audioEnergy(s: SparkSession, dir: String,
+      width: Int = 64, stride: Int = 64): DataFrame = {
+    val bytes = transform(sequence(lit(0), lit(width - 1)),
+      j => ascii(col("text").substr(col("o") + j, lit(1))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= width)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), col("n") - (width - 1), lit(stride))))
+      .withColumnRenamed("col", "o")
+      .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
+        col("o").cast("int").as("frame_offset"), bytes.as("bytes"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+        (aggregate(col("bytes"), lit(0L), (a, x) => a + x)
+          / lit(width.toDouble)).as("mean_amp"),
+        sqrt(aggregate(col("bytes"), lit(0L), (a, x) => a + x * x)
+          / lit(width.toDouble)).as("rms_amp"),
+        array_max(col("bytes")).cast("int").as("peak"))
+      .orderBy(col("doc_id"), col("frame_offset"))
+  }
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */

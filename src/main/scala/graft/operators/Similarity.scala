@@ -865,4 +865,67 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** s12 — greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985, "Clustering to minimize the maximum intercluster
+    * distance" — public; the selection rule behind k-means++ seeding and
+    * the coreset approach to training-data pruning, Sener & Savarese
+    * 2018 — public): pick k maximally-spread representatives of the
+    * embedding corpus. Seed = smallest vec_id; each round adds the point
+    * FARTHEST (cosine distance, 1 − cos) from everything already
+    * selected, ties to the smaller id. The 2-approximation guarantee of
+    * the greedy rule is what makes the k picks a defensible diversity
+    * sample of a 100 TB corpus — the dual of d17's near-dup DROP rule:
+    * dedup removes what is too close, the coreset keeps what is most
+    * spread.
+    *
+    * Scale posture: the selected set lives on the driver — k·dim
+    * floats, the same bounded-collect contract as s3's K×dim centroid
+    * table — and each round is ONE shuffle-free corpus pass: the r
+    * selected centers enter the plan as literal arrays, the per-row
+    * min-distance is `least` over r codegen'd dot products, and the
+    * argmax is a 1-row min(struct) aggregate that combines map-side.
+    * k passes total, no quadratic term anywhere, no state frame to
+    * checkpoint (each round recomputes against literals — k² dots per
+    * row total, the trade that keeps the loop stateless; a cached
+    * running-min frame would save k²→k dots but add k cache/checkpoint
+    * lifecycles). Deterministic end to end, so unlike s2/s3/s10 it
+    * carries a FULL SQL oracle: the same greedy unrolled as k chained
+    * CTEs in DuckDB (kcenterOracle in SparkEntry).
+    * Output: (rank, vec_id, mind) — selection order and each pick's
+    * distance to the prior set (NULL for the seed); mind is
+    * non-increasing, which the spec asserts.
+    */
+  def kcenterCoreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import scala.collection.mutable.ArrayBuffer
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .transform(Tables.spread(_, col("vec_id")))
+      .cache()
+    val seedRow = e.orderBy(col("vec_id")).limit(1).head()
+    val selected = ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seedRow.getLong(0), None))
+    val centers = ArrayBuffer[Seq[Float]](seedRow.getSeq[Float](1))
+    for (r <- 2 to k) {
+      val dists = centers.map(c => lit(1.0) -
+        graft.functions.VectorFunctions.cosine(
+          col("embedding"), array(c.map(lit(_)): _*))).toSeq
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = e.filter(!col("vec_id").isin(selected.map(_._2).toSeq: _*))
+        .select(col("vec_id"), mind.as("mind"), col("embedding"))
+        // null mind = zero-norm vector (undefined distance) — it can
+        // never be a meaningful representative; same exclusion as s1
+        .filter(col("mind").isNotNull)
+        .agg(min(struct((-col("mind")).as("nd"), col("vec_id").as("id"),
+          col("embedding").as("emb"))).as("p"))
+        .select(col("p.id"), col("p.nd"), col("p.emb"))
+        .head()
+      selected += ((r, pick.getLong(0), Some(-pick.getDouble(1))))
+      centers += pick.getSeq[Float](2)
+    }
+    e.unpersist()
+    import s.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "mind")
+      .orderBy(col("rank"))
+  }
 }

@@ -654,4 +654,35 @@ object TextAnalysis {
           .as("interp_neg_logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** t17 — Zipf rank–frequency fit: OLS regression of ln(count) on
+    * ln(rank) over the corpus's top-R unigrams (Zipf's law predicts
+    * slope ≈ −1 on natural text; a natural-language corpus that fits
+    * badly — low R², shallow slope — is a machine-generated/templated
+    * red flag, the same distributional health check "What's in My Big
+    * Data?" (Elazar et al. 2024 — public) runs at corpus scale).
+    * Output: one row (n_terms, slope, intercept, r2).
+    *
+    * Scale posture: the term count is the t10 vocabulary aggregate (one
+    * shuffle, map-side combine); the head is TakeOrderedAndProject
+    * (distributed heap-R, never a vocabulary sort), and the rank window
+    * runs over the ≤ topR surviving rows — bounded like t15's final
+    * rank, not a scale concern. The regression is a single
+    * partial-aggregable pass over R rows (regr_* carry their moment
+    * sums through the merge).
+    */
+  def zipfFit(s: SparkSession, dir: String, topR: Int = 1000): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val top = cnt.orderBy(col("c").desc, col("t")).limit(topR)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("t"))))
+    top.agg(count(lit(1)).cast("int").as("n_terms"),
+        regr_slope(log(col("c")), log(col("rank"))).as("slope"),
+        regr_intercept(log(col("c")), log(col("rank"))).as("intercept"),
+        regr_r2(log(col("c")), log(col("rank"))).as("r2"))
+  }
 }

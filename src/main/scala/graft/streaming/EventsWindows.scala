@@ -85,6 +85,50 @@ object EventsWindows {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** w7 — click attribution with abandonment (LEFT OUTER funnel): every
+    * click with its FIRST purchase in the following 10 minutes, or NULL
+    * columns when no purchase came — the rows w5's inner join cannot
+    * express, and in streaming the semantics that actually exercises
+    * watermark-driven state eviction: a watermarked stream-stream LEFT
+    * OUTER join may emit the null-extended row ONLY once the watermark
+    * proves no matching purchase can still arrive (StreamingSpec drives
+    * the genuine path, advancing the watermark with a sentinel batch so
+    * the abandoned clicks flush).
+    *
+    * Scale posture: same bounded join groups as w5 (equi key user_id +
+    * a 10-minute interval); the first-purchase pick is a rank-1 filter
+    * per click → WindowGroupLimit, and within a click group either all
+    * purchase columns are non-null or the group is the single
+    * null-extended row, so the rank needs no explicit null ordering on
+    * either engine.
+    * Output: (user_id, click_id, click_ts, purchase_id, purchase_ts,
+    * converted).
+    */
+  def clickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val joined = clicks.join(buys,
+      col("user_id") === col("b_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("click_id"))
+      .orderBy(col("purchase_ts"), col("purchase_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        col("purchase_id").isNotNull.as("converted"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   /** Gap-based session windows per user (5-minute inactivity gap).
     * Spark semantics: a session's end is last-event + gap; an event at
     * exactly prev_ts + gap starts a NEW session.

@@ -587,6 +587,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1))
   }
 
+  test("s12 k-center coreset matches a driver-side greedy reference") {
+    import org.apache.spark.sql.functions.col
+    val k = 8
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seed = vecs.keys.min
+    var sel = Vector[(Int, Long, Option[Double])]((1, seed, None))
+    for (r <- 2 to k) {
+      val cands = vecs.keys.filterNot(sel.map(_._2).contains)
+        .filter(id => vecs(id).exists(_ != 0f))
+      val scored = cands.map { id =>
+        val mind = sel.map(s => 1.0 - cos(vecs(id), vecs(s._2))).min
+        (id, mind)
+      }
+      val (pid, pmind) = scored.minBy { case (id, m) => (-m, id) }
+      sel = sel :+ ((r, pid, Some(pmind)))
+    }
+    val got = graft.operators.Similarity.kcenterCoreset(spark, sfDir, k)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == k)
+    got.zip(sel).foreach { case ((gr, gid, gm), (rr, rid, rm)) =>
+      assert(gr == rr && gid == rid,
+        s"round $rr: got ($gr, $gid), want ($rr, $rid)")
+      (gm, rm) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-12, s"round $rr: mind $a != $b")
+        case (None, None) =>
+        case other => fail(s"round $rr: mind mismatch $other")
+      }
+    }
+    // the greedy rule's signature property: coverage radius shrinks
+    val minds = got.flatMap(_._3)
+    assert(minds.zip(minds.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"mind not non-increasing: ${minds.mkString(",")}")
+  }
+
   test("t6 tfidf: k rows per doc, rare terms outrank common ones") {
     import org.apache.spark.sql.functions._
     val t6 = graft.operators.TextAnalysis.tfidfTopK(spark, sfDir, k = 3)

@@ -130,6 +130,35 @@ class MultimodalSpec extends AnyFunSuite {
       again(1L).sortBy(_.tile_idx).map(_.tile_md5).toSeq)
   }
 
+  test("m6 frame energy matches a driver-side byte reference") {
+    import org.apache.spark.sql.functions.col
+    val (width, stride) = (64, 64)
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = texts.toSeq.flatMap { case (id, t) =>
+      val bs = t.getBytes("UTF-8").map(_ & 0xff)
+      if (bs.length < width) Seq.empty
+      else (0 until (bs.length - width) / stride + 1).map { i =>
+        val frame = bs.slice(i * stride, i * stride + width)
+        ((id, i), (frame.sum / width.toDouble,
+          math.sqrt(frame.map(b => b.toLong * b).sum / width.toDouble),
+          frame.max))
+      }
+    }.toMap
+    val got = graft.operators.Multimodal.audioEnergy(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.nonEmpty)
+    got.foreach { case (k, (m, rms, p)) =>
+      val (em, erms, ep) = expected(k)
+      assert(math.abs(m - em) < 1e-12 && math.abs(rms - erms) < 1e-12
+        && p == ep, s"frame $k: ($m,$rms,$p) != ($em,$erms,$ep)")
+    }
+  }
+
   test("m4 real decode: resize caps the longest edge, never upscales") {
     val media = pngMedia((1L, 128, 96), (2L, 96, 128), (3L, 20, 10))
     val out = Multimodal.resizeImages(media, maxDim = 64)

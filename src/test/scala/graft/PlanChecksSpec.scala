@@ -62,6 +62,27 @@ class PlanChecksSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("r11 ops plan the shapes their scaladocs promise") {
+    // t17: vocabulary head via distributed heap-R, never a full sort
+    assert(PlanChecks.hasTakeOrdered(
+      graft.operators.TextAnalysis.zipfFit(spark, sfDir)))
+    // w7: first-purchase attribution is two-phase per-click top-1
+    assert(PlanChecks.hasWindowGroupLimit(
+      graft.streaming.EventsWindows.clickAttribution(spark, sfDir)))
+    // t16: no nested-loop anywhere except the broadcast 1-row totals
+    val t16 = graft.operators.TextAnalysis.bigramLogprob(spark, sfDir)
+    try {
+      assert(!PlanChecks.executedPlan(t16).contains("CartesianProduct"))
+      // the three vocabulary joins hash-join (broadcast or shuffled),
+      // never nested-loop over corpus-sized inputs: the only BNLJ
+      // allowed is the single-row totals crossJoin
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      val bnl = PlanChecks.allNodes(t16.queryExecution.executedPlan)
+        .collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnl.size <= 1, s"unexpected nested loops: ${bnl.size}")
+    } finally spark.catalog.clearCache() // t16 caches its token arrays
+  }
+
   test("q28 construction is side-effect-free and broadcasts the hot set") {
     // The r6 rewrite moved hot-key detection INSIDE the plan: building
     // the DataFrame must run zero Dataset actions (the old shape ran an

@@ -115,6 +115,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("watermarked LEFT OUTER stream-stream join equals batch w7 relation") {
+    // The null-extended (abandoned-click) rows of a stream-stream LEFT
+    // OUTER join may only emit once the watermark PROVES no purchase
+    // can still arrive — with a static file source the watermark parks
+    // at max(event time) − delay, stranding later clicks' verdicts in
+    // state. The spec drives that mechanism explicitly: a sentinel
+    // batch two days ahead (reserved negative ids, excluded from the
+    // compare) advances BOTH sides' watermarks so every real
+    // abandonment flushes.
+    val ev = Tables.events(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "w7stream").toString
+    ev.write.mode("overwrite").parquet(d)
+
+    // batch truth first (drives the bounded emission wait below): ALL
+    // left-join pairs — the registered w7 adds rank-1 attribution on
+    // top; the join relation itself is what streaming must reproduce
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("ts").as("pts"))
+    val want = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 10 MINUTES"), "left")
+      .select(col("cid"), col("pid"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(want.exists(_._2 == -1L), "fixture has no abandoned clicks")
+
+    val schema = ev.schema
+    def side(tpe: String, tsName: String) = spark.readStream
+      .schema(schema).parquet(d)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${tsName}_user"),
+        col("event_id").as(s"${tsName}_id"), col("ts").as(tsName))
+      .withWatermark(tsName, "10 minutes")
+    val joined = side("click", "click_ts")
+      .join(side("purchase", "purchase_ts"),
+        col("click_ts_user") === col("purchase_ts_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .select(col("click_ts_id").as("click_id"),
+        col("purchase_ts_id").as("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("w7_out").start()
+    def gotSet() = spark.table("w7_out")
+      .filter(col("click_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      q.processAllAvailable()
+      // sentinel batch: one click + one purchase of a reserved user two
+      // days out — passes both sides' type filters (each watermark node
+      // only sees post-filter rows), joins nothing real
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 2L * 24 * 3600 * 1000)
+      import spark.implicits._
+      Seq((-1L, far, -1L, "click", 0.0, "{}"),
+          (-2L, far, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(d)
+      q.processAllAvailable()
+      // null-extended rows can land in the no-data state-cleanup batch
+      // after processAllAvailable returns — bounded wait, not a sleep
+      var tries = 0
+      while (tries < 40 && gotSet() != want) { Thread.sleep(250); tries += 1 }
+    } finally q.stop()
+    assert(gotSet() === want)
+  }
+
   test("streaming decontamination equals batch d11 row-for-row") {
     // Static broadcast of the benchmark shingle set against a readStream
     // corpus — the continuous-ingest form of d11_decontaminate.

@@ -111,6 +111,99 @@ class StreamingStateSpec extends AnyFunSuite {
       abs(col("g.total") - col("b.total")) > 1e-6).count() === 0)
   }
 
+  test("EventTimeTimeout sessionization equals batch w3 sessions") {
+    // session_window reimplemented on the RAW custom-state API — the
+    // shape a pipeline needs when per-session logic outgrows the
+    // built-in (e.g. emitting mid-session signals): fold each user's
+    // events into gap-separated sessions, emit closed sessions as data
+    // arrives, PARK the still-open tail session in GroupState with an
+    // event-time timeout at its end, and emit it only when the
+    // WATERMARK — advanced here by a sentinel batch — proves it over
+    // (hasTimedOut + state removal, the half of the API NoTimeout
+    // leaves undriven). Must equal batch w3 row-for-row.
+    import spark.implicits._
+    val gapUs = 5 * 60000000L // w3's 5-minute inactivity gap, in MICROS —
+    // event timestamps carry sub-millisecond precision, so the fold must
+    // run at Spark's native micros or session bounds drift off batch w3
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ev = Tables.events(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "sessstate").toString
+    ev.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(ev.schema).parquet(d)
+    val sessions = stream.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) => { // (startUs, lastUs, n)
+          if (state.hasTimedOut) {
+            val (st, last, n) = state.get
+            state.remove()
+            Iterator((uid, st, last + gapUs, n))
+          } else {
+            val ts = rows.map(r => us(r._2)).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long)]
+            var cur = state.getOption.getOrElse((ts.head, ts.head, 0L))
+            for (t <- ts) {
+              // same rule as session_window: an event at exactly
+              // last + gap starts a NEW session
+              if (t < cur._2 + gapUs || cur._3 == 0L)
+                cur = (cur._1, math.max(cur._2, t), cur._3 + 1)
+              else {
+                closed += ((uid, cur._1, cur._2 + gapUs, cur._3))
+                cur = (t, t, 1L)
+              }
+            }
+            state.update(cur)
+            // setTimeoutTimestamp takes MILLIS — round UP so the
+            // timeout never fires a microsecond before the session end
+            state.setTimeoutTimestamp((cur._2 + gapUs + 999L) / 1000L)
+            closed.iterator
+          }
+        })
+      .toDF("user_id", "start_us", "end_us", "n_events")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_state_out").start()
+    try {
+      q.processAllAvailable()
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 2L * 24 * 3600 * 1000)
+      ev.limit(1)
+        .withColumn("ts", lit(far))
+        .withColumn("user_id", lit(-1L))
+        .write.mode("append").parquet(d)
+      q.processAllAvailable()
+      // timed-out emissions can land in the no-data cleanup batch —
+      // bounded wait on the expected row count
+      val wantN = graft.streaming.EventsWindows.sessions(spark, sfDir).count()
+      var tries = 0
+      while (tries < 40 && spark.table("sess_state_out")
+          .filter(col("user_id") >= 0).count() < wantN) {
+        Thread.sleep(250); tries += 1
+      }
+    } finally q.stop()
+
+    val got = spark.table("sess_state_out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"))
+    val want = graft.streaming.EventsWindows.sessions(spark, sfDir)
+    assert(want.count() > 0)
+    val joined = got.as("g").join(want.as("b"),
+      Seq("user_id", "session_start"), "full_outer")
+    assert(joined.filter(col("g.n_events").isNull || col("b.n_events").isNull ||
+      col("g.n_events") =!= col("b.n_events") ||
+      col("g.session_end") =!= col("b.session_end")).count() === 0)
+  }
+
   test("w4 first-event plans WindowGroupLimit and keeps one row per key") {
     val w4 = graft.streaming.EventsWindows.firstEvents(spark, sfDir)
     assert(graft.plans.PlanChecks.executedPlan(w4).contains("WindowGroupLimit"))

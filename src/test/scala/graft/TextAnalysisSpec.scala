@@ -178,6 +178,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 zipf fit matches a driver-side OLS reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val counts = docs.groupBy(identity).map { case (t, xs) => (t, xs.length) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = sy / n - slope * sx / n
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val row = TextAnalysis.zipfFit(spark, sfDir).head()
+    assert(row.getInt(0) == pts.length)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-9,
+      s"slope ${row.getDouble(1)} != $slope")
+    assert(math.abs(row.getDouble(2) - intercept) < 1e-9)
+    assert(math.abs(row.getDouble(3) - r2) < 1e-9)
+    // word-soup corpus still has a frequency head: slope must be negative
+    assert(row.getDouble(1) < 0.0)
+  }
+
   test("t16 bigram logprob matches a driver-side scalar reference") {
     val lambda = 0.7
     import org.apache.spark.sql.functions.col
