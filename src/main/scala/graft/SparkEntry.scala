@@ -250,6 +250,9 @@ object SparkEntry {
     // Quality-representative fuzzy dedup: keep the best-quality member
     // of each d9 cluster (ties to smaller id), not the lowest id
     "d18_quality_dedup"    -> (CorpusOps.qualityDedup(_, _)),
+    // Leakage-safe split assignment: near-dup clusters, not docs, are
+    // the split unit — fuzzy copies can never straddle train/test
+    "d19_split_assign"     -> (CorpusOps.leakageSafeSplit(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1352,6 +1355,33 @@ object SparkEntry {
         |SELECT component, doc_id AS kept_doc_id,
         |  quality_score AS kept_quality, cluster_size
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    // d19: d9's component closure + the engine's md5-derived 60-bit
+    // hash convention on the salted component id — the same per-mille
+    // predicate the q51/q52 oracles mirror.
+    "d19_split_assign" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id,
+        |    CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+        |      AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |h AS (SELECT doc_id, component,
+        |    CAST('0x' || substr(md5('split_' || component), 1, 15) AS BIGINT)
+        |      % 1000 AS hv
+        |  FROM lab)
+        |SELECT doc_id, component,
+        |  CASE WHEN hv < 100 THEN 'test'
+        |       WHEN hv < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // Lloyd's unrolled: fixed init (per-label means) + 2 E+M rounds +
     // final E-step, each round one assign CTE + one centroid CTE — the

@@ -331,6 +331,36 @@ object CorpusOps {
       .orderBy(col("component"))
   }
 
+  /** d19 — leakage-safe train/val/test split assignment: the split key
+    * is the NEAR-DUP CLUSTER (d9's component), not the document — a
+    * document and its near-duplicates land in the same split by
+    * construction, so evaluation can never be inflated by a training
+    * doc's fuzzy copy sitting in the test set (the split-leakage failure
+    * mode benchmark-decontamination papers warn about; d11 removes
+    * leaks against an EXTERNAL benchmark, d19 prevents creating
+    * INTERNAL ones). Assignment is the same deterministic salted-hash
+    * per-mille predicate as q51/q52 — auditable, reproducible, no RNG
+    * state — applied to the component id: test < 100 ≤ val < 200 ≤
+    * train. Output: (doc_id, component, split).
+    *
+    * Scale posture: d9's log-round CC labels + ONE hash projection;
+    * the split is a pure function of the label, so the assignment adds
+    * zero shuffles on top of the clustering and new documents can be
+    * assigned incrementally by looking up (or computing) their
+    * component alone.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String,
+      testPermille: Long = 100L, valPermille: Long = 100L): DataFrame = {
+    val h = pmod(hash64(concat(lit("split_"),
+      col("component").cast("string"))), lit(1000L))
+    Dedup.dedupClusters(s, dir)
+      .select(col("doc_id"), col("component"),
+        when(h < testPermille, lit("test"))
+          .when(h < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q51 — stratified (per-language) deterministic downsampling: the
     * rebalance step that keeps an over-represented stratum from
     * dominating the training mix. Sampling is a pure hash predicate on

@@ -587,6 +587,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1))
   }
 
+  test("d19 split assignment: clusters never straddle splits, covers the corpus") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.CorpusOps.leakageSafeSplit(spark, sfDir).cache()
+    try {
+      // every document assigned exactly once
+      assert(got.count() === Tables.documents(spark, sfDir).count())
+      // the leakage guarantee: one split per component
+      val straddling = got.groupBy("component")
+        .agg(org.apache.spark.sql.functions.count_distinct(col("split")).as("k"))
+        .filter(col("k") > 1).count()
+      assert(straddling === 0)
+      // all three splits materialize (hash balance sanity, not exactness)
+      assert(got.select("split").distinct().count() === 3)
+      // determinism: re-running assigns identically
+      val again = graft.operators.CorpusOps.leakageSafeSplit(spark, sfDir)
+      assert(got.as("g").join(again.as("b"), Seq("doc_id"))
+        .filter(col("g.split") =!= col("b.split")).count() === 0)
+    } finally got.unpersist()
+  }
+
   test("s12 k-center coreset matches a driver-side greedy reference") {
     import org.apache.spark.sql.functions.col
     val k = 8
