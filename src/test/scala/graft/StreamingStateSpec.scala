@@ -204,6 +204,49 @@ class StreamingStateSpec extends AnyFunSuite {
       col("g.session_end") =!= col("b.session_end")).count() === 0)
   }
 
+  test("transformWithState (state API v2) per-user stats match batch") {
+    // Spark 4's arbitrary-state successor to [flat]mapGroupsWithState:
+    // a StatefulProcessor with named, individually-evolvable state
+    // variables over the RocksDB store (the ONLY provider the operator
+    // supports — the conf is set for this query and restored). Same
+    // contract as the flatMapGroupsWithState test so the two APIs are
+    // verified equivalent on this engine: per-user (count, sum) in a
+    // ValueState, Update emission, final update == batch aggregate over
+    // the doubled source.
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = Tables.events(spark, sfDir).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val stats = stream.select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new UserStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "n", "total")
+      val q = stats.writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("tws_out")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+      val want = spark.read.parquet(srcDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      val joined = got.as("g").join(want.as("b"), Seq("user_id"), "full_outer")
+      assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
+        col("g.n") =!= col("b.n") ||
+        abs(col("g.total") - col("b.total")) > 1e-6).count() === 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("w4 first-event plans WindowGroupLimit and keeps one row per key") {
     val w4 = graft.streaming.EventsWindows.firstEvents(spark, sfDir)
     assert(graft.plans.PlanChecks.executedPlan(w4).contains("WindowGroupLimit"))
@@ -275,5 +318,35 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(joined.filter(col("g.n").isNull || col("b.n").isNull ||
       col("g.n") =!= col("b.n") ||
       col("g.event_type") =!= col("b.event_type")).count() === 0)
+  }
+}
+
+/** Top-level (not an inner/anonymous class: a processor ships to
+  * executors, and an inner class would drag the non-serializable
+  * scalatest engine along): per-user running (count, sum) in a named
+  * ValueState — the state API v2 twin of the flatMapGroupsWithState
+  * test's logic.
+  */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+  override def init(
+      out: org.apache.spark.sql.streaming.OutputMode,
+      tm: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("stats",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(uid: Long,
+      rows: Iterator[(Long, Double)],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    val (c0, s0) = if (st.exists()) st.get() else (0L, 0.0)
+    var c = c0; var s = s0
+    rows.foreach { r => c += 1; s += r._2 }
+    st.update((c, s))
+    Iterator((uid, c, s))
   }
 }
