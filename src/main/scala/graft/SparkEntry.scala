@@ -176,6 +176,12 @@ object SparkEntry {
     "q50_top_supplier"     -> (RelationalQueries3.topSupplier(_, _)),
     // TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact, same key
     "q53_sole_late_supplier" -> (RelationalQueries3.soleLateSupplier(_, _)),
+    // Bilateral trade volume by ship year (TPC-H Q7's shape): nation
+    // pair broadcast-pruned onto supplier/customer before the facts
+    "q54_volume_shipping"  -> (RelationalQueries3.volumeShipping(_, _)),
+    // National market share in a region (TPC-H Q8's shape):
+    // conditional-sum share over a fully dimension-pruned star
+    "q55_market_share"     -> (RelationalQueries3.marketShare(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -862,6 +868,39 @@ object SparkEntry {
         |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q54_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        |    AND l_shipdate BETWEEN '1995-01-01' AND '1996-12-31')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q55_market_share" ->
+      """SELECT o_year,
+        |  sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    / sum(volume) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+        |    AND p_type = 'ECONOMY')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,

@@ -261,4 +261,92 @@ object RelationalQueries3 {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** q54 — bilateral trade volume (TPC-H Q7's shape): revenue shipped
+    * between a nation PAIR, both directions, by ship year — the
+    * multi-hop star query (lineitem→supplier→nation, lineitem→orders→
+    * customer→nation) every warehouse benchmark leans on.
+    *
+    * Scale posture: the nation filter lands FIRST and broadcasts — the
+    * two 1-row nation slices prune supplier and customer to the pair's
+    * members before any fact-side join, so the big lineitem relation
+    * only ever joins against pair-member keys (at 100 TB: two shuffle
+    * joins on l_suppkey / l_orderkey with map-side-pruned builds; the
+    * date filter pushes to the parquet scan). The direction predicate
+    * runs on two broadcast-joined label columns, not on re-derived
+    * lookups.
+    */
+  def volumeShipping(s: SparkSession, dir: String,
+      nationA: String = "NATION_13", nationB: String = "NATION_19"): DataFrame = {
+    val n = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(n.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .select(col("s_suppkey").as("l_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+      .select(col("c_custkey").as("o_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between("1995-01-01", "1996-12-31"))
+      .join(supp, "l_suppkey")
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, "o_custkey")
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB)
+        || (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q55 — national market share (TPC-H Q8's shape): one supplier
+    * nation's share of a region's customers' spend on a part type, by
+    * order year — conditional aggregation over an 8-table star.
+    *
+    * Scale posture: every dimension prunes BEFORE touching lineitem —
+    * the region→nation slice broadcasts onto customer, the filtered
+    * part type broadcasts onto the fact scan, orders carries its
+    * pushed-down date range — so the fact relation flows through two
+    * shuffle joins (partkey prune is a broadcast probe) already cut to
+    * the region/type/date subset. The share itself is one grouped
+    * conditional sum over the joined slice; no second pass.
+    */
+  def marketShare(s: SparkSession, dir: String,
+      nation: String = "NATION_3", region: String = "EUROPE",
+      ptype: String = "ECONOMY"): DataFrame = {
+    val euroNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === region)
+        .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
+      .select(col("n_nationkey").as("c_nationkey"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(euroNations), "c_nationkey")
+      .select(col("c_custkey").as("o_custkey"))
+    val ords = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+      .join(cust, "o_custkey")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val partF = Tables.part(s, dir)
+      .filter(col("p_type") === ptype)
+      .select(col("p_partkey").as("l_partkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(partF), "l_partkey")
+      .join(ords, "l_orderkey")
+      .join(suppNation, "l_suppkey")
+      .withColumn("volume",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(when(col("nation") === nation, col("volume"))
+        .otherwise(lit(0))) / sum(col("volume"))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
 }

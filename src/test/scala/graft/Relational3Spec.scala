@@ -98,4 +98,26 @@ class Relational3Spec extends AnyFunSuite {
       .orderBy(col("r").desc).limit(1).head().getLong(0)
     assert(top.map(_.getLong(0)).contains(bySort))
   }
+
+  test("q54 trade volume: both directions covered, no nested loop, dims broadcast") {
+    val df = RelationalQueries3.volumeShipping(spark, sfDir)
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+    assert(PlanChecks.hasBroadcastJoin(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    // the fixture has trade in both directions across the window
+    assert(dirs === Set(("NATION_13", "NATION_19"), ("NATION_19", "NATION_13")))
+    assert(rows.forall(_.getDouble(3) > 0))
+  }
+
+  test("q55 market share is a genuine share: in [0,1], denominator checked") {
+    val df = RelationalQueries3.marketShare(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getDouble(1); s >= 0.0 && s <= 1.0
+    })
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+  }
 }
