@@ -445,13 +445,34 @@ object Similarity {
     */
   def ivfQuery(index: IvfIndex, queries: DataFrame,
       k: Int = 5, nProbe: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    ivfCandidates(index, queries, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The candidate half of [[ivfQuery]] — probe + cell join + exact
+    * cosine, BEFORE the rank window. Split out because this half is
+    * streaming-compatible (stream-static join of a live query feed
+    * against the checkpointed index; rank windows are not supported on
+    * streams, so a streaming consumer ranks with a bounded per-query
+    * aggregate instead — StreamingSpec drives exactly that). When the
+    * query side is a stream the broadcast hint is left off: the
+    * planner handles a stream-static equi-join natively and a stream
+    * cannot be a broadcast build side.
+    */
+  def ivfCandidates(index: IvfIndex, queries: DataFrame,
+      nProbe: Int = 10): DataFrame = {
     // queries probe the nProbe nearest cells: sort (dist, idx) structs.
     // Query norms are computed once per query row (broadcast side), and
     // zero-norm queries are dropped up front — so the per-candidate
     // cosine below is one dot + one plain divide with both norm factors
     // known nonzero (arithmetic identical to VectorFunctions.cosine:
     // same sqrt/product/divide order, minus the per-pair guard).
-    val q = (if (queries.columns.contains("q_nrm")) queries
+    val q0 = (if (queries.columns.contains("q_nrm")) queries
       else queries.withColumn("q_nrm", l2norm(col("q_emb"))))
       .filter(col("q_nrm") > 0.0)
       .withColumn("dists", centroidDists(index.centroids, col("q_emb")))
@@ -461,17 +482,13 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         explode(col("ranked")).as("cell"))
       .withColumn("cell", col("cell").cast("int"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    index.corpus.join(broadcast(q), Seq("cell"))
+    val q = if (q0.isStreaming) q0 else broadcast(q0)
+    index.corpus.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .filter(col("cos").isNotNull) // length-mismatched vectors rank nowhere
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
   /** Memoized index per (session, corpus dir, params): the registered

@@ -275,6 +275,50 @@ class StreamingSpec extends AnyFunSuite {
       col("g.event_type") =!= col("b.event_type")).count() === 0)
   }
 
+  test("streaming ANN: live query feed vs static IVF index equals batch s3") {
+    // The vector-lookup-service shape: queries arrive as a stream and
+    // probe the STATIC checkpointed IVF index (stream-static equi-join
+    // on the cell id). Rank windows are unsupported on streams, so the
+    // top-k is a per-query bounded aggregate over the candidates —
+    // collect, sort by (cos desc, id), slice k — in complete mode
+    // (spec-sized; a production deployment would swap in a bounded
+    // top-k Aggregator to cap per-query state at k instead of the
+    // candidate count). Must equal batch s3 row-for-row: same index,
+    // same probes, same tie-break.
+    import graft.operators.Similarity
+    val k = 5
+    Similarity.invalidateIvfIndexes()
+    val idx = Similarity.ivfIndexFor(spark, sfDir)
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "annstream").toString
+    queries.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(queries.schema).parquet(d)
+    val topk = Similarity.ivfCandidates(idx, stream)
+      .groupBy(col("query_id"))
+      .agg(expr(s"slice(array_sort(collect_list(" +
+        s"struct(-cos AS nc, neighbor_id AS id, cos AS c))), 1, $k)").as("top"))
+    val q = topk.writeStream.outputMode("complete")
+      .format("memory").queryName("sann_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sann_out")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.c").as("cos"))
+    val want = Similarity.ivfTopK(spark, sfDir)
+    assert(want.count() > 0)
+    val joined = got.as("g").join(want.as("b"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(joined.filter(col("g.neighbor_id").isNull ||
+      col("b.neighbor_id").isNull ||
+      col("g.neighbor_id") =!= col("b.neighbor_id") ||
+      abs(col("g.cos") - col("b.cos")) > 1e-12).count() === 0)
+  }
+
   test("streaming minhash candidates equal batch d3 pairs") {
     // A live doc feed banded per-row (stateless HOF signature) and
     // joined against the static MinHash index must find exactly the
