@@ -54,7 +54,10 @@ object Multimodal {
     * for the codec call with the same signature.
     */
   private[graft] def decodeStub(r: MediaRow): MediaMeta = {
-    val b = r.payload
+    // null payload (a 100 TB corpus will have them) decodes as the
+    // empty blob: the row stays accounted for — the m5 principle —
+    // instead of NPE-ing the whole partition
+    val b = if (r.payload == null) Array.emptyByteArray else r.payload
     val n = b.length
     val first = if (n > 0) b(0) & 0xff else 0
     val last = if (n > 0) b(n - 1) & 0xff else 0

@@ -70,13 +70,18 @@ class DirtyCorpusSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "t1_token_stats", "t2_lang_id", "t3_quality", "t4_fingerprint",
     "t5_repetition", "t6_tfidf", "t7_bigram_topk", "t8_quality_filter",
-    "t9_mix_stats", "t10_unigram_logprob",
+    "t9_mix_stats", "t10_unigram_logprob", "t11_pii_redact",
+    "t12_sequence_pack", "t13_gopher_quality", "t14_heavy_hitters",
+    "t15_bm25_rank", "t16_bigram_logprob", "t17_zipf_fit",
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_pairs",
     "d4_simhash", "d5_simhash_pairs", "d7_chargram_pairs",
     "d8_containment_pairs", "d9_dedup_clusters", "d10_dedup_corpus",
     "d11_decontaminate", "d12_curate", "d14_decontaminate_bloom",
+    "d15_ngram_spans", "d16_ngram_span_removal", "d18_quality_dedup",
+    "d19_split_assign",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
-    "m5_media_dedup")
+    "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
+    "m4_resize", "m5_media_dedup", "m6_audio_energy")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>
@@ -95,7 +100,9 @@ class DirtyCorpusSpec extends AnyFunSuite {
   test("embedding-family queries survive zero and null vectors") {
     Seq("s1_cosine_topk", "s2_ann_topk", "s3_ivf_topk", "s4_knn_join",
         "s5_centroids", "s6_kmeans_assign", "s7_kmeans_iter",
-        "d6_embedding_dedup", "d13_embedding_clusters")
+        "s8_quantize_int8", "s9_dequantized_topk", "s10_pq_topk",
+        "s11_radius_search", "s12_kcenter_coreset",
+        "d6_embedding_dedup", "d13_embedding_clusters", "d17_semantic_dedup")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
           catch { case scala.util.control.NonFatal(e) =>
@@ -109,6 +116,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
   test("event-family queries survive null ts/user/type/value rows") {
     Seq("w1_tumbling_window", "w2_sliding_window", "w3_session_window",
         "w4_first_event", "w5_funnel_join", "w6_window_topk",
+        "w7_click_attribution",
         "events_speed_faithful", "events_speed_weighted")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
