@@ -182,6 +182,11 @@ object SparkEntry {
     // National market share in a region (TPC-H Q8's shape):
     // conditional-sum share over a fully dimension-pruned star
     "q55_market_share"     -> (RelationalQueries3.marketShare(_, _)),
+    // Returned-item revenue top-20 (TPC-H Q10): heap-k, no total sort
+    "q56_returned_revenue" -> (RelationalQueries3.returnedRevenue(_, _)),
+    // Disjunctive bracket revenue (TPC-H Q19): OR'd brand/size/qty
+    // brackets over one broadcast probe, zero fact shuffles
+    "q57_bracket_revenue"  -> (RelationalQueries3.bracketRevenue(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -901,6 +906,27 @@ object SparkEntry {
         |    AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
         |    AND p_type = 'ECONOMY')
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q56_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q57_bracket_revenue" ->
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,

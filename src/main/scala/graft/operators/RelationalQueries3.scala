@@ -349,4 +349,59 @@ object RelationalQueries3 {
         .otherwise(lit(0))) / sum(col("volume"))).as("mkt_share"))
       .orderBy(col("o_year"))
   }
+
+  /** q56 — returned-item revenue ranking (TPC-H Q10's shape): the top
+    * customers by revenue on 'R'-flagged (returned) line items in a
+    * one-year order window — the churn-triage report. The global top-20
+    * is TakeOrderedAndProject (distributed heap-k over the per-customer
+    * aggregate, never a total sort); nation broadcasts; the fact joins
+    * shuffle once each on orderkey/custkey with the date filter pushed
+    * to the orders scan and the flag filter to the lineitem scan.
+    */
+  def returnedRevenue(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topK)
+  }
+
+  /** q57 — disjunctive bracket revenue (TPC-H Q19's shape): revenue
+    * from three (brand, size-range, quantity-range) brackets OR'd
+    * together — the predicate shape that defeats naive pushdown
+    * splitting. The part dimension broadcasts (brand/size prune it
+    * first); the OR predicate evaluates post-join in one codegen'd
+    * conjunction pass; lineitem never shuffles — a single broadcast
+    * probe and a one-row aggregate.
+    */
+  def bracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
+    def bracket(brand: String, maxSize: Int, qLo: Double, qHi: Double) =
+      col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), "l_partkey")
+      .filter(bracket("Brand#1", 15, 1, 11) ||
+        bracket("Brand#2", 25, 10, 20) ||
+        bracket("Brand#3", 35, 20, 30))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -111,6 +111,35 @@ class Relational3Spec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(3) > 0))
   }
 
+  test("q56 returned revenue: heap-k plan, descending, at most 20 rows") {
+    val df = RelationalQueries3.returnedRevenue(spark, sfDir)
+    assert(PlanChecks.hasTakeOrdered(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getDouble(4))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q57 bracket revenue: broadcast probe, no fact shuffle before the agg") {
+    val df = RelationalQueries3.bracketRevenue(spark, sfDir)
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+    assert(PlanChecks.hasBroadcastJoin(df))
+    val r = df.head()
+    assert(r.getLong(1) > 0 && r.getDouble(0) > 0.0)
+    // independently recompute via the complementary route: per-bracket
+    // sums must add up to the OR'd total (brackets are disjoint on brand)
+    val parts = Seq(("Brand#1", 15, 1.0, 11.0), ("Brand#2", 25, 10.0, 20.0),
+      ("Brand#3", 35, 20.0, 30.0)).map { case (b, sz, lo, hi) =>
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.part(spark, sfDir), col("p_partkey") === col("l_partkey"))
+        .filter(col("p_brand") === b && col("p_size").between(1, sz) &&
+          col("l_quantity").between(lo, hi))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .head().getDouble(0)
+    }
+    assert(math.abs(parts.sum - r.getDouble(0)) < 1e-6)
+  }
+
   test("q55 market share is a genuine share: in [0,1], denominator checked") {
     val df = RelationalQueries3.marketShare(spark, sfDir)
     val rows = df.collect()
