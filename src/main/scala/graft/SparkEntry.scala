@@ -222,6 +222,9 @@ object SparkEntry {
     "t16_bigram_logprob" -> (TextAnalysis.bigramLogprob(_, _)),
     // Zipf rank-frequency OLS fit over the top-R vocabulary head
     "t17_zipf_fit" -> (TextAnalysis.zipfFit(_, _)),
+    // Heaps'-law growth curve: cumulative tokens vs cumulative distinct
+    // vocabulary, via per-term first-bucket (no ordered scan)
+    "t18_heaps_curve" -> (TextAnalysis.heapsCurve(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -1738,6 +1741,28 @@ object SparkEntry {
         |  regr_intercept(ln(c), ln(rank)) AS intercept,
         |  regr_r2(ln(c), ln(rank)) AS r2
         |FROM rk""".stripMargin,
+
+    // t18: both engines' `/` on integers is double division, but their
+    // double→INT casts DIFFER — Spark truncates, DuckDB rounds — so the
+    // bucket floor is explicit; the cumulative sums are the same
+    // triangular self-join, no window.
+    "t18_heaps_curve" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS INT) AS bucket,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents, mx),
+        |th AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket),
+        |fs AS (SELECT t, min(bucket) AS bucket FROM toks GROUP BY t),
+        |vh AS (SELECT bucket, count(*) AS n_new_terms FROM fs GROUP BY bucket),
+        |h AS (SELECT coalesce(th.bucket, vh.bucket) AS bucket,
+        |    coalesce(n_tokens, 0) AS n_tokens,
+        |    coalesce(n_new_terms, 0) AS n_new_terms
+        |  FROM th FULL JOIN vh ON th.bucket = vh.bucket)
+        |SELECT a.bucket, CAST(sum(b.n_tokens) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(b.n_new_terms) AS BIGINT) AS cum_vocab
+        |FROM h a JOIN h b ON b.bucket <= a.bucket
+        |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -685,4 +685,44 @@ object TextAnalysis {
         regr_intercept(log(col("c")), log(col("rank"))).as("intercept"),
         regr_r2(log(col("c")), log(col("rank"))).as("r2"))
   }
+
+  /** t18 — Heaps'-law vocabulary growth: cumulative corpus tokens vs
+    * cumulative distinct vocabulary across `nBuckets` doc-id slices of
+    * the corpus (Heaps/Herdan: V ≈ K·Nᵝ, β<1 — vocabulary grows
+    * sublinearly in natural text; a flattening-to-linear curve is the
+    * template/id-soup red flag, t17's companion on the growth axis).
+    *
+    * The distributed trick: "cumulative DISTINCT vocabulary" needs no
+    * ordered scan — each term contributes to every bucket ≥ its FIRST
+    * bucket, so one min-bucket aggregate per term (a vocab-sized
+    * shuffle with map-side combine) turns the curve into two tiny
+    * histograms. The cumulative sums then run as a triangular self-join
+    * over the nBuckets rows — bounded, fully parallel, and no
+    * single-partition window. Bucketing is a pure doc_id projection
+    * against a broadcast 1-row max, so new documents extend the curve
+    * without re-reading old buckets.
+    * Output: (bucket, cum_tokens, cum_vocab).
+    */
+  def heapsCurve(s: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val toksB = d.crossJoin(broadcast(mx))
+      .select((col("doc_id") * nBuckets / (col("mx") + 1)).cast("int")
+        .as("bucket"), explode(col("toks")).as("t"))
+    val tokHist = toksB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val vocabHist = toksB.groupBy(col("t"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_terms"))
+    val h = tokHist.join(vocabHist, Seq("bucket"), "full_outer")
+      .na.fill(0, Seq("n_tokens", "n_new_terms"))
+    h.as("a").join(h.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n_tokens")).as("cum_tokens"),
+        sum(col("b.n_new_terms")).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -207,6 +207,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row.getDouble(1) < 0.0)
   }
 
+  test("t18 heaps curve matches a driver-side sequential reference") {
+    import org.apache.spark.sql.functions.col
+    val nB = 10
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val mx = docs.map(_._1).max
+    val byBucket = docs.groupBy { case (id, _) =>
+      (id * nB.toDouble / (mx + 1)).toInt
+    }
+    val buckets = byBucket.keys.toSeq.sorted
+    var seen = Set.empty[String]
+    var cumTok = 0L
+    val expected = buckets.map { b =>
+      val toks = byBucket(b).flatMap(_._2)
+      cumTok += toks.length
+      seen = seen ++ toks
+      (b, cumTok, seen.size.toLong)
+    }
+    // reference walks buckets in order, but a term first seen in a LATER
+    // bucket must not count earlier — the min-bucket trick's claim
+    val got = TextAnalysis.heapsCurve(spark, sfDir, nB).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq.take(3)}... want ${expected.take(3)}...")
+    // Heaps sanity: vocabulary grows monotonically and sublinearly
+    // (new-vocab per token never increases bucket over bucket on this
+    // corpus's head-heavy distribution)
+    assert(got.map(_._3).zip(got.map(_._3).tail).forall { case (a, b) => b >= a })
+  }
+
   test("t16 bigram logprob matches a driver-side scalar reference") {
     val lambda = 0.7
     import org.apache.spark.sql.functions.col
