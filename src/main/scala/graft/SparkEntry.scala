@@ -187,6 +187,9 @@ object SparkEntry {
     // Disjunctive bracket revenue (TPC-H Q19): OR'd brand/size/qty
     // brackets over one broadcast probe, zero fact shuffles
     "q57_bracket_revenue"  -> (RelationalQueries3.bracketRevenue(_, _)),
+    // Product-line profit by nation and year (TPC-H Q9 shape, cost
+    // proxied off p_retailprice): selective part probe FIRST
+    "q58_profit" -> (RelationalQueries3.profitByNationYear(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -225,6 +228,8 @@ object SparkEntry {
     // Heaps'-law growth curve: cumulative tokens vs cumulative distinct
     // vocabulary, via per-term first-bucket (no ordered scan)
     "t18_heaps_curve" -> (TextAnalysis.heapsCurve(_, _)),
+    // CCNet-style per-language perplexity terciles (head/middle/tail)
+    "t19_ccnet_buckets" -> (TextAnalysis.ccnetBuckets(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -267,6 +272,10 @@ object SparkEntry {
     // Leakage-safe split assignment: near-dup clusters, not docs, are
     // the split unit — fuzzy copies can never straddle train/test
     "d19_split_assign"     -> (CorpusOps.leakageSafeSplit(_, _)),
+    // Per-source doc cap (C4-style anti-domination), WindowGroupLimit
+    "d20_domain_cap"       -> (CorpusOps.domainCap(_, _)),
+    // Duplicate-aware down-weighting: 1/cluster_size training weights
+    "d21_soft_dedup"       -> (CorpusOps.softDedupWeights(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -931,6 +940,19 @@ object SparkEntry {
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    "q58_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
         |  count(*) AS n_copies
@@ -1451,6 +1473,35 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    "d20_domain_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY source
+        |      ORDER BY CAST('0x' || substr(md5('cap_' || doc_id), 1, 15)
+        |        AS BIGINT), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "d21_soft_dedup" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id,
+        |    CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+        |      AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size,
+        |  CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY component)
+        |    AS weight
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
     // Lloyd's unrolled: fixed init (per-label means) + 2 E+M rounds +
     // final E-step, each round one assign CTE + one centroid CTE — the
     // same deterministic arithmetic the Spark side evaluates.
@@ -1763,6 +1814,33 @@ object SparkEntry {
         |  CAST(sum(b.n_new_terms) AS BIGINT) AS cum_vocab
         |FROM h a JOIN h b ON b.bucket <= a.bucket
         |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin,
+
+    // t19: t10's scoring CTE verbatim, rounded to 6 decimals on BOTH
+    // sides before the tercile compare (see ccnetBuckets scaladoc);
+    // quantile_cont mirrors Spark's exact linear-interpolated
+    // `percentile` at position p*(n-1).
+    "t19_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT count(*) AS n,
+        |    (SELECT count(*) FROM cnt) AS v FROM toks),
+        |scored AS (SELECT doc_id,
+        |    round(avg(-ln((c + 1.0) / (n + v))), 6) AS score
+        |  FROM toks JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, d.lang, s.score
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT lang,
+        |    quantile_cont(score, CAST(1 AS DOUBLE) / 3) AS t1,
+        |    quantile_cont(score, CAST(2 AS DOUBLE) / 3) AS t2
+        |  FROM sl GROUP BY lang)
+        |SELECT sl.doc_id, sl.lang, sl.score,
+        |  CASE WHEN score <= t1 THEN 'head'
+        |       WHEN score <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sl JOIN cuts USING (lang) ORDER BY sl.doc_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

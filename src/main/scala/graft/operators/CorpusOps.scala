@@ -375,4 +375,60 @@ object CorpusOps {
         when(col("lang") === "en", lit(200L)).otherwise(lit(600L)))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
+
+  /** d20 — per-source document cap (the C4/RefinedWeb "no domain may
+    * dominate the mix" rule): keep at most `cap` documents per source,
+    * chosen by a deterministic salted hash of the doc key — a
+    * reproducible uniform draw, not "first N in file order", which
+    * would bias toward whatever the ingest happened to list first.
+    * Output: (doc_id, source, rk) for the survivors.
+    *
+    * Scale posture: `row_number() <= cap` over (source) is exactly the
+    * shape Spark's WindowGroupLimit rewrite turns into a per-partition
+    * top-`cap` heap BEFORE the shuffle — each map task forwards at most
+    * `cap` rows per source it sees, so a 100 TB source with a billion
+    * docs moves ~`cap`·#map-tasks rows, not a full per-source sort.
+    * One shuffle on source, bounded state per key, no skew blow-up
+    * even when one domain is half the crawl (the pathological case
+    * this operator exists to police).
+    */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash64(concat(lit("cap_"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d21 — soft dedup: duplicate-aware DOWN-WEIGHTING instead of
+    * removal. Hard dedup (d10/d18) throws every copy but one away;
+    * soft dedup keeps all members of a near-duplicate cluster (d9's
+    * MinHash-verified connected components) and assigns each a
+    * training weight of 1/cluster_size, so the cluster contributes one
+    * document's worth of gradient mass no matter how many times the
+    * crawler re-fetched it — the repetition-penalty alternative the
+    * data-mix literature prefers when duplicates carry distribution
+    * signal. Output: (doc_id, component, cluster_size, weight).
+    *
+    * Scale posture: everything after d9's log-round CC is one
+    * (component) shuffle — the window count needs no ordering, so it's
+    * a hash exchange + per-key count, combineable and skew-tolerant
+    * (cluster sizes are bounded by the near-dup verification, not by
+    * corpus size). The weight is a pure projection of the count; new
+    * documents get weights incrementally by computing their component
+    * alone.
+    */
+  def softDedupWeights(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.dedupClusters(s, dir, t)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
 }

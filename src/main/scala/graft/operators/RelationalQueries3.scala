@@ -404,4 +404,49 @@ object RelationalQueries3 {
         .as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** q58 — product-line profit by supplier nation and order year
+    * (TPC-H Q9's shape, adapted: this schema has no partsupp, so unit
+    * cost is proxied as 60% of p_retailprice — same join graph, same
+    * grouping, deterministic and oracle-mirrored). Profit =
+    * Σ extendedprice·(1−discount) − 0.6·retailprice·quantity over
+    * every lineitem whose part name matches the product line.
+    *
+    * Scale posture: the name-filtered part slice and the
+    * supplier→nation map are both dimension-sized and BROADCAST — the
+    * fact table takes two broadcast probes (the part probe also acts
+    * as the product-line semi-join, cutting lineitem before anything
+    * else) and exactly one shuffle join, on orderkey against the
+    * pruned two-column orders projection, before the (nation, year)
+    * aggregate. Q9 is the classic join-order trap — probing part LAST
+    * would shuffle the whole fact table twice; probing it FIRST makes
+    * the selective dimension do the pruning.
+    */
+  def profitByNationYear(s: SparkSession, dir: String,
+      line: String = "red"): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").contains(line))
+      .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), "l_partkey")
+      .join(broadcast(supp), "l_suppkey")
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+      // Per-item margin is one identical IEEE expression in both
+      // engines; the SUM runs over DECIMAL(18,4)-cast terms because a
+      // double sum is order-dependent and at ~1e3 items per group the
+      // merge-order drift (~1e-3 absolute) straddles the gate's
+      // 9-significant-digit rounding — decimal addition is exact and
+      // associative, so every partial-agg schedule yields the same total.
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(18,4)")).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
 }

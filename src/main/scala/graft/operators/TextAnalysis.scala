@@ -725,4 +725,46 @@ object TextAnalysis {
         sum(col("b.n_new_terms")).as("cum_vocab"))
       .orderBy(col("bucket"))
   }
+
+  /** t19 — CCNet-style perplexity bucketing: split each language's
+    * documents into head/middle/tail terciles of the unigram-LM score
+    * (t10's mean −ln p(token); lower = more natural text). CCNet's
+    * central curation move — downstream mixes train on head+middle and
+    * drop or down-weight the tail — and per-LANGUAGE cuts are the
+    * point: absolute perplexity is incomparable across languages, so a
+    * global cut would silently discard whole low-resource languages.
+    *
+    * The score is rounded to 6 decimals BEFORE the tercile aggregate
+    * and the bucket compare: both consumers re-derive the score in
+    * separate plan branches, and float-sum merge order is not
+    * deterministic across branches, so an unrounded boundary doc could
+    * land in different buckets run-to-run (the q50 double-equality
+    * race). 1e-6 granularity is ~6 orders above ulp drift and well
+    * below the ~1e-2 gaps between real scores.
+    *
+    * Scale posture: one t10 scoring pass (vocab-bounded shuffles), then
+    * an exact per-lang `percentile` whose per-group buffer holds ONE
+    * double per document of that language — the per-stratum quantile
+    * pattern shared with t8/d12; at 100 TB swap in approx_percentile
+    * (identical shape, documented there). The #langs×2 cut table
+    * broadcasts back onto the score relation; the bucket label is a
+    * pure projection. Output: (doc_id, lang, score, bucket).
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = unigramLogprob(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"),
+        round(col("avg_neg_logprob"), 6).as("score"))
+      .cache()
+    val cuts = scores.groupBy(col("lang"))
+      .agg(percentile(col("score"), lit(1.0 / 3)).as("t1"),
+        percentile(col("score"), lit(2.0 / 3)).as("t2"))
+    scores.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("score") <= col("t1"), lit("head"))
+          .when(col("score") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

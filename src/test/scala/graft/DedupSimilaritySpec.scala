@@ -657,6 +657,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"mind not non-increasing: ${minds.mkString(",")}")
   }
 
+  test("d20 domain cap: at most `cap` survivors per source, deterministic, WindowGroupLimit plan") {
+    import org.apache.spark.sql.functions._
+    val cap = 3
+    val df = graft.operators.CorpusOps.domainCap(spark, sfDir, cap)
+    // the rewrite that makes this scale: partial per-partition top-k
+    // BEFORE the (source) shuffle, not a full per-source sort
+    assert(graft.plans.PlanChecks.hasWindowGroupLimit(df), "no WindowGroupLimit")
+    val got = df.collect()
+    val bySource = got.groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= cap, s"source $src kept ${rows.length} > $cap")
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length),
+        s"source $src ranks not dense: ${rows.map(_.getInt(2)).toSeq}")
+    }
+    // every source with >= cap docs is capped EXACTLY at cap (the draw
+    // keeps cap, it doesn't under-sample)
+    val srcCounts = Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    srcCounts.foreach { case (src, n) =>
+      val kept = bySource.get(src).map(_.length).getOrElse(0)
+      assert(kept == math.min(n, cap.toLong).toInt, s"source $src: $kept of $n")
+    }
+    // determinism: the same docs survive on a re-run
+    val again = graft.operators.CorpusOps.domainCap(spark, sfDir, cap).collect()
+    assert(got.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
+
+  test("d21 soft dedup: weights are 1/cluster_size and each cluster sums to 1") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.CorpusOps.softDedupWeights(spark, sfDir).cache()
+    try {
+      // full coverage: every document weighted exactly once
+      assert(df.count() === Tables.documents(spark, sfDir).count())
+      // each cluster contributes exactly one document's worth of mass
+      val badMass = df.groupBy("component").agg(sum("weight").as("mass"))
+        .filter(abs(col("mass") - 1.0) > 1e-9).count()
+      assert(badMass === 0, "cluster mass != 1")
+      // cluster_size is consistent with the actual group cardinality
+      val badSize = df.groupBy("component")
+        .agg(count(lit(1)).as("n"), max("cluster_size").as("cs"),
+          min("cluster_size").as("cs2"))
+        .filter(col("n") =!= col("cs") || col("n") =!= col("cs2")).count()
+      assert(badSize === 0, "cluster_size mismatch")
+      // labels agree with d9's clustering (same components, same docs)
+      val d9 = Dedup.dedupClusters(spark, sfDir)
+      assert(df.select("doc_id", "component").except(d9).count() === 0)
+    } finally df.unpersist()
+  }
+
   test("t6 tfidf: k rows per doc, rare terms outrank common ones") {
     import org.apache.spark.sql.functions._
     val t6 = graft.operators.TextAnalysis.tfidfTopK(spark, sfDir, k = 3)

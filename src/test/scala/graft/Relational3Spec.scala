@@ -149,4 +149,28 @@ class Relational3Spec extends AnyFunSuite {
     })
     assert(!PlanChecks.hasBroadcastNestedLoop(df))
   }
+
+  test("q58 profit: part and supplier dims broadcast; totals match a one-pass recompute") {
+    val df = RelationalQueries3.profitByNationYear(spark, sfDir)
+    assert(PlanChecks.hasBroadcastJoin(df))
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent recompute through a different plan: one flat SQL join
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    val total = spark.sql(
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity) AS p
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND n_nationkey = s_nationkey AND o_orderkey = l_orderkey
+        |  AND p_name LIKE '%red%'""".stripMargin).head().getDouble(0)
+    val got = rows.map(_.getAs[java.math.BigDecimal]("profit").doubleValue).sum
+    assert(math.abs(got - total) < 1e-6 * math.max(1.0, math.abs(total)),
+      s"$got != $total")
+  }
 }

@@ -273,4 +273,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(sc - ref) < 1e-9, s"doc $id: $sc != $ref")
     }
   }
+
+  test("t19 ccnet buckets: per-language terciles cover each language ~evenly") {
+    import org.apache.spark.sql.functions._
+    val df = TextAnalysis.ccnetBuckets(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      assert(df.count() === docs.count(), "every doc bucketed exactly once")
+      val byLang = df.groupBy("lang").pivot("bucket",
+          Seq("head", "middle", "tail")).count().na.fill(0L).collect()
+      byLang.foreach { r =>
+        val (lang, h, m, t) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(h > 0 && m > 0 && t > 0, s"$lang: empty bucket ($h,$m,$t)")
+        // terciles: each bucket within 2 of n/3 (interpolation boundary slack)
+        val n = h + m + t
+        Seq(h, m, t).foreach(b =>
+          assert(math.abs(b - n / 3.0) <= 2.0, s"$lang: skewed ($h,$m,$t)"))
+      }
+      // bucket order respects the score order within a language: the worst
+      // head score never exceeds the best tail score
+      val agg = df.groupBy("lang").agg(
+        max(when(col("bucket") === "head", col("score"))).as("maxHead"),
+        min(when(col("bucket") === "tail", col("score"))).as("minTail"))
+      assert(agg.filter(col("maxHead") >= col("minTail")).count() === 0)
+    } finally df.unpersist()
+  }
 }
