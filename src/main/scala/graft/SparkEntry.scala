@@ -302,6 +302,10 @@ object SparkEntry {
     // Product-quantization ANN (8-byte codes + ADC): approximate by
     // design -> rows-only like s2/s3; recall vs s1 gated in spec
     "s10_pq_topk" -> (Similarity.pqTopK(_, _)),
+    // IVF-PQ composite (the Faiss IndexIVFPQ deployment shape): coarse
+    // cell prune, ADC over only the probed cells' codes, exact re-rank.
+    // Approximate by design -> rows-only; recall vs s1 gated in spec.
+    "s13_ivfpq_topk" -> (Similarity.ivfPqTopK(_, _)),
     // Exact cosine radius (range) search around the query vectors —
     // map-only over the corpus, no shuffle at all
     "s11_radius_search" -> (Similarity.radiusSearch(_, _)),

@@ -404,6 +404,53 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** One admitted document from the streaming domain cap: `rk` is the
+    * per-source admission ordinal (1-based, dense).
+    */
+  case class CapAdmit(doc_id: Long, source: String, rk: Int)
+
+  /** d20's streaming form — per-source ADMISSION cap over a live
+    * ingest feed: the first `cap` documents of each source pass, the
+    * rest are dropped at the door. Where batch d20 draws a
+    * deterministic uniform sample per source (it sees the whole corpus
+    * and can hash-order it), a stream cannot know a better candidate
+    * arrives later, so the streaming form is the rate-limiter shape:
+    * first-come-first-admitted, the guard a crawl frontier or backfill
+    * replay puts in front of the corpus store. Admission order within
+    * a micro-batch follows iteration order after the (source) shuffle —
+    * WHICH docs are admitted is arrival-dependent by design (the spec
+    * asserts the cap, rank density, and cross-batch state carry, not a
+    * particular winner set).
+    *
+    * Scale posture: `flatMapGroupsWithState` keeps ONE integer of
+    * state per source — bounded by the domain universe, not the
+    * stream — and emits admitted rows incrementally (Append mode, no
+    * result-table rescan). The (source) shuffle is the same key the
+    * batch form groups on; a hot source costs one counter, not a
+    * buffer.
+    */
+  def domainCapStream(streamDocs: DataFrame, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = streamDocs.sparkSession
+    import s.implicits._
+    streamDocs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Int, CapAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Int]) =>
+          var n = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ListBuffer.empty[CapAdmit]
+          while (rows.hasNext && n < cap) {
+            val r = rows.next(); n += 1; out += CapAdmit(r._1, src, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** d21 — soft dedup: duplicate-aware DOWN-WEIGHTING instead of
     * removal. Hard dedup (d10/d18) throws every copy but one away;
     * soft dedup keeps all members of a near-duplicate cluster (d9's

@@ -466,22 +466,7 @@ object Similarity {
     */
   def ivfCandidates(index: IvfIndex, queries: DataFrame,
       nProbe: Int = 10): DataFrame = {
-    // queries probe the nProbe nearest cells: sort (dist, idx) structs.
-    // Query norms are computed once per query row (broadcast side), and
-    // zero-norm queries are dropped up front — so the per-candidate
-    // cosine below is one dot + one plain divide with both norm factors
-    // known nonzero (arithmetic identical to VectorFunctions.cosine:
-    // same sqrt/product/divide order, minus the per-pair guard).
-    val q0 = (if (queries.columns.contains("q_nrm")) queries
-      else queries.withColumn("q_nrm", l2norm(col("q_emb"))))
-      .filter(col("q_nrm") > 0.0)
-      .withColumn("dists", centroidDists(index.centroids, col("q_emb")))
-      .withColumn("ranked", expr(
-        s"transform(slice(array_sort(transform(sequence(1, ${index.centroids.length}), " +
-          s"i -> struct(dists[i-1] AS d, i AS idx))), 1, $nProbe), x -> x.idx)"))
-      .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        explode(col("ranked")).as("cell"))
-      .withColumn("cell", col("cell").cast("int"))
+    val q0 = probedCells(index.centroids, queries, nProbe)
     val q = if (q0.isStreaming) q0 else broadcast(q0)
     index.corpus.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -490,6 +475,29 @@ object Similarity {
       .filter(col("cos").isNotNull) // length-mismatched vectors rank nowhere
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
+
+  /** (query_id, q_emb, q_nrm, cell) for each query's `nProbe` nearest
+    * cells: sort (dist, idx) structs. Query norms are computed once per
+    * query row (broadcast side), and zero-norm queries are dropped up
+    * front — so the per-candidate cosine stays one dot + one plain
+    * divide with both norm factors known nonzero (arithmetic identical
+    * to VectorFunctions.cosine: same sqrt/product/divide order, minus
+    * the per-pair guard). Shared by ivfCandidates (s3 and its streaming
+    * form) and the s13 IVF-PQ coarse prune.
+    */
+  private def probedCells(centroids: Array[Array[Double]],
+      queries: DataFrame, nProbe: Int): DataFrame =
+    (if (queries.columns.contains("q_nrm")) queries
+      else queries.withColumn("q_nrm", l2norm(col("q_emb"))))
+      .filter(col("q_nrm") > 0.0)
+      .withColumn("dists", centroidDists(centroids, col("q_emb")))
+      .withColumn("ranked", expr(
+        s"transform(slice(array_sort(transform(sequence(1, ${centroids.length}), " +
+          s"i -> struct(dists[i-1] AS d, i AS idx))), 1, $nProbe), x -> x.idx)"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(col("ranked")).as("cell"))
+      .withColumn("cell", col("cell").cast("int"))
+
 
   /** Memoized index per (session, corpus dir, params): the registered
     * s3 entry point is (SparkSession, dir) => DataFrame, so the
@@ -792,30 +800,59 @@ object Similarity {
       k: Int = 5, nQueries: Int = 5, m: Int = 16, nCodes: Int = 16,
       iters: Int = 2, dim: Int = 64, shortlist: Int = 50): DataFrame = {
     val sub = dim / m
-    val e = Tables.embeddings(s, dir)
+    val e = pqUnitCorpus(s, dir, dim)
+    val subv = pqSubvectors(e, "vec_id", m, sub)
+    val (cent, codes) = pqTrain(subv, m, nCodes, iters, sub)
+    val lut = pqLut(e, cent, nQueries, m, sub)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val short = codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRerank(e, short, nQueries, k)
+  }
+
+  /** L2-normalized, dim-validated embedding corpus (cached — subvector
+    * explode and the query side both re-scan it; Bench/Verify
+    * clearCache per query).
+    */
+  private def pqUnitCorpus(s: SparkSession, dir: String, dim: Int): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         graft.functions.VectorFunctions.l2norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0.0 && size(col("emb")) === dim)
       .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .cache() // subvector explode + query side re-scan; Bench/Verify clearCache
-    def subvectors(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), posexplode(
-          transform(sequence(lit(0), lit(m - 1)),
-            i => slice(col("emb"), i * lit(sub) + 1, lit(sub))))
-          .as(Seq("sub_id", "sv")))
-    val subv = subvectors(e, "vec_id")
+      .cache()
+
+  /** (id, sub_id, sv): each unit vector split into its m dim/m slices. */
+  private def pqSubvectors(df: DataFrame, idAs: String,
+      m: Int, sub: Int): DataFrame =
+    df.select(col("vec_id").as(idAs), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("emb"), i * lit(sub) + 1, lit(sub))))
+        .as(Seq("sub_id", "sv")))
+
+  /** Per-subspace codebook training + final code assignment.
+    *
+    * All distance math is dot-based (||a−c||² = ||a||² + ||c||² − 2a·c)
+    * through the native codegen'd DotProduct, NOT the zip_with/aggregate
+    * fold s6/s7 use: those are oracle-mirrored and must stay
+    * bit-identical to DuckDB's list_reduce; PQ has no SQL oracle, and
+    * the interpreted fold dominated the n·m·codes candidate stream.
+    * Together with the 16×16 layout and the per-round checkpoint,
+    * sf0.1 warm time went 26.3s -> 3.0s. ||c||² is precomputed once per
+    * centroid. (Also rejected, with measurements: driver-collected
+    * codebook + literal-array argmin à la IVF — fine at 16 cells, but
+    * 2048 literal dot expressions made planning/codegen the bottleneck,
+    * 44s/pass.)
+    */
+  private def pqTrain(subv: DataFrame, m: Int, nCodes: Int,
+      iters: Int, sub: Int): (DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.dot
-    // All distance math below is dot-based (||a−c||² = ||a||² + ||c||²
-    // − 2a·c) through the native codegen'd DotProduct, NOT the
-    // zip_with/aggregate fold s6/s7 use: those are oracle-mirrored and
-    // must stay bit-identical to DuckDB's list_reduce; s10 has no SQL
-    // oracle, and the interpreted fold dominated the n·m·codes
-    // candidate stream. Together with the 16×16 layout and the
-    // per-round checkpoint below, sf0.1 warm time went 26.3s -> 3.0s.
-    // ||c||² is precomputed once per centroid. (Also rejected, with
-    // measurements: driver-collected codebook + literal-array argmin à
-    // la IVF — fine at 16 cells, but 2048 literal dot expressions made
-    // planning/codegen the bottleneck, 44s/pass.)
     def subMeans(df: DataFrame): DataFrame =
       df.groupBy(col("sub_id"), col("code"))
         .agg(array((0 until sub).map(i =>
@@ -847,27 +884,30 @@ object Similarity {
     var cent = materialized(
       subMeans(subv.withColumn("code", pmod(col("vec_id"), lit(nCodes)))))
     for (_ <- 1 to iters) cent = materialized(subMeans(assign(cent)))
-    val codes = assign(cent).select(col("vec_id"), col("sub_id"), col("code"))
-    // per-query LUT: exact partial distance to every (sub_id, code)
-    // centroid (the ADC sums must be true distances, so ||q_m||² stays)
-    val lut = subvectors(e.filter(col("vec_id") < nQueries), "query_id")
+    (cent, assign(cent).select(col("vec_id"), col("sub_id"), col("code")))
+  }
+
+  /** Per-query ADC lookup table: exact partial distance to every
+    * (sub_id, code) centroid (the ADC sums must be true distances, so
+    * ||q_m||² stays).
+    */
+  private def pqLut(e: DataFrame, cent: DataFrame, nQueries: Int,
+      m: Int, sub: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    pqSubvectors(e.filter(col("vec_id") < nQueries), "query_id", m, sub)
       .withColumnRenamed("sv", "qv")
       .join(cent, "sub_id")
       .withColumn("pdist", dot(col("qv"), col("qv")) + col("cnorm2")
         - lit(2.0) * dot(col("qv"), col("cvec")))
       .select(col("query_id"), col("sub_id"), col("code"), col("pdist"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    val short = codes.join(broadcast(lut), Seq("sub_id", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("pdist")).as("adc_dist"))
-      .withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: fetch the shortlist's float vectors by id (the
-    // corpus streams past the broadcast nQueries×shortlist id set),
-    // dot on unit vectors = cosine
+  }
+
+  /** Exact re-rank: fetch the shortlist's float vectors by id (the
+    * corpus streams past the broadcast nQueries×shortlist id set),
+    * dot on unit vectors = cosine.
+    */
+  private def pqRerank(e: DataFrame, short: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     e.select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"))
@@ -881,6 +921,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s13 — IVF-PQ ANN: the composed deployment shape (Jégou et al.
+    * 2011 §IV, the layout Faiss ships as `IndexIVFPQ` — public): a
+    * coarse IVF quantizer prunes the corpus to the `nProbe` cells
+    * nearest each query, and ADC over the PQ codes ranks only those
+    * cells' members; the exact float re-rank then touches just the
+    * shortlist. s3 prunes cells but scans floats; s10 scans all codes;
+    * s13 does neither — at 100 TB the scan is nProbe/nCells of a
+    * 3 TB code table instead of either full corpus, which is the
+    * difference between an in-memory probe and a table scan.
+    *
+    * Scale posture: the coarse index is s3's (bounded K×dim centroid
+    * collect, one checkpointed assignment scan); the codebook is s10's
+    * (broadcast, one Lloyd plan over all subspaces). The cell filter
+    * lands BEFORE the ADC join — codes join their cell labels on
+    * vec_id (co-partitioned at scale: both are corpus-keyed), the
+    * nQueries·nProbe probe table broadcasts, and everything after runs
+    * on the surviving ~nProbe/nCells fraction. The default nProbe is
+    * deliberately wide (12/16, shortlist 120 — measured recall@5 0.92
+    * vs 0.68 at 8/16+50): this corpus is near-isotropic (the s3
+    * comment's measurement), so the two stacked approximations both
+    * need candidate volume; clustered corpora prune far deeper at the
+    * same recall (spec-proven for s2/s3).
+    * Approximate by design -> rows-only like s2/s3/s10; recall vs s1
+    * gated in spec. Output: (query_id, rank, neighbor_id, cos).
+    */
+  def ivfPqTopK(s: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
+      m: Int = 16, nCodes: Int = 16, iters: Int = 2, dim: Int = 64,
+      shortlist: Int = 120): DataFrame = {
+    val sub = dim / m
+    val e = pqUnitCorpus(s, dir, dim)
+    // coarse quantizer over the SAME unit vectors the codes encode —
+    // L2 cells on unit vectors are cosine cells, so the two stages
+    // agree on geometry
+    val coarse = buildIvfIndexFrom(
+      e.select(col("vec_id"), col("emb").as("embedding")), nCells, dim)
+    val cells = coarse.corpus
+      .select(col("neighbor_id").as("vec_id"), col("cell"))
+    val subv = pqSubvectors(e, "vec_id", m, sub)
+    val (cent, codes) = pqTrain(subv, m, nCodes, iters, sub)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = probedCells(coarse.centroids, queries, nProbe)
+      .select(col("query_id"), col("cell"))
+    val lut = pqLut(e, cent, nQueries, m, sub)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val short = codes.join(cells, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub_id", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRerank(e, short, nQueries, k)
   }
 
   /** s12 — greedy k-center coreset selection (farthest-point traversal,

@@ -455,6 +455,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("s13 IVF-PQ top-k: recall >= 0.8 vs s1, ranks dense, candidates cell-pruned") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfPqTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length),
+        s"query $q ranks not dense: ${rs.map(_._2).sorted.mkString(",")}")
+      assert(rs.forall(_._3 != q), s"query $q returned itself")
+    }
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(s"s13 ivfPqTopK recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("embedding near-dup: tiled exact join equals naive quadratic, no BNLJ") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

@@ -102,7 +102,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     Seq("s1_cosine_topk", "s2_ann_topk", "s3_ivf_topk", "s4_knn_join",
         "s5_centroids", "s6_kmeans_assign", "s7_kmeans_iter",
         "s8_quantize_int8", "s9_dequantized_topk", "s10_pq_topk",
-        "s11_radius_search", "s12_kcenter_coreset",
+        "s11_radius_search", "s12_kcenter_coreset", "s13_ivfpq_topk",
         "d6_embedding_dedup", "d13_embedding_clusters", "d17_semantic_dedup")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()

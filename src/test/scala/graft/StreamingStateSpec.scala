@@ -319,6 +319,43 @@ class StreamingStateSpec extends AnyFunSuite {
       col("g.n") =!= col("b.n") ||
       col("g.event_type") =!= col("b.event_type")).count() === 0)
   }
+
+  test("d20 streaming domain cap: admission capped per source, state carries across batches") {
+    import spark.implicits._
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "domaincap").toString
+    // file 1: two 'a' docs + one 'b'; file 2 (later): three more 'a',
+    // two more 'b'. cap=3 → 'a' admits 2 (batch 1) + 1 (batch 2);
+    // 'b' admits all 3.
+    val f1 = Seq((1L, "a"), (2L, "a"), (10L, "b")).toDF("doc_id", "source")
+    val f2 = Seq((3L, "a"), (4L, "a"), (5L, "a"), (11L, "b"), (12L, "b"))
+      .toDF("doc_id", "source")
+    f1.coalesce(1).write.mode("append").parquet(d)
+    Thread.sleep(1100) // distinct mtimes so maxFilesPerTrigger orders them
+    f2.coalesce(1).write.mode("append").parquet(d)
+    val stream = spark.readStream.schema(f1.schema)
+      .option("maxFilesPerTrigger", "1") // force genuine multi-batch state
+      .parquet(d)
+    val out = graft.operators.CorpusOps.domainCapStream(stream, cap = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("domaincap_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("domaincap_out").collect()
+    val bySrc = got.groupBy(_.getString(1))
+    assert(bySrc("a").length === 3 && bySrc("b").length === 3, got.toSeq)
+    // ranks dense 1..k per source
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length),
+        s"$src ranks: ${rows.map(_.getInt(2)).toSeq}")
+    }
+    // cross-batch carry: batch 1's 'a' docs (1,2) were both admitted
+    // before any batch-2 doc could take a slot
+    val aIds = bySrc("a").map(_.getLong(0)).toSet
+    assert(aIds.contains(1L) && aIds.contains(2L), s"a admitted: $aIds")
+    assert(bySrc("b").map(_.getLong(0)).toSet === Set(10L, 11L, 12L))
+  }
 }
 
 /** Top-level (not an inner/anonymous class: a processor ships to
