@@ -276,6 +276,9 @@ object SparkEntry {
     "d20_domain_cap"       -> (CorpusOps.domainCap(_, _)),
     // Duplicate-aware down-weighting: 1/cluster_size training weights
     "d21_soft_dedup"       -> (CorpusOps.softDedupWeights(_, _)),
+    // The full curation sequence as ONE plan: dedup -> quality gate ->
+    // decontaminate -> domain cap -> split (the corpus manifest)
+    "d22_curation_pipeline" -> (CorpusOps.curationPipeline(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1505,6 +1508,63 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY component)
         |    AS weight
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // d22: the stage CTEs are the verbatim oracles of the pieces —
+    // d1's keep-first window, t8's score + per-lang median, d11's
+    // shingle/bench join, d20's cap window, d19's split rule on doc_id.
+    "d22_curation_pipeline" ->
+      """WITH base AS (SELECT doc_id, lang, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS toks,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |scored AS (SELECT doc_id, lang, source, toks, fp,
+        |    0.5 * (CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+        |      / len(toks))
+        |     + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+        |        AS DOUBLE) / length(text))
+        |     + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |      AS quality_score
+        |  FROM base),
+        |dedup AS (SELECT * FROM (SELECT s.*, ROW_NUMBER() OVER (
+        |    PARTITION BY fp ORDER BY doc_id) AS rn FROM scored s)
+        |  WHERE rn = 1),
+        |med AS (SELECT lang, quantile_cont(quality_score, 0.5)
+        |    AS lang_median FROM dedup GROUP BY lang),
+        |quality AS (SELECT d.* FROM dedup d JOIN med m USING (lang)
+        |  WHERE d.quality_score > m.lang_median),
+        |benchsh AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |        for i in range(1, len(w) - 1)] ELSE [] END)) AS g
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS w
+        |    FROM documents WHERE doc_id % 20 = 0)) u),
+        |contaminated AS (SELECT c.doc_id FROM (
+        |  SELECT doc_id, len(t) AS n_shingles, unnest(t) AS g FROM (
+        |    SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |        THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in range(1, len(toks) - 1)] ELSE [] END) AS t
+        |    FROM quality WHERE doc_id % 20 <> 0)) c
+        |  JOIN benchsh b USING (g)
+        |  GROUP BY c.doc_id, c.n_shingles
+        |  HAVING CAST(count(*) AS DOUBLE) / c.n_shingles > 0.2),
+        |clean AS (SELECT q.* FROM quality q
+        |  WHERE q.doc_id % 20 <> 0
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |capped AS (SELECT * FROM (SELECT c.*, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY
+        |      CAST('0x' || substr(md5('cap_' || doc_id), 1, 15) AS BIGINT),
+        |      doc_id) AS rk FROM clean c)
+        |  WHERE rk <= 20)
+        |SELECT doc_id, lang, source, quality_score,
+        |  CASE WHEN hv < 100 THEN 'test'
+        |       WHEN hv < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (SELECT *, CAST('0x' || substr(md5('split_' || doc_id), 1, 15)
+        |    AS BIGINT) % 1000 AS hv FROM capped)
+        |ORDER BY doc_id""".stripMargin,
 
     // Lloyd's unrolled: fixed init (per-label means) + 2 E+M rounds +
     // final E-step, each round one assign CTE + one centroid CTE — the

@@ -376,6 +376,84 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** d22 — the END-TO-END curation pipeline as ONE declarative plan:
+    * exact dedup (keep-first) → per-language quality gate →
+    * benchmark decontamination → per-source domain cap → split
+    * assignment, emitting the final corpus manifest (doc_id, lang,
+    * source, quality_score, split). d12 is the mini form (dedup +
+    * quality + sample); d22 is the full sequence a production
+    * training-data build runs, expressed as one DataFrame so Catalyst
+    * sees the whole DAG — the quality projection and the dedup window
+    * share one scan, the decontamination filter runs only on quality
+    * survivors (cheapest-first filter ordering), and nothing
+    * materializes between stages except the one deliberate cache.
+    *
+    * Stage choices, each mirrored in the oracle: dedup keeps the
+    * smallest doc_id per content fingerprint (d1's convention); the
+    * quality gate is t8's per-language median over the DEDUPED
+    * survivors (d12's ordering — score the canon, not the copies);
+    * decontamination drops the bench slice itself AND any survivor
+    * whose d11 contamination fraction (shared word-3-grams over own
+    * shingles) exceeds `contThresh` — the thresholded form real
+    * pipelines use; drop-on-ANY-overlap left 7 of 500 docs on this
+    * corpus, a policy no one ships; the cap is d20's deterministic
+    * hash draw; the
+    * split is the d19 hash rule keyed on doc_id — after exact dedup
+    * the byte-identical leakage channel is gone, and the cluster-keyed
+    * upgrade (d19 proper) swaps in by replacing one column.
+    *
+    * Scale posture: one corpus scan feeds the fp window (one shuffle);
+    * the survivors' shingle explode happens AFTER the quality gate cut
+    * the corpus in half; the bench set broadcasts (d11's argument);
+    * the cap is WindowGroupLimit-bounded (d20's argument); the split
+    * is a projection. Total: three corpus-key shuffles (fp, source,
+    * presentation sort) + one bounded broadcast — no stage rescans
+    * the raw table.
+    */
+  def curationPipeline(s: SparkSession, dir: String,
+      benchMod: Int = DefaultBenchMod, cap: Int = 20,
+      contThresh: Double = 0.2,
+      testPermille: Long = 100L, valPermille: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"),
+        fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityExpr(col("text"), col("toks")).as("quality_score"))
+    val deduped = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn", "fp")
+      .cache() // median agg + gate + shingle branch (d12's lifecycle contract)
+    val med = deduped.groupBy(col("lang"))
+      .agg(percentile(col("quality_score"), lit(0.5)).as("lang_median"))
+    val quality = deduped.join(broadcast(med), "lang")
+      .filter(col("quality_score") > col("lang_median"))
+    val contaminated = contamination(
+      quality.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+        .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh")),
+      benchShingles(s, dir, benchMod).shingles)
+      .filter(col("contamination") > contThresh)
+      .select("doc_id")
+    val clean = quality
+      .filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val capped = clean
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          hash64(concat(lit("cap_"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rk") <= cap)
+    val h = hashPermille("split_")
+    capped.select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score"),
+        when(h < testPermille, lit("test"))
+          .when(h < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d20 — per-source document cap (the C4/RefinedWeb "no domain may
     * dominate the mix" rule): keep at most `cap` documents per source,
     * chosen by a deterministic salted hash of the doc key — a

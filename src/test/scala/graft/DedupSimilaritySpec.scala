@@ -725,6 +725,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("d22 curation pipeline: staged invariants hold on the final manifest") {
+    import org.apache.spark.sql.functions._
+    val cap = 20
+    val got = graft.operators.CorpusOps.curationPipeline(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      assert(got.count() > 0)
+      // no bench docs (doc_id % 20 == 0) survive
+      assert(got.filter(pmod(col("doc_id"), lit(20)) === 0).count() === 0)
+      // no duplicate content: every surviving doc is its group's keeper
+      val d1 = graft.operators.Dedup.exactDedup(spark, sfDir)
+        .select(col("keep_doc_id").as("doc_id"))
+      assert(got.join(d1, Seq("doc_id"), "left_anti").count() === 0)
+      // quality gate: every survivor is above its language's median
+      // over the deduped set (recompute independently)
+      val scored = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality_score").as("q"))
+        .join(d1, "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val med = scored.groupBy("lang")
+        .agg(percentile(col("q"), lit(0.5)).as("m"))
+        .withColumnRenamed("lang", "mlang")
+      val below = got.select("doc_id").join(scored, Seq("doc_id"))
+        .join(med, col("lang") === col("mlang"))
+        .filter(col("q") <= col("m")).count()
+      assert(below === 0, "a survivor at or below its language median")
+      // per-source cap respected
+      val over = got.groupBy("source").count().filter(col("count") > cap)
+      assert(over.count() === 0)
+      // every row has a split and re-running assigns identically
+      assert(got.filter(!col("split").isin("train", "val", "test"))
+        .count() === 0)
+      val again = graft.operators.CorpusOps.curationPipeline(spark, sfDir)
+      assert(got.select("doc_id", "split").except(
+        again.select("doc_id", "split")).count() === 0)
+    } finally got.unpersist()
+  }
+
   test("t6 tfidf: k rows per doc, rare terms outrank common ones") {
     import org.apache.spark.sql.functions._
     val t6 = graft.operators.TextAnalysis.tfidfTopK(spark, sfDir, k = 3)

@@ -7,6 +7,9 @@ object OneQ {
     names.foreach { n =>
       SparkEntry.queries(n)(spark, dir).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/$n")
+      SparkEntry.oracleSql.get(n).foreach(sql =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/$n.sql"), sql))
       spark.catalog.clearCache()
     }
     spark.stop()
