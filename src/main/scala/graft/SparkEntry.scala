@@ -156,6 +156,11 @@ object SparkEntry {
     // Temporal joins (absent categories in the reference, §2.3)
     "q34_range_join"       -> (TemporalJoins.rangeJoin(_, _)),
     "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
+    // Time-series resample: dense hourly grid + forward-fill (LOCF)
+    "q60_gap_fill"         -> (TemporalJoins.gapFill(_, _)),
+    // TPC-H Q2 shape: argmax supplier over the derived part↔supplier
+    // junction, region-pruned, heap-k presentation
+    "q59_best_supplier"    -> (RelationalQueries3.bestSupplierPerPart(_, _)),
     "q36_window_range"     -> (RelationalQueries2.windowRangeFrame(_, _)),
     "q37_window_dist"      -> (RelationalQueries2.windowDistributions(_, _)),
     // Same SQL text runs on both engines (spark.sql surface demo).
@@ -340,6 +345,9 @@ object SparkEntry {
     // Batch mirror of the watermarked LEFT OUTER stream-stream join:
     // first purchase per click, null-extended abandonment rows
     "w7_click_attribution" -> (graft.streaming.EventsWindows.clickAttribution(_, _)),
+    // Windowed unique visitors: exact batch truth; the streaming mirror
+    // is the HLL sketch form, error-gated vs this in StreamingSpec
+    "w8_window_uniques" -> (graft.streaming.EventsWindows.windowUniques(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -737,6 +745,43 @@ object SparkEntry {
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q60_gap_fill" ->
+      """WITH hourly AS (SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM spans),
+        |j AS (SELECT g.user_id, g.hour, h.v
+        |  FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+        |SELECT user_id, hour,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v IS NULL AS filled
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+
+    "q59_best_supplier" ->
+      """WITH junction AS (SELECT DISTINCT l_partkey, l_suppkey, p_name
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'SMALL'),
+        |supp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ranked AS (SELECT j.l_partkey AS p_partkey, j.p_name,
+        |    s.s_acctbal, s.s_suppkey, s.s_name, s.n_name,
+        |    row_number() OVER (PARTITION BY j.l_partkey
+        |      ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+        |  FROM junction j JOIN supp s ON j.l_suppkey = s.s_suppkey)
+        |SELECT p_partkey, p_name, s_acctbal, s_suppkey, s_name, n_name
+        |FROM ranked WHERE rn = 1
+        |ORDER BY s_acctbal DESC, p_partkey LIMIT 100""".stripMargin,
 
     "q36_window_range" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -2054,6 +2099,12 @@ object SparkEntry {
         |SELECT user_id, click_id, click_ts, purchase_id, purchase_ts,
         |  purchase_id IS NOT NULL AS converted
         |FROM r WHERE rn = 1 ORDER BY user_id, click_id""".stripMargin,
+
+    "w8_window_uniques" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |    AS win_start,
+        |  count(DISTINCT user_id) AS uniques
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and

@@ -422,6 +422,55 @@ object RelationalQueries3 {
     * would shuffle the whole fact table twice; probing it FIRST makes
     * the selective dimension do the pruning.
     */
+  /** q59 — best supplier per part (TPC-H Q2's shape, adapted: this
+    * schema has no partsupp, so the part↔supplier relationship is
+    * DERIVED as the distinct (l_partkey, l_suppkey) pairs that
+    * actually shipped): for every part of one type, the region
+    * supplier with the highest account balance that has shipped it,
+    * ties to the smaller supplier key; presented top-`topK` by
+    * balance. The correlated-argmax-over-a-junction-relation shape.
+    *
+    * Scale posture: both dimension slices prune before the fact scan —
+    * the type-filtered part probe broadcasts onto lineitem (also the
+    * junction semi-join), and the region→nation→supplier chain
+    * broadcasts onto the junction rows. The junction DISTINCT is the
+    * one fact-sized shuffle (its key (partkey, suppkey) is the
+    * aggregate's prefix, so no second exchange); the argmax is a
+    * map-side-combining max(struct) — no per-part rank window — and
+    * the presentation top-k is a TakeOrdered heap, not a total sort.
+    */
+  def bestSupplierPerPart(s: SparkSession, dir: String,
+      region: String = "EUROPE", ptype: String = "SMALL",
+      topK: Int = 100): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === region)
+        .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(regionNations), "s_nationkey")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === ptype)
+      .select(col("p_partkey").as("l_partkey"), col("p_name"))
+    val junction = Tables.lineitem(s, dir)
+      .join(broadcast(parts), "l_partkey")
+      .select(col("l_partkey"), col("l_suppkey"), col("p_name"))
+      .distinct()
+    junction.join(broadcast(supp), "l_suppkey")
+      // max(struct): balance desc, then smaller suppkey (negated key)
+      .groupBy(col("l_partkey").as("p_partkey"), col("p_name"))
+      .agg(max(struct(col("s_acctbal").as("b"),
+        (-col("l_suppkey")).as("nk"), col("l_suppkey").as("sk"),
+        col("s_name").as("sn"), col("n_name").as("nn"))).as("pick"))
+      .select(col("p_partkey"), col("p_name"),
+        col("pick.b").as("s_acctbal"), col("pick.sk").as("s_suppkey"),
+        col("pick.sn").as("s_name"), col("pick.nn").as("n_name"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(topK)
+  }
+
   def profitByNationYear(s: SparkSession, dir: String,
       line: String = "red"): DataFrame = {
     val p = Tables.part(s, dir)

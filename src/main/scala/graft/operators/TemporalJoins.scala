@@ -74,4 +74,44 @@ object TemporalJoins {
         col("ts").as("purchase_ts"), col("last_click_ts"))
       .orderBy(col("event_id"))
   }
+
+  /** q60 — time-series resample + gap-fill: each user's `value` series
+    * regularized onto a dense hourly grid between that user's first
+    * and last observed hour, with missing hours FORWARD-FILLED from
+    * the last observed hourly mean (last-observation-carried-forward —
+    * the standard irregular-to-regular preprocessing before any
+    * sliding-window feature or sequence model sees the data; the
+    * category SURVEY §2.3 lists as absent from the reference alongside
+    * range/as-of joins). `filled` marks interpolated rows so
+    * downstream can weight or drop them. Output: (user_id, hour,
+    * value, filled).
+    *
+    * Scale posture: the hourly pre-aggregate is one (user, hour)
+    * shuffle with map-side combine; the dense grid comes from
+    * `sequence()` exploded off each user's 2-timestamp span row — grid
+    * size is span-bounded per user, never corpus-quadratic — and joins
+    * back on the SAME (user, hour) key (AQE reuses the
+    * co-partitioning). The carry-forward is one per-user window pass
+    * ordered by hour — per-key linear scan, same shape as asOfJoin,
+    * parallel across users. Nothing global: a million users fan out; a
+    * single user's series is one task's sequential scan, which is the
+    * algorithm's inherent order dependence.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(avg(col("value")).as("v"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        col("v").isNull.as("filled"))
+      .orderBy(col("user_id"), col("hour"))
+  }
 }

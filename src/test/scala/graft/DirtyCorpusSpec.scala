@@ -117,7 +117,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
   test("event-family queries survive null ts/user/type/value rows") {
     Seq("w1_tumbling_window", "w2_sliding_window", "w3_session_window",
         "w4_first_event", "w5_funnel_join", "w6_window_topk",
-        "w7_click_attribution",
+        "w7_click_attribution", "w8_window_uniques", "q60_gap_fill",
         "events_speed_faithful", "events_speed_weighted")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()

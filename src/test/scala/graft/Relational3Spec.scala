@@ -150,6 +150,37 @@ class Relational3Spec extends AnyFunSuite {
     assert(!PlanChecks.hasBroadcastNestedLoop(df))
   }
 
+  test("q59 best supplier per part: argmax agrees with a rank-window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val df = RelationalQueries3.bestSupplierPerPart(spark, sfDir)
+    assert(PlanChecks.hasBroadcastJoin(df))
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+    assert(PlanChecks.hasTakeOrdered(df), "presentation top-k is not a heap")
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // independent recompute through a rank window instead of max(struct)
+    val junction = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "SMALL")
+        .select(col("p_partkey").as("l_partkey")), "l_partkey")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val supp = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir)
+        .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("s_nationkey")), "s_nationkey")
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val want = junction
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_partkey"), col("s_suppkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (pk, sk) = (r.getLong(0), r.getLong(3))
+      assert(want.get(pk).contains(sk), s"part $pk: picked $sk, want ${want.get(pk)}")
+    }
+  }
+
   test("q58 profit: part and supplier dims broadcast; totals match a one-pass recompute") {
     val df = RelationalQueries3.profitByNationYear(spark, sfDir)
     assert(PlanChecks.hasBroadcastJoin(df))

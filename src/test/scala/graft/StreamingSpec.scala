@@ -51,6 +51,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming windowed HLL uniques track exact batch w8 within error") {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val agg = EventsWindows.windowUniquesStream(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("w8_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("w8_out").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val want = EventsWindows.windowUniques(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // append mode emits only watermark-closed windows: every emitted
+    // window must exist in batch, and only windows ending inside the
+    // trailing watermark hour (at most the last two hourly windows)
+    // may remain open
+    assert(got.keySet.subsetOf(want.keySet))
+    assert(got.size >= want.size - 2, s"${got.size} of ${want.size} windows")
+    // HLL at rsd 0.02: gate generously at 10% relative error per window
+    got.foreach { case (w, approx) =>
+      val exact = want(w)
+      assert(math.abs(approx - exact) <= math.max(1.0, 0.10 * exact),
+        s"window $w: approx $approx vs exact $exact")
+    }
+  }
+
   test("streaming session windows equal batch w3 row-for-row") {
     // session_window keeps per-key OPEN-SESSION state (merged as events
     // arrive, emitted when the watermark passes the gap) — the one

@@ -33,4 +33,35 @@ class TemporalJoinsSpec extends AnyFunSuite {
     // at least one purchase has a prior click in this data
     assert(m.filter(col("last_click_ts").isNotNull).count() > 0)
   }
+
+  test("q60 gap fill: dense hourly grid per user, LOCF values, filled flags honest") {
+    val g = TemporalJoins.gapFill(spark, sfDir).cache()
+    try {
+      // grid density: per user, row count == hours between min and max + 1
+      val span = g.groupBy("user_id").agg(
+        count(lit(1)).as("n"), min("hour").as("h0"), max("hour").as("h1"))
+      val sparse = span.filter(col("n") =!=
+        (unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600 + 1)
+      assert(sparse.count() === 0, "grid not dense")
+      // no value may be null (first grid row is an observed hour)
+      assert(g.filter(col("value").isNull).count() === 0)
+      // filled=false rows carry exactly the observed hourly mean
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(avg(col("value")).as("want"))
+      val obs = g.filter(!col("filled")).join(hourly, Seq("user_id", "hour"))
+      assert(obs.count() === hourly.count(), "observed rows != hourly groups")
+      assert(obs.filter(abs(col("value") - col("want")) > 1e-9).count() === 0)
+      // filled rows repeat the previous grid row's value (LOCF), checked
+      // via an independent lag window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("hour")
+      val locf = g.withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("filled"))
+        .filter(col("value") =!= col("prev"))
+      assert(locf.count() === 0, "a filled row does not repeat its predecessor")
+      // the fill actually exercises: some gaps exist in this data
+      assert(g.filter(col("filled")).count() > 0)
+    } finally g.unpersist()
+  }
 }
