@@ -165,6 +165,23 @@ object Bench {
       e.printStackTrace()
       (-1.0, -1.0)
     }
+    // s13 IVF-PQ build-vs-query split, same contract as s3's.
+    val (ivfPqBuild, ivfPqQuery) = try {
+      graft.operators.Similarity.invalidateIvfPqIndexes()
+      spark.catalog.clearCache()
+      val b0 = System.nanoTime()
+      run(graft.operators.Similarity.ivfPqTopK(spark, sfDir))
+      val b = (System.nanoTime() - b0) / 1e9
+      spark.catalog.clearCache()
+      val q0 = System.nanoTime()
+      run(graft.operators.Similarity.ivfPqTopK(spark, sfDir))
+      val q = (System.nanoTime() - q0) / 1e9
+      (b - q, q) // first run = build + query; difference isolates build
+    } catch { case NonFatal(e) =>
+      System.err.println("[bench] s13 ivfpq build/query split failed:")
+      e.printStackTrace()
+      (-1.0, -1.0)
+    }
     // GB-scale flagship: the one comparison BASELINE.md publishes at
     // like volume — the reference's 481 s is over ~3.2 GB of taxi CSV;
     // run the real ingest pipeline (S2 listing → text scan → accept →
@@ -245,7 +262,7 @@ object Bench {
     // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
     // from the target, pass-0 times are NOT target-scale numbers and
     // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -946,23 +946,56 @@ object Similarity {
     * need candidate volume; clustered corpora prune far deeper at the
     * same recall (spec-proven for s2/s3).
     * Approximate by design -> rows-only like s2/s3/s10; recall vs s1
-    * gated in spec. Output: (query_id, rank, neighbor_id, cos).
+    * gated in spec. The index side (coarse centroids + checkpointed
+    * (vec_id, cell, code) table + codebook) is memoized per
+    * (session, corpus, params) exactly like s3's index — first call
+    * builds, every later call is query-only, and Bench reports the
+    * split (s13_ivfpq_build/query). Output: (query_id, rank,
+    * neighbor_id, cos).
     */
+  /** The built (index-side) half of s13, memoized like s3's IVF index:
+    * coarse centroids + per-vector (cell, PQ codes) + codebook, all
+    * checkpointed — the build-once/query-many amortization a deployed
+    * IVF-PQ lives by. Keyed by session reference + exact build params.
+    */
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (IvfIndex, DataFrame, DataFrame)]()
+
+  def invalidateIvfPqIndexes(): Unit = ivfPqIndexes.clear()
+
+  private def ivfPqIndexFor(s: SparkSession, dir: String, nCells: Int,
+      m: Int, nCodes: Int, iters: Int, dim: Int)
+      : (IvfIndex, DataFrame, DataFrame) =
+    ivfPqIndexes.computeIfAbsent(
+      (s, s"$dir|$nCells|$m|$nCodes|$iters|$dim"), { _ =>
+        val sub = dim / m
+        val e = pqUnitCorpus(s, dir, dim)
+        // coarse quantizer over the SAME unit vectors the codes encode —
+        // L2 cells on unit vectors are cosine cells, so the two stages
+        // agree on geometry
+        val coarse = buildIvfIndexFrom(
+          e.select(col("vec_id"), col("emb").as("embedding")), nCells, dim)
+        val subv = pqSubvectors(e, "vec_id", m, sub)
+        val (cent, codes) = pqTrain(subv, m, nCodes, iters, sub)
+        // codes joined to their coarse cell once at build time, then
+        // checkpointed: the queryable unit is (vec_id, cell, sub_id,
+        // code) — n·m tiny rows, the "3 TB for 100 TB" table
+        val codesWithCells = codes
+          .join(coarse.corpus
+            .select(col("neighbor_id").as("vec_id"), col("cell")), "vec_id")
+          .localCheckpoint(true)
+        e.unpersist() // the build scans are done; queries re-derive
+        (coarse, cent, codesWithCells)
+      })
+
   def ivfPqTopK(s: SparkSession, dir: String,
       k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
       m: Int = 16, nCodes: Int = 16, iters: Int = 2, dim: Int = 64,
       shortlist: Int = 120): DataFrame = {
     val sub = dim / m
+    val (coarse, cent, codes) =
+      ivfPqIndexFor(s, dir, nCells, m, nCodes, iters, dim)
     val e = pqUnitCorpus(s, dir, dim)
-    // coarse quantizer over the SAME unit vectors the codes encode —
-    // L2 cells on unit vectors are cosine cells, so the two stages
-    // agree on geometry
-    val coarse = buildIvfIndexFrom(
-      e.select(col("vec_id"), col("emb").as("embedding")), nCells, dim)
-    val cells = coarse.corpus
-      .select(col("neighbor_id").as("vec_id"), col("cell"))
-    val subv = pqSubvectors(e, "vec_id", m, sub)
-    val (cent, codes) = pqTrain(subv, m, nCodes, iters, sub)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = probedCells(coarse.centroids, queries, nProbe)
@@ -970,7 +1003,7 @@ object Similarity {
     val lut = pqLut(e, cent, nQueries, m, sub)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    val short = codes.join(cells, "vec_id")
+    val short = codes
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(lut), Seq("query_id", "sub_id", "code"))

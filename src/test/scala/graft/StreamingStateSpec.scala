@@ -320,6 +320,67 @@ class StreamingStateSpec extends AnyFunSuite {
       col("g.event_type") =!= col("b.event_type")).count() === 0)
   }
 
+  test("event-time timers: streaming gap-fill equals batch q60 up to the final watermark") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "gapfill").toString
+      // time-sorted single file: one data batch, no intra-stream late
+      // drops — the timer batch after it closes every hour below the
+      // final watermark
+      Tables.events(spark, sfDir).orderBy("ts").coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sfDir).schema).parquet(d)
+      val out = graft.streaming.GapFillStream.gapFillStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("gapfill_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+
+      val got = spark.table("gapfill_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(got.nonEmpty)
+      val batch = graft.operators.TemporalJoins.gapFill(spark, sfDir)
+        .select(col("user_id"), (unix_timestamp(col("hour")) * 1000)
+          .as("hour_ms"), col("value"), col("filled")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getBoolean(3)))).toMap
+      // every emitted row is a batch grid row with the same mean + flag
+      got.foreach { case (k, (v, f)) =>
+        val (bv, bf) = batch.getOrElse(k, fail(s"emitted non-grid row $k"))
+        assert(math.abs(v - bv) < 1e-9 && f == bf, s"$k: ($v,$f) vs ($bv,$bf)")
+      }
+      // completeness: an OBSERVED hour emits once the watermark passes
+      // its end; a FILL row emits when its user's NEXT observed hour
+      // closes (the catch-up contract) — so each is required exactly
+      // under its own closing condition, margin one hour
+      val maxTsMs = Tables.events(spark, sfDir)
+        .agg(max(unix_timestamp(col("ts")))).head().getLong(0) * 1000
+      val wm = maxTsMs - 30 * 60000L
+      def closed(h: Long): Boolean = h + 2 * 3600000L <= wm
+      val observedByUser = batch.collect {
+        case ((u, h), (_, false)) => (u, h)
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val missing = batch.filter { case ((u, h), (_, isFill)) =>
+        val required =
+          if (!isFill) closed(h)
+          else observedByUser(u).find(_ > h).exists(closed)
+        required && !got.contains((u, h))
+      }
+      assert(missing.isEmpty, s"${missing.size} closed rows unemitted")
+      // the LOCF path genuinely fired
+      assert(got.values.count(_._2) > 0, "no filled rows emitted")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("d20 streaming domain cap: admission capped per source, state carries across batches") {
     import spark.implicits._
     val base = Paths.get("target", "test-tmp")
