@@ -235,6 +235,9 @@ object SparkEntry {
     "t18_heaps_curve" -> (TextAnalysis.heapsCurve(_, _)),
     // CCNet-style per-language perplexity terciles (head/middle/tail)
     "t19_ccnet_buckets" -> (TextAnalysis.ccnetBuckets(_, _)),
+    // DSIR importance weights: per-token mean log ratio of a target-
+    // slice unigram LM over the raw-corpus LM (data-selection score)
+    "t20_dsir_weights" -> (TextAnalysis.dsirWeights(_, _)),
 
     // ── Deduplication suite (north-star extension ops) ───────────────────
     "d1_exact_dedup"    -> (Dedup.exactDedup(_, _)),
@@ -1923,6 +1926,24 @@ object SparkEntry {
         |  CAST(sum(b.n_new_terms) AS BIGINT) AS cum_vocab
         |FROM h a JOIN h b ON b.bucket <= a.bucket
         |GROUP BY a.bucket ORDER BY a.bucket""".stripMargin,
+
+    "t20_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |raw AS (SELECT t, count(*) AS cr FROM toks GROUP BY t),
+        |tgt AS (SELECT t, count(*) AS ct FROM toks
+        |  WHERE lang = 'en' GROUP BY t),
+        |tot AS (SELECT (SELECT count(*) FROM toks) AS nr,
+        |  (SELECT count(*) FROM raw) AS v,
+        |  (SELECT count(*) FROM toks WHERE lang = 'en') AS nt)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  avg(ln((coalesce(ct, 0) + 1.0) / (nt + v))
+        |    - ln((cr + 1.0) / (nr + v))) AS avg_log_ratio
+        |FROM toks JOIN raw USING (t) LEFT JOIN tgt USING (t)
+        |CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // t19: t10's scoring CTE verbatim, rounded to 6 decimals on BOTH
     // sides before the tercile compare (see ccnetBuckets scaladoc);

@@ -750,6 +750,52 @@ object TextAnalysis {
     * broadcasts back onto the score relation; the bucket label is a
     * pure projection. Output: (doc_id, lang, score, bucket).
     */
+  /** t20 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" —
+    * public): score every document by how target-like its token
+    * distribution is, as the per-token mean log likelihood ratio
+    * ln p_target(t) − ln p_raw(t) between two add-one-smoothed unigram
+    * LMs — the target LM trained on the target slice (here lang =
+    * `targetLang`, standing in for "docs that look like my eval
+    * domain"), the raw LM on the whole corpus, both smoothed over the
+    * SHARED raw vocabulary so unseen-in-target tokens score a genuine
+    * penalty rather than blowing up. Positive = target-like; the
+    * resampling step is then q52's weighted-mix hash predicate with
+    * these weights as rates. Output: (doc_id, n_tokens,
+    * avg_log_ratio).
+    *
+    * Scale posture: t10's exact shape twice — two vocab-bounded count
+    * aggregates (map-side combined), one 3-row totals frame
+    * cross-broadcast, one corpus-token join against the broadcastable
+    * vocab tables, one per-doc aggregate. The target slice is read
+    * from the SAME cached token relation as the raw counts (one corpus
+    * scan total); nothing is quadratic and nothing leaves the executor
+    * tier except the 3 totals.
+    */
+  def dsirWeights(s: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .cache()
+    val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(count(lit(1)).as("nr"),
+        count_distinct(col("t")).as("v"))
+      .crossJoin(toks.filter(col("lang") === targetLang)
+        .agg(count(lit(1)).as("nt")))
+    toks.join(raw, "t").join(tgt, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        avg(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v")))
+          - log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))
+          .as("avg_log_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val scores = unigramLogprob(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),

@@ -274,6 +274,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t20 DSIR weights: target-language docs score target-like") {
+    import org.apache.spark.sql.functions._
+    val df = TextAnalysis.dsirWeights(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      assert(df.count() === docs.count(), "every doc scored")
+      val scored = df.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // the method's point: the target slice's mean log-ratio exceeds
+      // every other language's (its tokens are literally the target LM)
+      val means = scored.groupBy("lang")
+        .agg(avg("avg_log_ratio").as("m")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      means.filter(_._1 != "en").foreach { case (lang, m) =>
+        assert(means("en") > m, s"en ${means("en")} not above $lang $m")
+      }
+    } finally df.unpersist()
+  }
+
   test("t19 ccnet buckets: per-language terciles cover each language ~evenly") {
     import org.apache.spark.sql.functions._
     val df = TextAnalysis.ccnetBuckets(spark, sfDir).cache()
