@@ -86,11 +86,18 @@ case class MisraGriesAgg(
     new GenericArrayData(
       buf.keys.toArray.sorted.map(UTF8String.fromString(_)))
 
+  // length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF throws on any
+  // key whose encoding exceeds 65535 bytes, and a whitespace-free
+  // base64/minified blob in dirty web data becomes exactly such a
+  // single token — the sketch must survive it, not kill the shuffle
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    buf.foreach { case (key, c) =>
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -100,7 +107,13 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

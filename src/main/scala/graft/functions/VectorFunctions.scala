@@ -20,8 +20,12 @@ object VectorFunctions {
     * codegen'd expression (see DotProduct — bit-identical to the
     * higher-order-function formulation, ~10x faster). array<float> and
     * array<double> inputs are consumed NATIVELY (no casted array copy —
-    * floats widen per element inside the loop, which is exact); any
-    * other element type is cast to array<double> first.
+    * floats widen per element inside the loop, which is exact). Any
+    * OTHER element type is the caller's job to cast (e.g.
+    * `.cast("array<double>")` on s8's int8 codes) — the expression
+    * type-checks rather than silently copying, so an accidental
+    * int/decimal array surfaces at analysis instead of paying a hidden
+    * per-row array conversion in a hot loop.
     */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Shims

@@ -511,7 +511,14 @@ object CorpusOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val s = streamDocs.sparkSession
     import s.implicits._
-    streamDocs.select(col("doc_id").cast("long"), col("source"))
+    streamDocs
+      // a doc without an id cannot be admitted-or-counted
+      // deterministically — dropped before the tuple encoder, whose
+      // primitive doc_id field would otherwise kill the stream on the
+      // first dirty row (a null SOURCE is fine: it groups as its own
+      // domain, same as batch d20's null partition)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"), col("source"))
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Int, CapAdmit](

@@ -995,6 +995,11 @@ object Similarity {
     val sub = dim / m
     val (coarse, cent, codes) =
       ivfPqIndexFor(s, dir, nCells, m, nCodes, iters, dim)
+    // buildIvfIndexFrom's contract: no valid vector in the training
+    // sample -> empty centroids -> callers fall back to the exact scan
+    // (same guard as s3's ivfTopK; probedCells on zero centroids would
+    // index an empty array under ANSI)
+    if (coarse.centroids.isEmpty) return bruteForceTopK(s, dir, k, nQueries)
     val e = pqUnitCorpus(s, dir, dim)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
@@ -1051,16 +1056,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .transform(Tables.spread(_, col("vec_id")))
       .cache()
-    val seedRow = e.orderBy(col("vec_id")).limit(1).head()
+    // the seed must itself be a VALID vector (non-null, nonzero norm) —
+    // the "same exclusion as s1" has to start at round 1, or a corpus
+    // whose smallest vec_id is a null/zero embedding seeds the
+    // traversal with an undefined center and every later round NPEs
+    val seedOpt = e
+      .filter(col("embedding").isNotNull &&
+        graft.functions.VectorFunctions.l2norm(col("embedding")) > 0.0)
+      .orderBy(col("vec_id")).limit(1).collect().headOption
+    if (seedOpt.isEmpty) { // no valid vector anywhere: empty coreset
+      e.unpersist()
+      import s.implicits._
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("rank", "vec_id", "mind")
+    }
+    val seedRow = seedOpt.get
     val selected = ArrayBuffer[(Int, Long, Option[Double])](
       (1, seedRow.getLong(0), None))
     val centers = ArrayBuffer[Seq[Float]](seedRow.getSeq[Float](1))
-    for (r <- 2 to k) {
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       val dists = centers.map(c => lit(1.0) -
         graft.functions.VectorFunctions.cosine(
           col("embedding"), array(c.map(lit(_)): _*))).toSeq
       val mind = if (dists.size == 1) dists.head else least(dists: _*)
-      val pick = e.filter(!col("vec_id").isin(selected.map(_._2).toSeq: _*))
+      val picked = e.filter(!col("vec_id").isin(selected.map(_._2).toSeq: _*))
         .select(col("vec_id"), mind.as("mind"), col("embedding"))
         // null mind = zero-norm vector (undefined distance) — it can
         // never be a meaningful representative; same exclusion as s1
@@ -1068,9 +1088,15 @@ object Similarity {
         .agg(min(struct((-col("mind")).as("nd"), col("vec_id").as("id"),
           col("embedding").as("emb"))).as("p"))
         .select(col("p.id"), col("p.nd"), col("p.emb"))
-        .head()
-      selected += ((r, pick.getLong(0), Some(-pick.getDouble(1))))
-      centers += pick.getSeq[Float](2)
+        .collect().toSeq
+      picked match {
+        // fewer than k valid vectors: stop with what exists rather
+        // than crash on the empty argmax (k is a budget, not a promise)
+        case Seq(row) if !row.isNullAt(0) =>
+          selected += ((r, row.getLong(0), Some(-row.getDouble(1))))
+          centers += row.getSeq[Float](2)
+        case _ => exhausted = true
+      }
     }
     e.unpersist()
     import s.implicits._

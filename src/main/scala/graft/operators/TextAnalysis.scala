@@ -583,15 +583,20 @@ object TextAnalysis {
     val w = (idf * (col("cnt") * (lit(k1) + lit(1.0)))) /
       (col("cnt") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("n_tok") / col("avgdl")))
-    val perTerm = queryTerms.map(t =>
-      sum(when(col("term") === t, col("w"))).as(s"w_$t"))
+    // per-term columns are aliased by INDEX, not by the raw term: a
+    // term containing '.', space, or a backtick would otherwise break
+    // col() re-resolution (w_e.g. parses as field access), and
+    // duplicate terms would collide
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("w"))).as(s"w_$i") }
     val scored = hits
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(stats))
       .withColumn("w", w)
       .groupBy(col("doc_id"))
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("bm25",
-        queryTerms.map(t => coalesce(col(s"w_$t"), lit(0.0))).reduce(_ + _))
+        queryTerms.indices.map(i => coalesce(col(s"w_$i"), lit(0.0)))
+          .reduce(_ + _))
     scored
       .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
       .withColumn("rank",
@@ -704,10 +709,15 @@ object TextAnalysis {
     * Output: (bucket, cum_tokens, cum_vocab).
     */
   def heapsCurve(s: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    // cached: the max-id aggregate, the token histogram, and the vocab
+    // histogram all consume this relation — without the cache the
+    // corpus is re-scanned and re-tokenized per consumer (the d11
+    // cache-lifecycle contract; Bench/Verify clearCache per query)
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .transform(graft.Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
     val mx = d.agg(max(col("doc_id")).as("mx"))
     val toksB = d.crossJoin(broadcast(mx))
       .select((col("doc_id") * nBuckets / (col("mx") + 1)).cast("int")
@@ -750,6 +760,24 @@ object TextAnalysis {
     * broadcasts back onto the score relation; the bucket label is a
     * pure projection. Output: (doc_id, lang, score, bucket).
     */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = unigramLogprob(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"),
+        round(col("avg_neg_logprob"), 6).as("score"))
+      .cache()
+    val cuts = scores.groupBy(col("lang"))
+      .agg(percentile(col("score"), lit(1.0 / 3)).as("t1"),
+        percentile(col("score"), lit(2.0 / 3)).as("t2"))
+    scores.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("score") <= col("t1"), lit("head"))
+          .when(col("score") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t20 — DSIR-style importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling" —
     * public): score every document by how target-like its token
@@ -793,24 +821,6 @@ object TextAnalysis {
         avg(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v")))
           - log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))
           .as("avg_log_ratio"))
-      .orderBy(col("doc_id"))
-  }
-
-  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val scores = unigramLogprob(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-        "doc_id")
-      .select(col("doc_id"), col("lang"),
-        round(col("avg_neg_logprob"), 6).as("score"))
-      .cache()
-    val cuts = scores.groupBy(col("lang"))
-      .agg(percentile(col("score"), lit(1.0 / 3)).as("t1"),
-        percentile(col("score"), lit(2.0 / 3)).as("t2"))
-    scores.join(broadcast(cuts), "lang")
-      .select(col("doc_id"), col("lang"), col("score"),
-        when(col("score") <= col("t1"), lit("head"))
-          .when(col("score") <= col("t2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
   }
 }

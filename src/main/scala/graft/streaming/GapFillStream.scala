@@ -99,6 +99,12 @@ object GapFillStream {
     import s.implicits._
     streamEvents
       .withWatermark("ts", delay)
+      // null key/time/value rows cannot join a user's series (batch
+      // q60's aggregate drops them the same way via null grouping /
+      // null avg); filtered BEFORE the tuple encoder, whose primitive
+      // fields would otherwise kill the stream on the first dirty row
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .select(col("user_id").cast("long"),
         (floor(unix_timestamp(col("ts")) / 3600L) * 3600000L).as("hour_ms"),
         col("value").cast("double"))

@@ -137,7 +137,11 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val expected = texts.toSeq.flatMap { case (id, t) =>
-      val bs = t.getBytes("UTF-8").map(_ & 0xff)
+      // codepoints, not UTF-8 bytes: the operator samples via ascii()
+      // over characters (the declared ASCII-corpus stand-in contract),
+      // so the reference must frame the same units or a single
+      // non-ASCII char in regenerated testdata would shift offsets
+      val bs = t.codePoints().toArray
       if (bs.length < width) Seq.empty
       else (0 until (bs.length - width) / stride + 1).map { i =>
         val frame = bs.slice(i * stride, i * stride + width)
