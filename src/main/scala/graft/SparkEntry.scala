@@ -287,6 +287,9 @@ object SparkEntry {
     // The full curation sequence as ONE plan: dedup -> quality gate ->
     // decontaminate -> domain cap -> split (the corpus manifest)
     "d22_curation_pipeline" -> (CorpusOps.curationPipeline(_, _)),
+    // Incremental ingest: dedup the incoming batch against itself,
+    // then anti-join the existing corpus's fingerprints
+    "d23_cross_dedup"       -> (Dedup.crossDedup(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1527,6 +1530,19 @@ object SparkEntry {
         |       WHEN hv < 200 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "d23_cross_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |inc AS (SELECT doc_id, fp FROM (
+        |  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY fp
+        |      ORDER BY doc_id) AS rn
+        |  FROM f WHERE doc_id % 3 = 0) WHERE rn = 1),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, fp FROM inc
+        |WHERE fp NOT IN (SELECT fp FROM ex)
+        |ORDER BY doc_id""".stripMargin,
 
     "d20_domain_cap" ->
       """SELECT doc_id, source, rk FROM (

@@ -51,6 +51,47 @@ object Dedup {
       .select(col("keep_doc_id"), col("fp"), col("n_copies"))
       .orderBy(col("keep_doc_id"))
 
+  /** d23 — incremental cross-corpus dedup: deduplicate an INCOMING
+    * batch first against itself (keep-first) and then against the
+    * fingerprints of an EXISTING corpus — the shape every production
+    * ingest runs (today's crawl against the 100 TB already curated),
+    * where d1's whole-corpus groupBy would re-shuffle the entire
+    * history for every increment. The registered query derives the two
+    * sides from one table by a deterministic id split (doc_id % mod ==
+    * 0 is "incoming"); [[crossDedupFrom]] is the two-relation form the
+    * spec drives with planted duplicates. Output: the incoming
+    * survivors (doc_id, fp).
+    *
+    * Scale posture: the self-dedup is one (fp) window rank-1 over the
+    * INCREMENT only; the history check is a LEFT ANTI join on fp —
+    * both sides shuffle on the same key (at scale the existing
+    * fingerprint table is bucketed by fp, so the increment alone
+    * moves), and the existing side ships only its fp column, pruned at
+    * the scan. For a first cheap pass, d14's fixed-size Bloom of the
+    * existing fps filters the increment before the exact anti-join —
+    * same two-step sketch-then-exact contract as d14/t14.
+    */
+  def crossDedup(s: SparkSession, dir: String, mod: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    crossDedupFrom(
+      docs.filter(pmod(col("doc_id"), lit(mod)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(mod)) =!= 0))
+  }
+
+  /** The two-relation form of [[crossDedup]]: both inputs are
+    * (doc_id, fp) relations.
+    */
+  def crossDedupFrom(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    incoming
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .join(existing.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup's streaming form: fingerprint-keyed first-wins dedup
     * over a live ingest feed (`streamDocs` is a `readStream` relation
     * with (doc_id, text)). `dropDuplicates` on the fingerprint keeps

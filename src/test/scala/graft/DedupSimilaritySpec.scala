@@ -725,6 +725,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("d23 cross dedup: planted duplicates drop, novel docs survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFunctions.fingerprint
+    def rel(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val existing = rel(1L -> "alpha beta", 2L -> "gamma delta")
+    val incoming = rel(
+      10L -> "alpha  beta",   // dup of existing 1 (normalization collapses ws)
+      11L -> "epsilon zeta",  // novel
+      12L -> "epsilon zeta",  // self-dup of 11 — keep-first drops it
+      13L -> "gamma delta",   // dup of existing 2
+      14L -> "eta theta")     // novel
+    val got = graft.operators.Dedup.crossDedupFrom(incoming, existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 14L), got)
+    // the registered one-table split form partitions correctly: every
+    // survivor is an incoming doc whose fp is absent from existing
+    val full = graft.operators.Dedup.crossDedup(spark, sfDir)
+    val bad = full.filter(pmod(col("doc_id"), lit(3)) =!= 0).count()
+    assert(bad === 0)
+    assert(full.count() > 0)
+  }
+
   test("d22 curation pipeline: staged invariants hold on the final manifest") {
     import org.apache.spark.sql.functions._
     val cap = 20

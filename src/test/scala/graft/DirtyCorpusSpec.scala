@@ -79,7 +79,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d11_decontaminate", "d12_curate", "d14_decontaminate_bloom",
     "d15_ngram_spans", "d16_ngram_span_removal", "d18_quality_dedup",
     "d19_split_assign", "d20_domain_cap", "d21_soft_dedup",
-    "d22_curation_pipeline", "t19_ccnet_buckets", "t20_dsir_weights",
+    "d22_curation_pipeline", "d23_cross_dedup",
+    "t19_ccnet_buckets", "t20_dsir_weights",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
     "m4_resize", "m5_media_dedup", "m6_audio_energy")
