@@ -1541,7 +1541,7 @@ object SparkEntry {
         |  FROM f WHERE doc_id % 3 = 0) WHERE rn = 1),
         |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0)
         |SELECT doc_id, fp FROM inc
-        |WHERE fp NOT IN (SELECT fp FROM ex)
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = inc.fp)
         |ORDER BY doc_id""".stripMargin,
 
     "d20_domain_cap" ->
@@ -2226,9 +2226,16 @@ object SparkEntry {
     * Spark side's null-mind exclusion).
     */
   private def kcenterOracle(k: Int): String = {
+    // seed mirrors kcenterCoreset's validity filter (non-null, nonzero
+    // norm); the unrolled CTE cannot express the Spark side's
+    // early-stop when fewer than k valid vectors exist — the oracle
+    // assumes >= k, which the generated corpora satisfy.
     val sb = new StringBuilder
     sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |p1 AS (SELECT vec_id AS id, emb FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+      |p1 AS (SELECT vec_id AS id, emb FROM e
+      |  WHERE emb IS NOT NULL AND list_reduce(list_prepend(0.0,
+      |    [x * x for x in emb]), (a, v) -> a + v) > 0
+      |  ORDER BY vec_id LIMIT 1)""".stripMargin
     for (r <- 2 to k) {
       val terms = (1 until r).map(j =>
         s"1 - list_cosine_similarity(v.emb, (SELECT emb FROM p$j))")

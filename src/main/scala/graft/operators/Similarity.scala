@@ -500,14 +500,17 @@ object Similarity {
 
 
   /** Memoized index per (session, corpus dir, params): the registered
-    * s3 entry point is (SparkSession, dir) => DataFrame, so the
+    * ANN entry points are (SparkSession, dir) => DataFrame, so the
     * amortization a production deployment gets from holding an index
-    * value is expressed here as build-on-first-call. Keyed by the
-    * session REFERENCE (an index holds session-bound checkpoint
-    * blocks) and the exact build params.
+    * value is expressed as build-on-first-call. Keyed by the session
+    * REFERENCE (an index holds session-bound checkpoint blocks) and
+    * the exact build params. ONE factory for all index families
+    * (IVF / LSH / IVF-PQ) so a fix to the keying applies everywhere.
     */
-  private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfIndex]()
+  private def indexRegistry[V]() =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
+
+  private val ivfIndexes = indexRegistry[IvfIndex]()
 
   def ivfIndexFor(s: SparkSession, dir: String, nCells: Int = 16,
       dim: Int = 64, lloydIters: Int = 2): IvfIndex =
@@ -626,8 +629,7 @@ object Similarity {
   /** Memoized per (session, corpus dir, params) — build-on-first-call,
     * same amortization contract as `ivfIndexFor`.
     */
-  private val lshIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LshIndex]()
+  private val lshIndexes = indexRegistry[LshIndex]()
 
   def lshIndexFor(s: SparkSession, dir: String, nBits: Int = 4,
       nTables: Int = 8, dim: Int = 64): LshIndex =
@@ -958,14 +960,14 @@ object Similarity {
     * checkpointed — the build-once/query-many amortization a deployed
     * IVF-PQ lives by. Keyed by session reference + exact build params.
     */
-  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (IvfIndex, DataFrame, DataFrame)]()
+  private val ivfPqIndexes =
+    indexRegistry[(IvfIndex, DataFrame, DataFrame)]()
 
   def invalidateIvfPqIndexes(): Unit = ivfPqIndexes.clear()
 
-  private def ivfPqIndexFor(s: SparkSession, dir: String, nCells: Int,
-      m: Int, nCodes: Int, iters: Int, dim: Int)
-      : (IvfIndex, DataFrame, DataFrame) =
+  private[graft] def ivfPqIndexFor(s: SparkSession, dir: String,
+      nCells: Int = 16, m: Int = 16, nCodes: Int = 16, iters: Int = 2,
+      dim: Int = 64): (IvfIndex, DataFrame, DataFrame) =
     ivfPqIndexes.computeIfAbsent(
       (s, s"$dir|$nCells|$m|$nCodes|$iters|$dim"), { _ =>
         val sub = dim / m

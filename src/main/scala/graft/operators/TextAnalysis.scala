@@ -810,10 +810,12 @@ object TextAnalysis {
     val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
     val tgt = toks.filter(col("lang") === targetLang)
       .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    // one conditional aggregate, not two jobs cross-joined: the totals
+    // frame is 1 row either way, but two aggregates re-scan the cached
+    // token relation twice
     val totals = toks.agg(count(lit(1)).as("nr"),
-        count_distinct(col("t")).as("v"))
-      .crossJoin(toks.filter(col("lang") === targetLang)
-        .agg(count(lit(1)).as("nt")))
+      count_distinct(col("t")).as("v"),
+      count(when(col("lang") === targetLang, lit(1))).as("nt"))
     toks.join(raw, "t").join(tgt, Seq("t"), "left")
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))

@@ -99,10 +99,13 @@ object GapFillStream {
     import s.implicits._
     streamEvents
       .withWatermark("ts", delay)
-      // null key/time/value rows cannot join a user's series (batch
-      // q60's aggregate drops them the same way via null grouping /
-      // null avg); filtered BEFORE the tuple encoder, whose primitive
-      // fields would otherwise kill the stream on the first dirty row
+      // null key/time/value rows are dropped BEFORE the tuple encoder,
+      // whose primitive fields would otherwise kill the stream on the
+      // first dirty row. Declared divergence from batch q60 on
+      // null-VALUE rows: batch still counts such an hour as a grid
+      // point (its null avg extends the span and LOCF-fills it);
+      // here an hour whose only events carry null values never opens —
+      // a stream cannot mean-fill from an hour with no usable sample
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id").cast("long"),

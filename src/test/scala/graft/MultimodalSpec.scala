@@ -137,10 +137,12 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val expected = texts.toSeq.flatMap { case (id, t) =>
-      // codepoints, not UTF-8 bytes: the operator samples via ascii()
-      // over characters (the declared ASCII-corpus stand-in contract),
-      // so the reference must frame the same units or a single
-      // non-ASCII char in regenerated testdata would shift offsets
+      // codepoints, not UTF-8 bytes: the operator frames CHARACTERS
+      // (split + ascii()), so the reference must count the same units
+      // or a non-ASCII char in regenerated testdata would shift every
+      // frame offset. Sample VALUES are only unit-identical within the
+      // declared ASCII stand-in contract (Multimodal's object doc) —
+      // outside ASCII, Spark's ascii() and a codepoint disagree.
       val bs = t.codePoints().toArray
       if (bs.length < width) Seq.empty
       else (0 until (bs.length - width) / stride + 1).map { i =>

@@ -279,7 +279,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = TextAnalysis.dsirWeights(spark, sfDir).cache()
     try {
       val docs = Tables.documents(spark, sfDir)
-      assert(df.count() === docs.count(), "every doc scored")
+      // token-less docs structurally produce no score row (the output
+      // is built from exploded tokens, mirroring the oracle) — the
+      // invariant is coverage of every doc WITH tokens
+      val scoreable = docs.filter(
+        size(graft.functions.TextFunctions.tokens(col("text"))) > 0)
+      assert(df.count() === scoreable.count(), "every tokenized doc scored")
       val scored = df.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       // the method's point: the target slice's mean log-ratio exceeds
       // every other language's (its tokens are literally the target LM)
