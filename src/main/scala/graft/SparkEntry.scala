@@ -2148,10 +2148,12 @@ object SparkEntry {
     //   DuckDB's approx_count_distinct disagree within their error bounds,
     //   so a hash compare is meaningless. The 5%-error-vs-exact gate lives
     //   in Relational2Spec ("q27 approx distinct is within HLL error").
-    // s2_ann_topk / s3_ivf_topk: approximate by DESIGN (LSH buckets / IVF
-    //   probes) — the correct contract is recall against the exact s1
-    //   baseline, asserted >= 0.8 in DedupSimilaritySpec (measured 1.00
-    //   and 0.84 at sf0.01), not result equality with any SQL oracle.
+    // s2_ann_topk / s3_ivf_topk / s10_pq_topk / s13_ivfpq_topk:
+    //   approximate by DESIGN (LSH buckets / IVF probes / PQ codes /
+    //   both stacked) — the correct contract is recall against the
+    //   exact s1 baseline, asserted >= 0.8 in DedupSimilaritySpec
+    //   (s2 1.00, s3 0.84 at sf0.01; s10 1.00, s13 0.92 at sf0.001),
+    //   not result equality with any SQL oracle.
     // d14_decontaminate_bloom: the Bloom sketch bytes are engine-specific
     //   (Spark's bloom_filter_agg), so no cross-engine result equality
     //   exists; the correct contract — flags are a SUPERSET of exact
