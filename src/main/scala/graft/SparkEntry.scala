@@ -290,6 +290,9 @@ object SparkEntry {
     // Incremental ingest: dedup the incoming batch against itself,
     // then anti-join the existing corpus's fingerprints
     "d23_cross_dedup"       -> (Dedup.crossDedup(_, _)),
+    // Perceptual (average-hash) payload signature — integer-exact
+    // mean-threshold bits; pairs gated in MultimodalSpec
+    "m7_media_phash"        -> (Multimodal.mediaPHash(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),

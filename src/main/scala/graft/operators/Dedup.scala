@@ -796,20 +796,28 @@ object Dedup {
     * (pigeonhole: <= 3 differing bits leave at least one of 4 bands
     * identical — lossless for radius 3).
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(s, dir), "simhash", maxHamming)
+
+  /** Banded hamming-radius self-join over ANY (doc_id, 60-bit sig)
+    * relation — shared by d5 (token simhash) and m7 (payload aHash).
+    * 4×15-bit pigeonhole blocking: <= 3 differing bits leave at least
+    * one of 4 bands identical — lossless for radius 3.
+    */
+  private[operators] def hammingPairs(sigs: DataFrame, sigCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only complete for radius <= 3")
-    val sigs = simhashSignatures(s, dir)
     val bandKeys = (0 until 4).map { k =>
       concat_ws("_", lit(k),
-        shiftright(col("simhash"), k * 15).bitwiseAND(0x7FFF))
+        shiftright(col(sigCol), k * 15).bitwiseAND(0x7FFF))
     }
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+    val bands = sigs.select(col("doc_id"), col(sigCol).as("sig"),
         explode(array(bandKeys: _*)))
-      .select(col("doc_id"), col("simhash"), col("col").as("band_key"))
+      .select(col("doc_id"), col("sig"), col("col").as("band_key"))
     bands.as("x").join(bands.as("y"), Seq("band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sig").as("sim_a"),
+        col("y.doc_id").as("doc_b"), col("y.sig").as("sim_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

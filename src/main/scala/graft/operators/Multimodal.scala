@@ -299,6 +299,62 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_offset"))
   }
 
+  /** m7 — perceptual (average-hash) signature per payload: the aHash
+    * family's shape (public: mean-threshold bits over downsampled
+    * content) computed on the payload samples directly — 60 positional
+    * buckets over the sample stream, bit b set iff bucket b's mean
+    * exceeds the payload mean. Unlike m5's exact digest, near-identical
+    * payloads (re-encodes, small edits) land within a small hamming
+    * radius, so [[mediaPHashPairs]] finds them with d5's banded
+    * hamming join. A production deployment feeds DECODED pixels/PCM
+    * into the same bucket-mean shape; here payload codepoints stand in
+    * (the m1/m6 ASCII contract).
+    *
+    * Every bit decision is INTEGER arithmetic — `sum_b · count_total >
+    * sum_total · count_b` instead of comparing two float means — so
+    * the signature is bit-identical across engines by construction
+    * (no rounding-boundary risk at all, unlike float thresholds).
+    *
+    * Scale posture: one payload scan exploded to samples, one
+    * (doc, bucket) partial aggregate (60 rows/doc), one per-doc
+    * rollup, one projection — no shuffle wider than doc×60; the pair
+    * join is d5's banded self-join, candidates bounded by band
+    * collisions, never all-pairs.
+    */
+  def mediaPHash(s: SparkSession, dir: String, bits: Int = 60): DataFrame =
+    mediaPHashFrom(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.Tables.spread(_, col("doc_id"))), bits)
+      .orderBy(col("doc_id"))
+
+  /** m7's pair half: payloads within `maxHamming` of each other's
+    * aHash, via the shared 4×15-bit banded join (lossless, radius 3).
+    */
+  def mediaPHashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      mediaPHash(s, dir).withColumnRenamed("phash", "sig0"), "sig0", maxHamming)
+
+  /** The two-relation form for spec-planted payloads. */
+  private[graft] def mediaPHashFrom(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val samples = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(split(col("text"), ""), c => ascii(c))))
+      .select(col("doc_id"),
+        floor(col("pos") * bits / col("n")).cast("int").as("bk"),
+        col("col").as("c"))
+    val bsum = samples.groupBy(col("doc_id"), col("bk"))
+      .agg(sum(col("c")).as("sb"), count(lit(1)).as("cb"))
+    val tot = bsum.groupBy(col("doc_id"))
+      .agg(sum(col("sb")).as("st"), sum(col("cb")).as("ct"))
+    bsum.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sb") * col("ct") > col("st") * col("cb"),
+        expr("shiftleft(CAST(1 AS BIGINT), bk)")).otherwise(0L)).as("phash"))
+  }
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */
