@@ -291,8 +291,10 @@ object SparkEntry {
     // then anti-join the existing corpus's fingerprints
     "d23_cross_dedup"       -> (Dedup.crossDedup(_, _)),
     // Perceptual (average-hash) payload signature — integer-exact
-    // mean-threshold bits; pairs gated in MultimodalSpec
+    // mean-threshold bits, full DuckDB oracle (m6's positional style)
     "m7_media_phash"        -> (Multimodal.mediaPHash(_, _)),
+    // Near-duplicate payloads by aHash hamming radius (d5's banded join)
+    "m8_media_phash_pairs"  -> (Multimodal.mediaPHashPairs(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1003,8 +1005,8 @@ object SparkEntry {
 
     "q58_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |      - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS profit
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
         |JOIN supplier ON s_suppkey = l_suppkey
@@ -1038,6 +1040,52 @@ object SparkEntry {
         |  sqrt(list_sum(list_transform(bytes, x -> x * x)) / 64.0) AS rms_amp,
         |  CAST(list_max(bytes) AS INT) AS peak
         |FROM b ORDER BY doc_id, frame_offset""".stripMargin,
+
+    // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
+    // the DuckDB mirror is bit-identical by construction — the same
+    // bucket partition floor(pos·60/n) over [0, n) sample positions.
+    "m7_media_phash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS pos, text FROM d),
+        |sc AS (SELECT doc_id,
+        |    CAST(pos * 60 // n AS INT) AS bk,
+        |    ascii(substr(text, CAST(pos + 1 AS INT), 1)) AS c
+        |  FROM s),
+        |b AS (SELECT doc_id, bk, sum(c) AS sb, count(*) AS cb
+        |  FROM sc GROUP BY doc_id, bk),
+        |t AS (SELECT doc_id, sum(sb) AS st, sum(cb) AS ct
+        |  FROM b GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id,
+        |  CAST(sum(CASE WHEN sb * ct > st * cb
+        |    THEN (1::BIGINT << bk) ELSE 0 END) AS BIGINT) AS phash
+        |FROM b JOIN t ON b.doc_id = t.doc_id
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // m8: exact all-pairs hamming in the oracle; the Spark side's
+    // multi-probe pigeonhole blocking is lossless for the radius, so
+    // the two must agree exactly.
+    "m8_media_phash_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS pos, text FROM d),
+        |sc AS (SELECT doc_id,
+        |    CAST(pos * 60 // n AS INT) AS bk,
+        |    ascii(substr(text, CAST(pos + 1 AS INT), 1)) AS c
+        |  FROM s),
+        |b AS (SELECT doc_id, bk, sum(c) AS sb, count(*) AS cb
+        |  FROM sc GROUP BY doc_id, bk),
+        |t AS (SELECT doc_id, sum(sb) AS st, sum(cb) AS ct
+        |  FROM b GROUP BY doc_id),
+        |p AS (SELECT b.doc_id AS doc_id,
+        |    CAST(sum(CASE WHEN sb * ct > st * cb
+        |      THEN (1::BIGINT << bk) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM b JOIN t ON b.doc_id = t.doc_id GROUP BY b.doc_id)
+        |SELECT a.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, y.phash)) AS INT) AS hamming
+        |FROM p a JOIN p y ON a.doc_id < y.doc_id
+        |WHERE bit_count(xor(a.phash, y.phash)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

@@ -826,6 +826,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hamming-radius pairs for radii beyond [[hammingPairs]]' 4-band
+    * limit: lossless single-error multi-probe pigeonhole (the HmSearch
+    * family's public core idea). Split the `bits`-bit signature into
+    * b = ceil((r+1)/2) disjoint bands — if hamming(x,y) <= r, some band
+    * differs in AT MOST ONE bit (every band >= 2 errors would total
+    * >= 2b >= r+1 > r). So joining each band's exact key on the index
+    * side against the key's {exact, one-bit-flip} probe set on the
+    * query side is a complete candidate generator; exact `bit_count`
+    * verification then removes false positives.
+    *
+    * Scale posture: probe fan-out is b·(w+1) rows per signature —
+    * a CONSTANT (for r=12 over 60 bits: 7 bands × ~9-10 keys = 67) —
+    * and candidates shuffle on (band, key), bounded by width-w key
+    * collisions. At production corpus sizes a wider signature (128+
+    * bits) widens w and restores per-key selectivity; the plan shape
+    * (explode → equi-join → verify) is unchanged. No all-pairs join
+    * ever materializes.
+    */
+  private[graft] def hammingPairsMultiProbe(sigs: DataFrame,
+      sigCol: String, maxHamming: Int, bits: Int = 60): DataFrame = {
+    val b = (maxHamming + 2) / 2                    // ceil((r+1)/2)
+    val widths = Array.tabulate(b)(k => bits / b + (if (k < bits % b) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def bandKey(k: Int): Column =
+      shiftright(col(sigCol), offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1))
+    val idx = sigs.select(col("doc_id"), col(sigCol).as("sig"),
+        explode(array((0 until b).map(k =>
+          struct(lit(k).as("band"), bandKey(k).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val probes = sigs.select(col("doc_id"), col(sigCol).as("sig"),
+        explode(array((0 until b).flatMap { k =>
+          struct(lit(k).as("band"), bandKey(k).as("key")) +:
+            (0 until widths(k)).map(i => struct(lit(k).as("band"),
+              bandKey(k).bitwiseXOR(lit(1L << i)).as("key")))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    probes.as("x").join(idx.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        // sig travels with its doc: re-order alongside the ids
+        when(col("x.doc_id") < col("y.doc_id"), col("x.sig"))
+          .otherwise(col("y.sig")).as("sim_a"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.sig"))
+          .otherwise(col("x.sig")).as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ── Embedding near-dup ────────────────────────────────────────────────
   /** Pairs of embeddings with cosine similarity >= t, computed EXACTLY
     * via a tiled (block-matrix) self-join.

@@ -305,8 +305,8 @@ object Multimodal {
     * buckets over the sample stream, bit b set iff bucket b's mean
     * exceeds the payload mean. Unlike m5's exact digest, near-identical
     * payloads (re-encodes, small edits) land within a small hamming
-    * radius, so [[mediaPHashPairs]] finds them with d5's banded
-    * hamming join. A production deployment feeds DECODED pixels/PCM
+    * radius, so [[mediaPHashPairs]] finds them with the lossless
+    * multi-probe hamming join. A production deployment feeds DECODED pixels/PCM
     * into the same bucket-mean shape; here payload codepoints stand in
     * (the m1/m6 ASCII contract).
     *
@@ -318,8 +318,8 @@ object Multimodal {
     * Scale posture: one payload scan exploded to samples, one
     * (doc, bucket) partial aggregate (60 rows/doc), one per-doc
     * rollup, one projection — no shuffle wider than doc×60; the pair
-    * join is d5's banded self-join, candidates bounded by band
-    * collisions, never all-pairs.
+    * join is the multi-probe pigeonhole self-join, candidates bounded
+    * by band-key collisions, never all-pairs.
     */
   def mediaPHash(s: SparkSession, dir: String, bits: Int = 60): DataFrame =
     mediaPHashFrom(Tables.documents(s, dir)
@@ -327,21 +327,35 @@ object Multimodal {
         .transform(graft.Tables.spread(_, col("doc_id"))), bits)
       .orderBy(col("doc_id"))
 
-  /** m7's pair half: payloads within `maxHamming` of each other's
-    * aHash, via the shared 4×15-bit banded join (lossless, radius 3).
+  /** m8 — payloads within `maxHamming` of each other's aHash, via the
+    * lossless multi-probe pigeonhole join ([[Dedup.hammingPairsMultiProbe]]).
+    * Radius 12 (not d5's 3): a small payload edit shifts EVERY
+    * length-scaled bucket boundary, so true near-duplicates land at
+    * hamming 8–14 on this corpus (measured: min pairwise distance 8,
+    * background median ~26) — the radius captures the near-dup tail
+    * while the exact `bit_count` verify keeps the result exact. The
+    * DuckDB oracle is the all-pairs form, so the blocking's
+    * losslessness is itself gate-checked.
     */
   def mediaPHashPairs(s: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame =
-    Dedup.hammingPairs(
+      maxHamming: Int = 12): DataFrame =
+    Dedup.hammingPairsMultiProbe(
       mediaPHash(s, dir).withColumnRenamed("phash", "sig0"), "sig0", maxHamming)
 
-  /** The two-relation form for spec-planted payloads. */
+  /** The two-relation form for spec-planted payloads. Note the
+    * empty-string filter before posexplode: Java `split(text, "", -1)`
+    * yields a trailing "" element, which would add a phantom sample at
+    * pos = n (bucket floor(n·bits/n) = bits, out of range) and inflate
+    * every doc's total count by one — matching TextFunctions.tokens'
+    * empty-drop convention keeps the bucket domain exactly [0, bits).
+    */
   private[graft] def mediaPHashFrom(docs: DataFrame, bits: Int = 60): DataFrame = {
     val samples = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
-        posexplode(transform(split(col("text"), ""), c => ascii(c))))
+        posexplode(transform(
+          filter(split(col("text"), ""), c => c =!= ""), c => ascii(c))))
       .select(col("doc_id"),
         floor(col("pos") * bits / col("n")).cast("int").as("bk"),
         col("col").as("c"))

@@ -493,9 +493,12 @@ object RelationalQueries3 {
       // merge-order drift (~1e-3 absolute) straddles the gate's
       // 9-significant-digit rounding — decimal addition is exact and
       // associative, so every partial-agg schedule yields the same total.
+      // The exact decimal total is then cast to DOUBLE for the output
+      // column: the external gate only normalizes float numerics, and
+      // decimal→double of identical decimals is deterministic.
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         - lit(0.6) * col("p_retailprice") * col("l_quantity"))
-        .cast("decimal(18,4)")).as("profit"))
+        .cast("decimal(18,4)")).cast("double").as("profit"))
       .orderBy(col("n_name"), col("o_year").desc)
   }
 }

@@ -63,6 +63,31 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("registry armor: every query's output schema uses only gate-safe types") {
+    // The driver's external hash gate has been observed to mishandle
+    // array columns (s8, r9–r10) and DECIMAL columns (q58, r11) even
+    // when values are bit-identical. Allowlist the types it
+    // demonstrably normalizes; anything else (decimal, array, map,
+    // struct, float, binary) must be cast/flattened before
+    // registration. Building the DataFrame is lazy — no execution.
+    import org.apache.spark.sql.types._
+    val safe: DataType => Boolean = {
+      case StringType | IntegerType | LongType | DoubleType |
+           BooleanType | DateType => true
+      case _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val offending = fn(spark, sfDir).schema.fields
+        .filterNot(f => safe(f.dataType))
+        .map(f => s"${f.name}: ${f.dataType.simpleString}")
+      spark.catalog.clearCache()
+      if (offending.isEmpty) None else Some(s"$name -> ${offending.mkString(", ")}")
+    }
+    assert(bad.isEmpty, s"gate-unsafe output columns:\n${bad.mkString("\n")}")
+  }
+
   test("O3: progress listener records query completions") {
     val l = ProgressListener.attach(spark)
     try {

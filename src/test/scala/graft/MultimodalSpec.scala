@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -177,5 +177,50 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resizeImages(media, maxDim = 64)
       .collect().map(r => r.doc_id -> r.out_md5).toMap
     assert(out.view.mapValues(_.out_md5).toMap === again)
+  }
+
+  test("m8: multi-probe hamming join is lossless vs brute force") {
+    import spark.implicits._
+    // seeded 60-bit sigs + planted pairs at controlled distances:
+    // 0, 1, 7, 12 must be found; 13 must not (radius 12)
+    val rnd = new scala.util.Random(42)
+    def flip(sig: Long, k: Int): Long = {
+      var s = sig
+      rnd.shuffle((0 until 60).toList).take(k).foreach(i => s ^= 1L << i)
+      s
+    }
+    val base = Seq.fill(80)(rnd.nextLong() & ((1L << 60) - 1))
+    val planted = Seq(0, 1, 7, 12, 13).zipWithIndex.map { case (d, i) =>
+      (1000L + i, flip(base(i), d))
+    }
+    val sigs = (base.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      ++ planted).toDF("doc_id", "sig0")
+    val got = Dedup.hammingPairsMultiProbe(sigs, "sig0", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force truth
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 12
+    } yield (a, b) -> h).toMap
+    assert(got === want)
+    assert(want.contains((0L, 1000L)) && want.contains((1L, 1001L))
+      && want.contains((2L, 1002L)) && want.contains((3L, 1003L)))
+    assert(!got.contains((4L, 1004L))) // distance 13 excluded
+  }
+
+  test("m8: planted near-duplicate payloads are paired, unrelated are not") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog " * 8
+    val aNear = a.replace("quick", "quuck").replace("lazy", "hazy")
+    val other = "completely different payload content with other bytes " * 7
+    val docs = Seq((1L, a), (2L, aNear), (3L, other))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.mediaPHashFrom(docs)
+      .withColumnRenamed("phash", "sig0")
+    val pairs = Dedup.hammingPairsMultiProbe(sigs, "sig0", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 }
