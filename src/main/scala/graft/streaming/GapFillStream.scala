@@ -32,10 +32,20 @@ case class GapRow(user_id: Long, hour_ms: Long, value: Double,
   *
   * State bound per user: the open-hour map holds only hours inside
   * the watermark delay, plus one (hour, mean) carry pair — O(delay),
-  * not O(history). Late rows beyond the watermark are dropped by the
-  * standard contract. Emission is append-only as hours close; rows
-  * after the stream's final watermark stay unemitted (the spec allows
-  * exactly that tail).
+  * not O(history). LATE ROWS ARE FILTERED BY THE PROCESSOR ITSELF:
+  * unlike windowed aggregations, `transformWithState` applies NO
+  * automatic watermark filter to input rows (verified against the
+  * Spark 4.1 exec: `TimerValuesImpl` is built from
+  * `eventTimeWatermarkForEviction` and the late-data predicate is
+  * never evaluated) — so [[handleInputRows]] drops any row whose hour
+  * already ended at or before the current watermark, i.e. whose
+  * close-timer has or would have fired. Without this, a late row
+  * re-opens a closed hour, contaminates its mean or re-emits its grid
+  * row, and regresses the LOCF carry backward. Defense in depth on
+  * top: [[handleExpiredTimer]] discards any close at or before the
+  * already-emitted carry hour. Emission is append-only as hours
+  * close; rows after the stream's final watermark stay unemitted (the
+  * spec allows exactly that tail).
   */
 class GapFillProcessor
     extends StatefulProcessor[Long, (Long, Long, Double), GapRow] {
@@ -58,13 +68,19 @@ class GapFillProcessor
   override def handleInputRows(user: Long,
       rows: Iterator[(Long, Long, Double)],
       tv: TimerValues): Iterator[GapRow] = {
+    val wm = tv.getCurrentWatermarkInMs()
     rows.foreach { case (_, hourMs, v) =>
-      val (s0, c0) =
-        if (open.containsKey(hourMs)) open.getValue(hourMs) else (0.0, 0L)
-      open.updateValue(hourMs, (s0 + v, c0 + 1))
-      // idempotent per hour: a re-registered duplicate timer either
-      // coalesces or fires into an already-closed hour and no-ops
-      getHandle.registerTimer(hourMs + HourMs)
+      // the windowed-agg late contract, applied manually (see class
+      // doc): an hour that closed at or before the current watermark
+      // never re-opens
+      if (hourMs + HourMs > wm) {
+        val (s0, c0) =
+          if (open.containsKey(hourMs)) open.getValue(hourMs) else (0.0, 0L)
+        open.updateValue(hourMs, (s0 + v, c0 + 1))
+        // idempotent per hour: a re-registered duplicate timer either
+        // coalesces or fires into an already-closed hour and no-ops
+        getHandle.registerTimer(hourMs + HourMs)
+      }
     }
     Iterator.empty
   }
@@ -73,6 +89,13 @@ class GapFillProcessor
       info: ExpiredTimerInfo): Iterator[GapRow] = {
     val hour = info.getExpiryTimeInMs - HourMs
     if (!open.containsKey(hour)) return Iterator.empty // already closed
+    // guard: never close at or before the emitted carry — a watermark-
+    // evading late row that re-opened a closed hour is discarded here
+    // instead of duplicating its grid row / regressing the carry
+    if (lastClosed.exists() && hour <= lastClosed.get()._1) {
+      open.removeKey(hour)
+      return Iterator.empty
+    }
     val (s, c) = open.getValue(hour)
     open.removeKey(hour)
     val mean = s / c
@@ -108,8 +131,12 @@ object GapFillStream {
       // a stream cannot mean-fill from an hour with no usable sample
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)
+      // hour bucket via date_trunc, NOT floor(unix/3600): batch q60
+      // buckets in the session timezone, and in a non-whole-hour-offset
+      // zone UTC epoch-hours would put stream and batch on different
+      // grids
       .select(col("user_id").cast("long"),
-        (floor(unix_timestamp(col("ts")) / 3600L) * 3600000L).as("hour_ms"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
         col("value").cast("double"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)

@@ -381,6 +381,57 @@ class StreamingStateSpec extends AnyFunSuite {
     }
   }
 
+  test("gap-fill: multi-batch out-of-order feed drops late rows, never re-emits a closed hour") {
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "gapfill-ooo").toString
+      val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+      val H = 3600000L
+      // batch 1: H0 + H1 observed; wm -> H1:20 -> H0 closes (10.0)
+      val f1 = Seq((1L, ts(10), 10.0), (1L, ts(70), 20.0), (1L, ts(110), 30.0))
+      // batch 2: H3 observed, plus a LATE H0 row (H0:30 < wm H1:20) —
+      // must be dropped: H0 already emitted, carry must not regress
+      val f2 = Seq((1L, ts(220), 40.0), (1L, ts(30), 99.0))
+      // batch 3: H5 pushes wm to H4:30 -> H3 closes, H2 LOCF-fills
+      val f3 = Seq((1L, ts(300), 50.0))
+      Seq(f1, f2, f3).foreach { rows =>
+        rows.toDF("user_id", "ts", "value").coalesce(1)
+          .write.mode("append").parquet(d)
+        Thread.sleep(1100) // distinct mtimes so maxFilesPerTrigger orders them
+      }
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+      val out = graft.streaming.GapFillStream.gapFillStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("gapfill_ooo").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val rows = spark.table("gapfill_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      // exactly once per (user, hour): the late 99.0 row neither
+      // duplicates H0 nor changes its mean
+      assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length,
+        s"duplicate grid rows: ${rows.mkString(", ")}")
+      val byHour = rows.map(t => t._2 -> ((t._3, t._4))).toMap
+      assert(byHour === Map(
+        t0 + 0 * H -> ((10.0, false)),
+        t0 + 1 * H -> ((25.0, false)),   // (20+30)/2, late 99 excluded
+        t0 + 2 * H -> ((25.0, true)),    // LOCF fill from H1
+        t0 + 3 * H -> ((40.0, false))), s"got $byHour")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("d20 streaming domain cap: admission capped per source, state carries across batches") {
     import spark.implicits._
     val base = Paths.get("target", "test-tmp")
