@@ -186,6 +186,50 @@ object Bench {
       e.printStackTrace()
       (-1.0, -1.0)
     }
+    // Accuracy of the six approximate operators, machine-readable
+    // (r11 verdict #4): recall@5 vs the s1 exact baseline for the ANN
+    // family, HLL relative error for q27, Bloom false-negative count +
+    // extra-flag fraction for d14 — at THIS bench's SF, so the driver
+    // artifact carries the correctness story for the rows-only queries
+    // instead of it living only in spec info() lines.
+    val accJson = try {
+      import org.apache.spark.sql.functions.col
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        val s = df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.catalog.clearCache(); s
+      }
+      val exact = pairSet(graft.operators.Similarity.bruteForceTopK(spark, sfDir))
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        (exact intersect pairSet(df)).size.toDouble / exact.size
+      val rS2 = recall(graft.operators.Similarity.lshTopK(spark, sfDir))
+      val rS3 = recall(graft.operators.Similarity.ivfTopK(spark, sfDir))
+      val rS10 = recall(graft.operators.Similarity.pqTopK(spark, sfDir))
+      val rS13 = recall(graft.operators.Similarity.ivfPqTopK(spark, sfDir))
+      val q27 = graft.operators.RelationalQueries2.approxDistinct(spark, sfDir)
+        .select("approx_orders", "exact_orders").head()
+      val hllErr =
+        math.abs(q27.getLong(0).toDouble - q27.getLong(1)) / q27.getLong(1)
+      val exFlags = graft.operators.CorpusOps.decontaminate(spark, sfDir)
+        .select(col("doc_id"), col("n_shared"))
+      val blFlags = graft.operators.CorpusOps.decontaminateBloom(spark, sfDir)
+        .select(col("doc_id"), col("n_shared_bloom"))
+      // superset contract: every exactly-flagged doc bloom-flagged with
+      // a >= shared-count; violations are FALSE NEGATIVES (must be 0)
+      val falseNeg = exFlags.as("e").join(blFlags.as("b"), Seq("doc_id"), "left")
+        .filter(col("b.n_shared_bloom").isNull ||
+          col("b.n_shared_bloom") < col("e.n_shared")).count()
+      val extra = blFlags.join(exFlags, Seq("doc_id"), "left_anti").count()
+      val corpus = Tables.documents(spark, sfDir).count()
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] accuracy: s2 $rS2%.3f s3 $rS3%.3f " +
+        f"s10 $rS10%.3f s13 $rS13%.3f q27 ±$hllErr%.4f d14 fn=$falseNeg extra=$extra/$corpus")
+      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"""
+    } catch { case NonFatal(e) =>
+      System.err.println("[bench] accuracy block failed:")
+      e.printStackTrace()
+      ""
+    }
     // GB-scale flagship: the one comparison BASELINE.md publishes at
     // like volume — the reference's 481 s is over ~3.2 GB of taxi CSV;
     // run the real ingest pipeline (S2 listing → text scan → accept →
@@ -266,7 +310,7 @@ object Bench {
     // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
     // from the target, pass-0 times are NOT target-scale numbers and
     // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,$accJson$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
