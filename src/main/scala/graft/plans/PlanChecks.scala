@@ -88,6 +88,21 @@ object PlanChecks {
     "(?m)^\\s*(?:\\+- |:- )?Exchange ".r
       .findAllMatchIn(executedPlan(df)).size
 
+  /** (broadcast-hash, sort-merge, shuffled-hash, nested-loop) join
+    * node counts — the star-shape pin: a dimension that stops
+    * broadcasting or a fact join that degrades to nested-loop shows up
+    * as a count change here before it shows up as a 100 TB incident.
+    */
+  def joinCounts(df: DataFrame): (Int, Int, Int, Int) = {
+    import org.apache.spark.sql.execution.joins._
+    val ns = allNodes(df.queryExecution.executedPlan)
+    (ns.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      ns.count(_.isInstanceOf[SortMergeJoinExec]),
+      ns.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      ns.count(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+        n.isInstanceOf[CartesianProductExec]))
+  }
+
   /** Every physical node reachable from `p`, descending through the AQE
     * wrappers that hide their subtree from a plain `collect`:
     * AdaptiveSparkPlanExec and the QueryStageExec leaves the FINAL

@@ -112,4 +112,46 @@ class PlanChecksSpec extends AnyFunSuite {
         "hot set must broadcast onto both the fact and the dim side")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("q54-q59 star shapes: dimensions broadcast, fact joins bounded as claimed") {
+    // Pins the r11 star battery's scaladoc claims so an AQE or stats
+    // change can't silently regress them. Counts are over the INITIAL
+    // adaptive plan (tiny-SF stats can only turn MORE joins into
+    // broadcasts, so the shuffle-join counts are upper bounds that
+    // hold at every scale, and the hinted broadcasts are lower bounds
+    // that hold regardless of stats).
+    import graft.operators.RelationalQueries3._
+    def pin(name: String, df: org.apache.spark.sql.DataFrame,
+        minBroadcast: Int, maxShuffleJoin: Int): Unit = {
+      val (bhj, smj, shj, bnl) = PlanChecks.joinCounts(df)
+      assert(bhj >= minBroadcast,
+        s"$name: $bhj broadcast joins, expected >= $minBroadcast")
+      assert(smj + shj <= maxShuffleJoin,
+        s"$name: ${smj + shj} shuffle joins, claimed <= $maxShuffleJoin")
+      assert(bnl === 0, s"$name: nested-loop/cartesian join planned")
+    }
+    // q54: two nation-slice broadcasts; fact flows through at most the
+    // claimed supp/orders/cust joins
+    pin("q54", volumeShipping(spark, sfDir), 2, 3)
+    // q55: region->nation, part-type, supplier->nation broadcasts; the
+    // fact takes at most the claimed two shuffle joins (orders, supp)
+    pin("q55", marketShare(spark, sfDir), 3, 2)
+    // q56: nation broadcast; at most orderkey/custkey shuffles; global
+    // top-20 is a TakeOrdered heap, never a total sort
+    pin("q56", returnedRevenue(spark, sfDir), 1, 2)
+    assert(PlanChecks.hasTakeOrdered(returnedRevenue(spark, sfDir)))
+    // q57: single broadcast probe, lineitem never shuffle-joins
+    pin("q57", bracketRevenue(spark, sfDir), 1, 0)
+    // q58: part + supplier->nation broadcast probes, exactly one
+    // shuffle join (orderkey) at most
+    pin("q58", profitByNationYear(spark, sfDir), 2, 1)
+    // q59: every join broadcast (part probe, region chain); the one
+    // fact shuffle is the junction DISTINCT, not a join; presentation
+    // is a TakeOrdered heap
+    pin("q59", bestSupplierPerPart(spark, sfDir), 2, 0)
+    assert(PlanChecks.hasTakeOrdered(bestSupplierPerPart(spark, sfDir)))
+    // d20: per-source cap rewrites to WindowGroupLimit partial top-k
+    assert(PlanChecks.hasWindowGroupLimit(
+      graft.operators.CorpusOps.domainCap(spark, sfDir)))
+  }
 }
