@@ -331,6 +331,10 @@ object SparkEntry {
     // Greedy k-center coreset (farthest-point traversal): k spread
     // representatives; deterministic -> full unrolled-CTE oracle
     "s12_kcenter_coreset" -> (Similarity.kcenterCoreset(_, _)),
+    // s3's query answered by a PERSISTED index (save -> parquet+manifest
+    // -> load -> query): exact equality with s3 gated in IndexStoreSpec;
+    // rows-only in the driver gate for the same reason as s3
+    "s14_ivf_persisted_topk" -> (IndexStore.ivfPersistedTopK(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -2210,6 +2214,11 @@ object SparkEntry {
     //   exists; the correct contract — flags are a SUPERSET of exact
     //   d11's with bounded false-positive inflation — is asserted in
     //   DedupSimilaritySpec.
+    // s14_ivf_persisted_topk: same approximation as s3 (it IS s3's query
+    //   over a saved+reloaded index), so rows-only for s3's reason; the
+    //   stronger contract — save→load→query EXACTLY equals build→query —
+    //   is asserted in IndexStoreSpec, and s3's recall is published in
+    //   the bench artifact (s3_recall_at5).
   )
 
   /** Shared DuckDB prelude for the taxi oracles: raw CSV bytes → lines →

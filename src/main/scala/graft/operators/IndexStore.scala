@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{IvfIndex, LshIndex}
+
+/** Persistence for the ANN index families (IVF / LSH / IVF-PQ): the
+  * in-session memo maps amortize builds within one session, but a
+  * production corpus builds its index ONCE and reloads it across
+  * sessions — at 100 TB the IVF-PQ code table alone is ~3 TB and its
+  * build is a full-corpus scan; re-deriving it per session would be
+  * the dominant cost of every job that queries it.
+  *
+  * Layout: one directory per index, each relation a parquet table
+  * (`centroids/`, `corpus/`, `sigs/`, `postings/`, `codebook/`,
+  * `codes/`, a nested `coarse/` for IVF-PQ) plus a `manifest/` parquet
+  * of (version, family, key, value) rows pinning the format version
+  * and every build parameter. Load validates family + version + the
+  * parameters the caller's query plan depends on (dim etc.) and fails
+  * fast on mismatch — a dim-48 index silently answering dim-64 queries
+  * is the failure mode the manifest exists to prevent.
+  *
+  * Scale posture: save is `df.write.parquet` — the relations keep
+  * their natural partitioning and a loaded index queries from a plain
+  * parquet scan (column-pruned, filter-pushed), exactly how a cluster
+  * deployment shares an index: as a TABLE, not as session state. The
+  * only driver-side piece is the K×dim centroid array — the same
+  * bounded collect the build path already does.
+  */
+object IndexStore {
+
+  /** Bumped on any layout/semantics change; load refuses other versions. */
+  val FormatVersion = 1
+
+  private def writeManifest(s: SparkSession, path: String, family: String,
+      params: Map[String, String]): Unit = {
+    import s.implicits._
+    params.toSeq.sortBy(_._1)
+      .map { case (k, v) => (FormatVersion, family, k, v) }
+      .toDF("version", "family", "key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  private def readManifest(s: SparkSession, path: String,
+      family: String): Map[String, String] = {
+    val rows = s.read.parquet(s"$path/manifest")
+      .select("version", "family", "key", "value").collect()
+    require(rows.nonEmpty, s"empty index manifest at $path")
+    rows.foreach { r =>
+      require(r.getInt(0) == FormatVersion,
+        s"index at $path has format version ${r.getInt(0)}, " +
+          s"this library reads $FormatVersion")
+      require(r.getString(1) == family,
+        s"index at $path is family '${r.getString(1)}', expected '$family'")
+    }
+    rows.map(r => r.getString(2) -> r.getString(3)).toMap
+  }
+
+  // ── IVF-flat ──────────────────────────────────────────────────────────
+
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    val s = index.corpus.sparkSession
+    import s.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("c_label", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    writeManifest(s, path, "ivf", Map(
+      "nCells" -> index.nCells.toString, "dim" -> index.dim.toString))
+  }
+
+  def loadIvf(s: SparkSession, path: String): IvfIndex = {
+    val p = readManifest(s, path, "ivf")
+    val centroids = s.read.parquet(s"$path/centroids")
+      .orderBy(col("c_label")).select(col("cvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    IvfIndex(centroids, s.read.parquet(s"$path/corpus"),
+      p("nCells").toInt, p("dim").toInt)
+  }
+
+  // ── LSH ───────────────────────────────────────────────────────────────
+
+  def saveLsh(index: LshIndex, path: String): Unit = {
+    val s = index.sigs.sparkSession
+    index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    writeManifest(s, path, "lsh", Map(
+      "nBits" -> index.nBits.toString, "nTables" -> index.nTables.toString,
+      "dim" -> index.dim.toString))
+  }
+
+  def loadLsh(s: SparkSession, path: String): LshIndex = {
+    val p = readManifest(s, path, "lsh")
+    LshIndex(s.read.parquet(s"$path/sigs"), s.read.parquet(s"$path/postings"),
+      p("nBits").toInt, p("nTables").toInt, p("dim").toInt)
+  }
+
+  // ── IVF-PQ ────────────────────────────────────────────────────────────
+
+  def saveIvfPq(index: (IvfIndex, DataFrame, DataFrame), path: String,
+      m: Int, nCodes: Int): Unit = {
+    val (coarse, codebook, codes) = index
+    saveIvf(coarse, s"$path/coarse")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    writeManifest(codes.sparkSession, path, "ivfpq", Map(
+      "m" -> m.toString, "nCodes" -> nCodes.toString,
+      "dim" -> coarse.dim.toString))
+  }
+
+  def loadIvfPq(s: SparkSession,
+      path: String): (IvfIndex, DataFrame, DataFrame) = {
+    readManifest(s, path, "ivfpq")
+    (loadIvf(s, s"$path/coarse"), s.read.parquet(s"$path/codebook"),
+      s.read.parquet(s"$path/codes"))
+  }
+
+  // ── s14: the registered save→load→query path ─────────────────────────
+
+  /** s14 — s3's IVF top-k answered by a PERSISTED index: ensure the
+    * (memoized) index exists, save it to a per-(corpus, params)
+    * directory, load it back through the parquet + manifest path, and
+    * run the identical [[Similarity.ivfQuery]] plan over the loaded
+    * relations. Deterministic and equal to s3's output by construction
+    * (the round-trip spec asserts exact equality, and s3's recall vs
+    * s1 is gated in spec + published in the bench artifact) — but
+    * approximate vs the s1 truth like s3, hence rows-only in the
+    * driver gate.
+    *
+    * The save is skipped when the target already holds a manifest for
+    * the same corpus+params (indexes are immutable once written —
+    * rebuilding per call would defeat the point of persistence).
+    */
+  def ivfPersistedTopK(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 10,
+      dim: Int = 64, lloydIters: Int = 2): DataFrame = {
+    // the corpus FINGERPRINT is part of the identity: an index is valid
+    // for one corpus snapshot, and the test corpora are regenerated in
+    // place — a path keyed on dir+params alone would happily serve an
+    // index built from superseded bytes
+    val fp = {
+      val files = Option(new java.io.File(s"$dir/embeddings.parquet"))
+        .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
+        .getOrElse(Seq.empty)
+      java.lang.Long.toHexString(files.map(f =>
+        s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+        .hashCode.toLong & 0xFFFFFFFFL)
+    }
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_c${nCells}_d${dim}_l${lloydIters}_$fp"
+    val path = s"target/graft_index/ivf/$tag"
+    if (!new java.io.File(s"$path/manifest").isDirectory) {
+      val built = Similarity.ivfIndexFor(s, dir, nCells, dim, lloydIters)
+      if (built.centroids.isEmpty) // degenerate corpus: nothing to persist
+        return Similarity.bruteForceTopK(s, dir, k, nQueries)
+      saveIvf(built, path)
+    }
+    val index = loadIvf(s, path)
+    val queries = index.corpus
+      .filter(col("neighbor_id") < nQueries)
+      .select(col("neighbor_id").as("query_id"), col("n_emb").as("q_emb"),
+        col("n_nrm").as("q_nrm"))
+    Similarity.ivfQuery(index, queries, k, nProbe)
+  }
+}

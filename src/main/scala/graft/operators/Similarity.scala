@@ -994,9 +994,21 @@ object Similarity {
       k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
       m: Int = 16, nCodes: Int = 16, iters: Int = 2, dim: Int = 64,
       shortlist: Int = 120): DataFrame = {
+    val index = ivfPqIndexFor(s, dir, nCells, m, nCodes, iters, dim)
+    ivfPqQuery(index, s, dir, k, nQueries, nProbe, m, dim, shortlist)
+  }
+
+  /** The query half of s13 over an explicit index triple — the entry
+    * point a LOADED index ([[IndexStore.loadIvfPq]]) shares with the
+    * memoized build path, so persisted and fresh indexes are queried
+    * by the same plan.
+    */
+  private[graft] def ivfPqQuery(index: (IvfIndex, DataFrame, DataFrame),
+      s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+      nProbe: Int = 12, m: Int = 16, dim: Int = 64,
+      shortlist: Int = 120): DataFrame = {
     val sub = dim / m
-    val (coarse, cent, codes) =
-      ivfPqIndexFor(s, dir, nCells, m, nCodes, iters, dim)
+    val (coarse, cent, codes) = index
     // buildIvfIndexFrom's contract: no valid vector in the training
     // sample -> empty centroids -> callers fall back to the exact scan
     // (same guard as s3's ivfTopK; probedCells on zero centroids would

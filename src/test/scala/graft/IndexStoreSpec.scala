@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IndexStore, Similarity}
+
+/** ANN index persistence: save→load→query must EXACTLY equal
+  * build→query for every index family — a loaded index is the same
+  * relations read back from parquet, and the query plans are shared,
+  * so the results must be identical rows, not merely similar.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String = {
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("IVF index round-trips: loaded equals built, query results identical") {
+    val built = Similarity.buildIvfIndex(spark, sfDir)
+    val path = tmp("ivf")
+    IndexStore.saveIvf(built, path)
+    val loaded = IndexStore.loadIvf(spark, path)
+    assert(loaded.nCells === built.nCells && loaded.dim === built.dim)
+    assert(loaded.centroids.map(_.toSeq).toSeq ===
+      built.centroids.map(_.toSeq).toSeq)
+    assert(rows(loaded.corpus.orderBy("neighbor_id")) ===
+      rows(built.corpus.orderBy("neighbor_id")))
+    def q(ix: Similarity.IvfIndex) = {
+      val queries = ix.corpus
+        .filter(org.apache.spark.sql.functions.col("neighbor_id") < 5)
+        .selectExpr("neighbor_id AS query_id", "n_emb AS q_emb",
+          "n_nrm AS q_nrm")
+      Similarity.ivfQuery(ix, queries)
+    }
+    assert(rows(q(loaded)) === rows(q(built)))
+  }
+
+  test("LSH index round-trips: query results identical") {
+    val built = Similarity.buildLshIndex(spark, sfDir)
+    val path = tmp("lsh")
+    IndexStore.saveLsh(built, path)
+    val loaded = IndexStore.loadLsh(spark, path)
+    assert(loaded.nBits === built.nBits && loaded.nTables === built.nTables)
+    assert(rows(Similarity.lshQuery(loaded)) ===
+      rows(Similarity.lshQuery(built)))
+  }
+
+  test("IVF-PQ index round-trips: query results identical") {
+    Similarity.invalidateIvfPqIndexes()
+    val built = Similarity.ivfPqIndexFor(spark, sfDir)
+    val path = tmp("ivfpq")
+    IndexStore.saveIvfPq(built, path, m = 16, nCodes = 16)
+    val loaded = IndexStore.loadIvfPq(spark, path)
+    val a = rows(Similarity.ivfPqQuery(loaded, spark, sfDir))
+    val b = rows(Similarity.ivfPqQuery(built, spark, sfDir))
+    spark.catalog.clearCache() // pqUnitCorpus caches per query call
+    assert(a === b)
+  }
+
+  test("manifest validation fails fast on family and version mismatch") {
+    val built = Similarity.buildLshIndex(spark, sfDir)
+    val path = tmp("wrongfam")
+    IndexStore.saveLsh(built, path)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadIvf(spark, path)
+    }
+    assert(e.getMessage.contains("family"))
+  }
+
+  test("s14: persisted-index query equals the in-session s3 query") {
+    val s3 = rows(Similarity.ivfTopK(spark, sfDir))
+    val s14 = rows(IndexStore.ivfPersistedTopK(spark, sfDir))
+    assert(s14 === s3)
+    // second call answers from the already-written index (no rebuild)
+    assert(rows(IndexStore.ivfPersistedTopK(spark, sfDir)) === s3)
+  }
+}
