@@ -124,6 +124,31 @@ object Dedup {
     }
   }
 
+  /** d23's streaming form — the production ingest topology: a live doc
+    * feed (`streamDocs`: readStream with (doc_id, text)) deduped
+    * against the STATIC existing-corpus fingerprint relation
+    * (`existing`: (…, fp)) via a stream-static LEFT ANTI join, then
+    * against itself with first-wins fingerprint state (the
+    * exactDedupStream mechanism). The anti join runs BEFORE the
+    * stateful dedup, so fingerprints already in the corpus never enter
+    * dedup state — state holds only genuinely-new content, the same
+    * increment-only bound as batch d23.
+    *
+    * Scale posture: the static side ships one pruned fp column (at
+    * 100 TB: a bucketed fingerprint table, partition-pruned per
+    * micro-batch); the stream shuffles once on fp for the join + once
+    * for the dedup state. Keeper semantics are arrival-order
+    * (first-SEEN), vs batch d23's min-doc_id tie-break — the kept
+    * fingerprint SET is identical, which is what StreamingSpec
+    * asserts.
+    */
+  def crossDedupStream(streamDocs: DataFrame, existing: DataFrame): DataFrame =
+    streamDocs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(existing.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+      .select(col("doc_id"), col("fp"))
+
   // ── Shared shingle prep ───────────────────────────────────────────────
   /** (doc_id, sh: array<string> of distinct word-3-gram shingles, sz).
     * Tokens are materialized in their own projection before shingling —

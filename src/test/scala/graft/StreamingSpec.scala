@@ -270,6 +270,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.join(members, Seq("doc_id", "fp")).count() === got.count())
   }
 
+  test("streaming cross-corpus dedup keeps exactly batch d23's fingerprint set") {
+    import graft.functions.TextFunctions.fingerprint
+    val docs = Tables.documents(spark, sfDir)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "crossdedup").toString
+    // two source files + maxFilesPerTrigger=1: the dedup state and the
+    // stream-static anti join must both hold across micro-batches
+    incoming.repartition(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val out = graft.operators.Dedup.crossDedupStream(stream, existing)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("crossdedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("crossdedup_out")
+    val want = graft.operators.Dedup.crossDedup(spark, sfDir)
+    // one keeper per fingerprint, same fingerprint set as batch d23
+    assert(got.count() === want.count())
+    assert(got.select("fp").distinct().count() === got.count())
+    assert(got.as("g").join(want.as("b"), Seq("fp"), "full_outer")
+      .filter(col("g.doc_id").isNull || col("b.doc_id").isNull)
+      .count() === 0)
+    // nothing already in the existing corpus survives
+    assert(got.join(existing, Seq("fp"), "left_semi").count() === 0)
+    // every kept (doc_id, fp) is a genuine INCOMING member (first-SEEN
+    // keeper — arrival order, not batch's min-doc_id)
+    val members = incoming
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    assert(got.join(members, Seq("doc_id", "fp")).count() === got.count())
+  }
+
   test("streaming windowed top-k equals batch w6") {
     // The incremental half (watermarked windowed counts) runs as a
     // genuine stream; the rank-k filter is applied over the closed
