@@ -158,6 +158,12 @@ object SparkEntry {
     "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
     // Time-series resample: dense hourly grid + forward-fill (LOCF)
     "q60_gap_fill"         -> (TemporalJoins.gapFill(_, _)),
+    // Per-user EWMA over the hourly mean series: a left fold in hour
+    // order, identical IEEE op sequence to the oracle's list_reduce
+    "q61_ewma"             -> (TimeSeries.ewma(_, _)),
+    // Rolling z-score anomalies from explicit frame sums (no built-in
+    // stddev — engines' internal algorithms differ in the last ulps)
+    "q62_anomaly"          -> (TimeSeries.anomalies(_, _)),
     // TPC-H Q2 shape: argmax supplier over the derived part↔supplier
     // junction, region-pruned, heap-k presentation
     "q59_best_supplier"    -> (RelationalQueries3.bestSupplierPerPart(_, _)),
@@ -779,6 +785,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  v IS NULL AS filled
         |FROM j ORDER BY user_id, hour""".stripMargin,
+
+    // q61: list_reduce seeds with the first element and folds left —
+    // the same op sequence as Spark's aggregate(slice(xs,2,n-1), x0, f)
+    // with the same coefficient literals, so the doubles are identical.
+    "q61_ewma" ->
+      """WITH hourly AS (SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
+        |ser AS (SELECT user_id,
+        |    list_sort(list({'hour': hour, 'v': v})) AS xs
+        |  FROM hourly GROUP BY user_id)
+        |SELECT user_id, CAST(len(xs) AS INT) AS n_hours,
+        |  xs[len(xs)].hour AS last_hour,
+        |  list_reduce(list_transform(xs, e -> e.v),
+        |    (a, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * a) AS ewma
+        |FROM ser ORDER BY user_id""".stripMargin,
+
+    // q62: variance from explicit frame sums with the identical
+    // expression tree as the Spark side — never a built-in stddev.
+    "q62_anomaly" ->
+      """WITH hourly AS (SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
+        |st AS (SELECT user_id, hour, v,
+        |    count(v) OVER w AS n, sum(v) OVER w AS s,
+        |    sum(v * v) OVER w AS s2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id, hour, v, n, s / n AS mean, s2
+        |  FROM st WHERE n >= 12),
+        |sd AS (SELECT user_id, hour, v, mean,
+        |    sqrt((s2 - n * mean * mean) / (n - 1)) AS sd
+        |  FROM m)
+        |SELECT user_id, hour, v AS value, (v - mean) / sd AS zscore
+        |FROM sd WHERE sd > 0 AND abs((v - mean) / sd) > 3
+        |ORDER BY user_id, hour""".stripMargin,
 
     "q59_best_supplier" ->
       """WITH junction AS (SELECT DISTINCT l_partkey, l_suppkey, p_name

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series analytics over the `events` feed — the monitoring rung
+  * of a training-data pipeline (ingest volumes, per-source quality
+  * trends, drift alarms all reduce to these two shapes): sequential
+  * smoothing (EWMA) and rolling-statistic anomaly detection.
+  *
+  * Both build on q60's hourly-mean series (one (user, hour) shuffle);
+  * both are oracle-checkable EXACTLY because every arithmetic step is
+  * shaped to be engine-identical — the EWMA is a left fold in a fixed
+  * order with the same literal coefficients on both sides, and the
+  * z-score is derived from explicit frame sums with the same
+  * expression tree, not from an engine's built-in stddev (whose
+  * internal algorithm is not pinned).
+  */
+object TimeSeries {
+
+  private def hourlyMeans(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(avg(col("value")).as("v"))
+      // an hour whose only events carry null values has no usable
+      // sample — q60 keeps it as a grid point to LOCF over; a
+      // smoothing/statistic series must skip it
+      .filter(col("v").isNotNull)
+
+  /** q61 — per-user EWMA over the hourly mean series:
+    * ewma_0 = x_0, ewma_i = α·x_i + (1−α)·ewma_{i−1}, reported at the
+    * series end (the "current smoothed level" a monitoring dashboard
+    * holds per key). One fold per user in hour order — collect_list +
+    * sort_array + the `aggregate` HOF, folding left exactly like the
+    * oracle's `list_reduce`, so the IEEE operation sequence is
+    * identical on both engines (same seed, same coefficient literals,
+    * same order).
+    *
+    * Scale posture: one (user, hour) aggregate shuffle + one per-user
+    * aggregate; the per-user array holds that user's HOURLY MEANS (one
+    * double per active hour — a year of history is 8.8 KB), not raw
+    * events. The sequential recursion is inherent to EWMA; holding it
+    * per key in one task is the only order-preserving evaluation that
+    * does not serialize the whole relation.
+    */
+  def ewma(s: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val beta = 1.0 - alpha
+    hourlyMeans(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("hour"), col("v")))).as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).as("n_hours"),
+        element_at(col("xs"), -1).getField("hour").as("last_hour"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("v"),
+          (acc, x) => lit(alpha) * x.getField("v") + lit(beta) * acc)
+          .as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q62 — rolling z-score anomaly detection: flag hours whose mean
+    * deviates more than `z` sample standard deviations from the
+    * trailing `lookback`-hour window (current hour EXCLUDED — the
+    * baseline must not contain the point under test), requiring at
+    * least `minN` baseline points. The variance comes from explicit
+    * frame sums — n, Σx, Σx² — with the textbook
+    * (Σx² − n·mean²)/(n−1) expression written identically in the
+    * oracle, NOT from a built-in stddev: the built-ins' internal
+    * update algorithms (Welford vs two-pass) differ between engines in
+    * the last ulps, and the 9-digit gate would see it.
+    *
+    * Scale posture: one (user, hour) shuffle then a single sorted
+    * window pass per user — three running sums over a bounded frame,
+    * no second scan, no self-join. The |z| > threshold cut happens
+    * after the 9-digit-stable arithmetic; a value landing within
+    * float noise of the threshold could flip membership between
+    * engines in principle, but requires |z| within ~1e-12 of the
+    * threshold on continuous data.
+    */
+  def anomalies(s: SparkSession, dir: String, lookback: Int = 24,
+      minN: Int = 12, z: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(-lookback, -1)
+    hourlyMeans(s, dir)
+      .select(col("user_id"), col("hour"), col("v"),
+        count(col("v")).over(w).as("n"),
+        sum(col("v")).over(w).as("s"),
+        sum(col("v") * col("v")).over(w).as("s2"))
+      .filter(col("n") >= minN)
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("s2") - col("n") * col("mean") * col("mean")) / (col("n") - 1)))
+      .filter(col("sd") > 0)
+      .withColumn("zscore", (col("v") - col("mean")) / col("sd"))
+      .filter(abs(col("zscore")) > z)
+      .select(col("user_id"), col("hour"), col("v").as("value"),
+        col("zscore"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+}

@@ -83,7 +83,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "t19_ccnet_buckets", "t20_dsir_weights",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
-    "m4_resize", "m5_media_dedup", "m6_audio_energy")
+    "m4_resize", "m5_media_dedup", "m6_audio_energy",
+    "m7_media_phash", "m8_media_phash_pairs")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>
@@ -104,6 +105,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
         "s5_centroids", "s6_kmeans_assign", "s7_kmeans_iter",
         "s8_quantize_int8", "s9_dequantized_topk", "s10_pq_topk",
         "s11_radius_search", "s12_kcenter_coreset", "s13_ivfpq_topk",
+        "s14_ivf_persisted_topk",
         "d6_embedding_dedup", "d13_embedding_clusters", "d17_semantic_dedup")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
@@ -119,6 +121,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     Seq("w1_tumbling_window", "w2_sliding_window", "w3_session_window",
         "w4_first_event", "w5_funnel_join", "w6_window_topk",
         "w7_click_attribution", "w8_window_uniques", "q60_gap_fill",
+        "q61_ewma", "q62_anomaly",
         "events_speed_faithful", "events_speed_weighted")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()

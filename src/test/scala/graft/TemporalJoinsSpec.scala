@@ -64,4 +64,59 @@ class TemporalJoinsSpec extends AnyFunSuite {
       assert(g.filter(col("filled")).count() > 0)
     } finally g.unpersist()
   }
+
+  private def hourlyRef(): Map[Long, Seq[(java.sql.Timestamp, Double)]] =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(avg(col("value")).as("v"))
+      .filter(col("v").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1.getTime).toSeq).toMap
+
+  test("q61 EWMA equals a driver-side fold over the hourly series") {
+    val got = graft.operators.TimeSeries.ewma(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getTimestamp(2), r.getDouble(3))))
+      .toMap
+    val ref = hourlyRef()
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (u, series) =>
+      val vs = series.map(_._2)
+      val want = vs.tail.foldLeft(vs.head)((a, x) => 0.3 * x + 0.7 * a)
+      val (n, last, e) = got(u)
+      assert(n === vs.length, s"user $u n_hours")
+      assert(last === series.last._1, s"user $u last_hour")
+      assert(e === want, s"user $u: $e != $want") // exact: same fold order
+    }
+  }
+
+  test("q62 anomalies equal a driver-side rolling z-score recompute") {
+    val got = graft.operators.TimeSeries.anomalies(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val want = hourlyRef().flatMap { case (u, series) =>
+      series.indices.flatMap { i =>
+        val frame = series.slice(math.max(0, i - 24), i).map(_._2)
+        val n = frame.length
+        if (n < 12) None else {
+          val mean = frame.sum / n
+          val sd = math.sqrt(
+            (frame.map(x => x * x).sum - n * mean * mean) / (n - 1))
+          val z = (series(i)._2 - mean) / sd
+          if (sd > 0 && math.abs(z) > 3.0)
+            Some((u, series(i)._1) -> ((series(i)._2, z)))
+          else None
+        }
+      }
+    }
+    assert(got.keySet === want.keySet)
+    // values agree to float tolerance (frame sums may associate
+    // differently between the window exec and this sequential fold)
+    got.foreach { case (k, (v, z)) =>
+      val (wv, wz) = want(k)
+      assert(math.abs(v - wv) < 1e-9 && math.abs(z - wz) < 1e-6, s"$k")
+    }
+    assert(got.nonEmpty, "no anomalies flagged on this corpus")
+  }
 }
