@@ -229,6 +229,10 @@ object SparkEntry {
     "t13_gopher_quality" -> (TextAnalysis.gopherQuality(_, _)),
     // Exact heavy hitters: Misra-Gries candidate sketch + exact recount
     "t14_heavy_hitters" -> (TextAnalysis.heavyHitters(_, _)),
+    // Context-window chunking: overlapping token windows per doc
+    "t21_chunk" -> (TextAnalysis.chunk(_, _)),
+    // Vocabulary OOV rate vs the corpus top-k vocab (tokenizer coverage)
+    "t22_vocab_oov" -> (TextAnalysis.vocabOov(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1089,6 +1093,35 @@ object SparkEntry {
         |  sqrt(list_sum(list_transform(bytes, x -> x * x)) / 64.0) AS rms_amp,
         |  CAST(list_max(bytes) AS INT) AS peak
         |FROM b ORDER BY doc_id, frame_offset""".stripMargin,
+
+    "t21_chunk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        |st AS (SELECT doc_id, n, w,
+        |    unnest(range(1, n + 1, 48)) AS start
+        |  FROM sz)
+        |SELECT doc_id, CAST((start - 1) // 48 AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS start_tok,
+        |  CAST(least(64, n - start + 1) AS INT) AS n_tok,
+        |  array_to_string(w[start : least(start + 63, n)], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t22_vocab_oov" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t FROM (
+        |    SELECT t, count(*) AS cnt FROM toks GROUP BY t)
+        |  ORDER BY cnt DESC, t LIMIT 512),
+        |sel AS (SELECT k.doc_id, v.t AS vt
+        |  FROM toks k LEFT JOIN vocab v ON k.t = v.t)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(count(*) FILTER (vt IS NULL) AS INT) AS n_oov,
+        |  CAST(count(*) FILTER (vt IS NULL) AS DOUBLE) / count(*) AS oov_rate
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
     // the DuckDB mirror is bit-identical by construction — the same

@@ -825,4 +825,65 @@ object TextAnalysis {
           .as("avg_log_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** t21 — context-window chunking: split each document's token
+    * sequence into windows of `window` tokens starting every `stride`
+    * tokens (stride < window ⇒ `window − stride` tokens of overlap —
+    * the standard training-example preparation, where overlap
+    * preserves cross-boundary context). Start positions are 1,
+    * 1+stride, … ≤ n, so every token lands in at least one chunk and
+    * the trailing chunk may be short.
+    *
+    * Scale posture: shuffle-free — one codegen'd scan, the explode
+    * fans out ~n/stride rows per doc and each chunk's text is a slice
+    * of the already-materialized token array (no re-tokenization per
+    * chunk). At 100 TB the output is written partitioned by shard of
+    * doc_id; nothing here needs a wider plan.
+    */
+  def chunk(s: SparkSession, dir: String, window: Int = 64,
+      stride: Int = 48): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("int").as("start_tok"),
+        least(lit(window), col("n") - col("col") + 1).cast("int").as("n_tok"),
+        array_join(slice(col("w"), col("col"), lit(window)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** t22 — vocabulary OOV rate: per document, the fraction of tokens
+    * outside the corpus's top-`vocabSize` vocabulary (by frequency,
+    * ties to the lexicographically smaller token — deterministic on
+    * both engines). The tokenizer-coverage diagnostic run before
+    * committing a vocab: a rising OOV rate on a new source is the
+    * canonical "this data needs a tokenizer revisit" alarm.
+    *
+    * Scale posture: the vocabulary is a top-k over the token-count
+    * aggregate (TakeOrdered-sized: vocabSize rows) and BROADCASTS to
+    * the per-token membership join; the token stream shuffles once for
+    * the count and once for the per-doc rollup. The join is a LEFT
+    * SEMI-shaped membership mark (left join + null check) so no token
+    * row duplicates.
+    */
+  def vocabOov(s: SparkSession, dir: String,
+      vocabSize: Int = 512): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(vocabSize)
+      .select(col("t"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).cast("int").as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextAnalysis
@@ -321,5 +322,59 @@ class TextAnalysisSpec extends AnyFunSuite {
         min(when(col("bucket") === "tail", col("score"))).as("minTail"))
       assert(agg.filter(col("maxHead") >= col("minTail")).count() === 0)
     } finally df.unpersist()
+  }
+
+  test("t21 chunking covers every token with the declared stride/overlap") {
+    import graft.functions.TextFunctions.tokens
+    val window = 64; val stride = 48
+    val chunks = TextAnalysis.chunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = docToks(doc).length
+      val sorted = cs.sortBy(_._2)
+      // starts advance by exactly the stride from 1; indexes are dense
+      sorted.zipWithIndex.foreach { case ((_, idx, start, nTok, text), i) =>
+        assert(idx === i && start === 1 + i * stride)
+        assert(nTok === math.min(window, n - start + 1))
+        // chunk text IS the token slice (no re-tokenization drift)
+        assert(text === docToks(doc).slice(start - 1, start - 1 + nTok)
+          .mkString(" "), s"doc $doc chunk $idx")
+      }
+      // the final chunk reaches the last token: full coverage
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN - 1 === n, s"doc $doc tail uncovered")
+    }
+    // docs with tokens but absent from the output would be silent loss
+    assert(chunks.map(_._1).toSet === docToks.filter(_._2.nonEmpty).keySet)
+  }
+
+  test("t22 OOV rate matches a driver-side vocabulary recompute") {
+    import graft.functions.TextFunctions.tokens
+    val vocabSize = 512
+    val got = TextAnalysis.vocabOov(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val freq = docToks.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize).map(_._1).toSet
+    val want = docToks.collect { case (d, ws) if ws.nonEmpty =>
+      val oov = ws.count(!vocab.contains(_))
+      d -> ((ws.length, oov, oov.toDouble / ws.length))
+    }
+    assert(got === want)
+    // non-degeneracy only when the corpus vocabulary actually exceeds
+    // the vocab size (at sf0.001 all distinct tokens fit in the top-512
+    // and an all-zero OOV column is the CORRECT answer)
+    if (freq.size > vocabSize) assert(got.values.exists(_._2 > 0))
+    assert(got.values.exists(_._2 == 0))
   }
 }
