@@ -432,6 +432,100 @@ class StreamingStateSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming EWMA equals the batch fold over each user's closed prefix") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "ewma").toString
+      Tables.events(spark, sfDir).orderBy("ts").coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sfDir).schema).parquet(d)
+      val out = graft.streaming.EwmaStream.ewmaStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("ewma_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("ewma_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.nonEmpty)
+
+      // driver reference: per-user hour-sorted hourly means + running fold
+      val series = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(avg(col("value")).as("v"))
+        .filter(col("v").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val maxTsMs = Tables.events(spark, sfDir)
+        .agg(max(unix_timestamp(col("ts")))).head().getLong(0) * 1000
+      val wm = maxTsMs - 30 * 60000L
+      series.foreach { case (u, hs) =>
+        var level = Double.NaN
+        hs.zipWithIndex.foreach { case ((_, hourMs, mean), i) =>
+          level = if (i == 0) mean else 0.3 * mean + 0.7 * level
+          if (hourMs + 3600000L <= wm) {
+            val (gm, gl) = got.getOrElse((u, hourMs),
+              fail(s"user $u closed hour $hourMs unemitted"))
+            assert(math.abs(gm - mean) < 1e-9 && math.abs(gl - level) < 1e-9,
+              s"user $u hour $hourMs: ($gm,$gl) vs ($mean,$level)")
+          } else assert(!got.contains((u, hourMs)),
+            s"user $u hour $hourMs emitted past the watermark")
+        }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
+  test("streaming EWMA: a beyond-watermark late row never folds into the level") {
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "ewma-ooo").toString
+      val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+      val H = 3600000L
+      val f1 = Seq((1L, ts(10), 10.0), (1L, ts(70), 20.0), (1L, ts(110), 30.0))
+      val f2 = Seq((1L, ts(220), 40.0), (1L, ts(30), 99.0)) // late H0 row
+      val f3 = Seq((1L, ts(300), 50.0))
+      Seq(f1, f2, f3).foreach { rows =>
+        rows.toDF("user_id", "ts", "value").coalesce(1)
+          .write.mode("append").parquet(d)
+        Thread.sleep(1100)
+      }
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+      val out = graft.streaming.EwmaStream.ewmaStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("ewma_ooo").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val byHour = spark.table("ewma_ooo").collect()
+        .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(byHour === Map(
+        t0 + 0 * H -> ((10.0, 10.0)),               // seed, late 99 excluded
+        t0 + 1 * H -> ((25.0, 0.3 * 25.0 + 0.7 * 10.0)),
+        t0 + 3 * H -> ((40.0, 0.3 * 40.0 + 0.7 * (0.3 * 25.0 + 0.7 * 10.0)))),
+        s"got $byHour")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("d20 streaming domain cap: admission capped per source, state carries across batches") {
     import spark.implicits._
     val base = Paths.get("target", "test-tmp")
