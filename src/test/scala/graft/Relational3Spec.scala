@@ -200,7 +200,7 @@ class Relational3Spec extends AnyFunSuite {
         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
         |  AND n_nationkey = s_nationkey AND o_orderkey = l_orderkey
         |  AND p_name LIKE '%red%'""".stripMargin).head().getDouble(0)
-    val got = rows.map(_.getAs[java.math.BigDecimal]("profit").doubleValue).sum
+    val got = rows.map(_.getAs[Double]("profit")).sum
     assert(math.abs(got - total) < 1e-6 * math.max(1.0, math.abs(total)),
       s"$got != $total")
   }
