@@ -233,6 +233,9 @@ object SparkEntry {
     "t21_chunk" -> (TextAnalysis.chunk(_, _)),
     // Vocabulary OOV rate vs the corpus top-k vocab (tokenizer coverage)
     "t22_vocab_oov" -> (TextAnalysis.vocabOov(_, _)),
+    // Token-ID encoding against the deterministic top-k vocab (the
+    // training encode step), flattened to (doc_id, pos, token_id)
+    "t23_encode" -> (TextAnalysis.encode(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1122,6 +1125,23 @@ object SparkEntry {
         |  CAST(count(*) FILTER (vt IS NULL) AS INT) AS n_oov,
         |  CAST(count(*) FILTER (vt IS NULL) AS DOUBLE) / count(*) AS oov_rate
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t23_encode" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w),
+        |toks AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    w[CAST(i AS INT)] AS t
+        |  FROM ix),
+        |vocab AS (SELECT t,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, t) - 1 AS INT) AS token_id
+        |  FROM (SELECT t, count(*) AS cnt FROM toks GROUP BY t
+        |    ORDER BY cnt DESC, t LIMIT 512))
+        |SELECT k.doc_id, k.pos,
+        |  CAST(coalesce(v.token_id, 512) AS INT) AS token_id
+        |FROM toks k LEFT JOIN vocab v ON k.t = v.t
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
     // the DuckDB mirror is bit-identical by construction — the same

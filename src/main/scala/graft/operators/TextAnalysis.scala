@@ -886,4 +886,41 @@ object TextAnalysis {
       .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** t23 — token-ID encoding: the training-data encode step — every
+    * token mapped to its id in a DETERMINISTIC vocabulary (frequency-
+    * ranked, lexicographic tie-break, ids dense from 0; out-of-vocab →
+    * `unkId` = vocabSize). Emitted flattened as (doc_id, pos,
+    * token_id) — positional rows instead of an id array, both because
+    * a downstream packer consumes positions anyway and because array
+    * outputs are outside the gate-safe type set.
+    *
+    * Scale posture: vocab = one token-count aggregate + a
+    * TakeOrdered-sized top-k that BROADCASTS onto the token stream;
+    * the encode itself is then a map-side hash probe per token — no
+    * shuffle besides the vocab count. row_number over the global
+    * vocab ranking runs on vocabSize rows (post-limit), not the
+    * corpus.
+    */
+  def encode(s: SparkSession, dir: String,
+      vocabSize: Int = 512): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        col("col").as("t"))
+    val wAll = Window.orderBy(col("cnt").desc, col("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(vocabSize)
+      // rank the (<= vocabSize)-row result, not the corpus: the
+      // unpartitioned window is bounded by the limit above it
+      .withColumn("token_id", (row_number().over(wAll) - 1).cast("int"))
+      .select(col("t"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(vocabSize)).as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

@@ -73,7 +73,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "t9_mix_stats", "t10_unigram_logprob", "t11_pii_redact",
     "t12_sequence_pack", "t13_gopher_quality", "t14_heavy_hitters",
     "t15_bm25_rank", "t16_bigram_logprob", "t17_zipf_fit",
-    "t21_chunk", "t22_vocab_oov",
+    "t21_chunk", "t22_vocab_oov", "t23_encode",
     "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_pairs",
     "d4_simhash", "d5_simhash_pairs", "d7_chargram_pairs",
     "d8_containment_pairs", "d9_dedup_clusters", "d10_dedup_corpus",

@@ -377,4 +377,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     if (freq.size > vocabSize) assert(got.values.exists(_._2 > 0))
     assert(got.values.exists(_._2 == 0))
   }
+
+  test("t23 encoding is faithful and consistent with t22's OOV counts") {
+    import graft.functions.TextFunctions.tokens
+    val vocabSize = 512
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val freq = docToks.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val ids = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize).map(_._1).zipWithIndex.toMap
+    val got = TextAnalysis.encode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got.keySet === docToks.filter(_._2.nonEmpty).keySet)
+    got.foreach { case (doc, rows) =>
+      val ws = docToks(doc)
+      // dense positions, and each id decodes to the original token
+      // (in-vocab) or is exactly the unk id (out-of-vocab)
+      assert(rows.map(_._2).toSeq === ws.indices.toSeq, s"doc $doc positions")
+      rows.foreach { case (_, pos, id) =>
+        val want = ids.getOrElse(ws(pos), vocabSize)
+        assert(id === want, s"doc $doc pos $pos: $id != $want (${ws(pos)})")
+      }
+    }
+    // cross-operator consistency: unk count per doc == t22's n_oov
+    val oov = TextAnalysis.vocabOov(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got.foreach { case (doc, rows) =>
+      assert(rows.count(_._3 == vocabSize) === oov(doc), s"doc $doc oov")
+    }
+  }
 }
