@@ -526,6 +526,49 @@ class StreamingStateSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomalies equal batch q62 over the closed prefix") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "anom").toString
+      Tables.events(spark, sfDir).orderBy("ts").coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sfDir).schema).parquet(d)
+      val out = graft.streaming.AnomalyStream.anomalyStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("anom_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("anom_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+
+      val maxTsMs = Tables.events(spark, sfDir)
+        .agg(max(unix_timestamp(col("ts")))).head().getLong(0) * 1000
+      val wm = maxTsMs - 30 * 60000L
+      val batch = graft.operators.TimeSeries.anomalies(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      val batchClosed = batch.filter { case ((_, h), _) => h + 3600000L <= wm }
+      // same flagged set over the closed prefix, same means and scores
+      assert(got.keySet === batchClosed.keySet,
+        s"stream ${got.keySet} vs batch ${batchClosed.keySet}")
+      assert(got.nonEmpty, "no anomalies closed on this corpus")
+      got.foreach { case (k, (v, z)) =>
+        val (bv, bz) = batchClosed(k)
+        assert(math.abs(v - bv) < 1e-9 && math.abs(z - bz) < 1e-6, s"$k")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("d20 streaming domain cap: admission capped per source, state carries across batches") {
     import spark.implicits._
     val base = Paths.get("target", "test-tmp")
