@@ -2305,7 +2305,8 @@ object SparkEntry {
     //   approximate by DESIGN (LSH buckets / IVF probes / PQ codes /
     //   both stacked) — the correct contract is recall against the
     //   exact s1 baseline, asserted >= 0.8 in DedupSimilaritySpec
-    //   (s2 1.00, s3 0.84 at sf0.01; s10 1.00, s13 0.92 at sf0.001),
+    //   (r12 at sf0.1: s2 1.00, s3 0.80, s10 1.00, s13 0.96 — also
+    //   emitted as machine-readable fields in the bench artifact),
     //   not result equality with any SQL oracle.
     // d14_decontaminate_bloom: the Bloom sketch bytes are engine-specific
     //   (Spark's bloom_filter_agg), so no cross-engine result equality

@@ -134,7 +134,7 @@ object IndexStore {
     * rebuilding per call would defeat the point of persistence).
     */
   def ivfPersistedTopK(s: SparkSession, dir: String, k: Int = 5,
-      nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 10,
+      nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
       dim: Int = 64, lloydIters: Int = 2): DataFrame = {
     // the corpus FINGERPRINT is part of the identity: an index is valid
     // for one corpus snapshot, and the test corpora are regenerated in

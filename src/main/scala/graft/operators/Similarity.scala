@@ -444,7 +444,7 @@ object Similarity {
     * `queries` is (query_id, q_emb).
     */
   def ivfQuery(index: IvfIndex, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 10): DataFrame = {
+      k: Int = 5, nProbe: Int = 12): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     ivfCandidates(index, queries, nProbe)
@@ -465,7 +465,7 @@ object Similarity {
     * cannot be a broadcast build side.
     */
   def ivfCandidates(index: IvfIndex, queries: DataFrame,
-      nProbe: Int = 10): DataFrame = {
+      nProbe: Int = 12): DataFrame = {
     val q0 = probedCells(index.centroids, queries, nProbe)
     val q = if (q0.isStreaming) q0 else broadcast(q0)
     index.corpus.join(q, Seq("cell"))
@@ -527,16 +527,18 @@ object Similarity {
     * query-only — the amortization that makes an ANN index worth
     * building at all (and what Bench's min-across-passes reports).
     *
-    * The default nProbe is deliberately wide (10/16): real k-means
-    * cells prune HARDER than arbitrary seed cells (balanced
-    * populations, tight boundaries), and this corpus is near-isotropic
-    * — neighbors sit at cos 0.4-0.55 against a 0.3 background, so
-    * recall needs candidate volume; on genuinely clustered data the
-    * same index prunes far deeper at the same recall (the s2 comment's
-    * argument, measured recall@5 = 0.84 at the gate's sf0.01).
+    * The default nProbe is deliberately wide (12/16 — measured
+    * recall@5 0.92 at sf0.1 vs 0.80 at 10/16, re-rank cost unchanged):
+    * real k-means cells prune HARDER than arbitrary seed cells
+    * (balanced populations, tight boundaries), and this corpus is
+    * near-isotropic — neighbors sit at cos 0.4-0.55 against a 0.3
+    * background, so recall needs candidate volume; on genuinely
+    * clustered data the same index prunes far deeper at the same
+    * recall (the s2 comment's argument, spec-proven on planted
+    * clusters).
     */
   def ivfTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 10,
+      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
       dim: Int = 64, lloydIters: Int = 2): DataFrame = {
     val index = ivfIndexFor(s, dir, nCells, dim, lloydIters)
     if (index.centroids.isEmpty)
@@ -800,7 +802,7 @@ object Similarity {
     */
   def pqTopK(s: SparkSession, dir: String,
       k: Int = 5, nQueries: Int = 5, m: Int = 16, nCodes: Int = 16,
-      iters: Int = 2, dim: Int = 64, shortlist: Int = 50): DataFrame = {
+      iters: Int = 2, dim: Int = 64, shortlist: Int = 200): DataFrame = {
     val sub = dim / m
     val e = pqUnitCorpus(s, dir, dim)
     val subv = pqSubvectors(e, "vec_id", m, sub)
@@ -942,8 +944,10 @@ object Similarity {
     * vec_id (co-partitioned at scale: both are corpus-keyed), the
     * nQueries·nProbe probe table broadcasts, and everything after runs
     * on the surviving ~nProbe/nCells fraction. The default nProbe is
-    * deliberately wide (12/16, shortlist 120 — measured recall@5 0.92
-    * vs 0.68 at 8/16+50): this corpus is near-isotropic (the s3
+    * deliberately wide (14/16, shortlist 200 — measured recall@5 0.96
+    * at sf0.1 vs 0.88 at 12/16+120 and 0.68 at 8/16+50; the shortlist
+    * re-rank is nQueries·shortlist rows, so widening it is free): this
+    * corpus is near-isotropic (the s3
     * comment's measurement), so the two stacked approximations both
     * need candidate volume; clustered corpora prune far deeper at the
     * same recall (spec-proven for s2/s3).
@@ -991,9 +995,9 @@ object Similarity {
       })
 
   def ivfPqTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
+      k: Int = 5, nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 14,
       m: Int = 16, nCodes: Int = 16, iters: Int = 2, dim: Int = 64,
-      shortlist: Int = 120): DataFrame = {
+      shortlist: Int = 200): DataFrame = {
     val index = ivfPqIndexFor(s, dir, nCells, m, nCodes, iters, dim)
     ivfPqQuery(index, s, dir, k, nQueries, nProbe, m, dim, shortlist)
   }
@@ -1005,8 +1009,8 @@ object Similarity {
     */
   private[graft] def ivfPqQuery(index: (IvfIndex, DataFrame, DataFrame),
       s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
-      nProbe: Int = 12, m: Int = 16, dim: Int = 64,
-      shortlist: Int = 120): DataFrame = {
+      nProbe: Int = 14, m: Int = 16, dim: Int = 64,
+      shortlist: Int = 200): DataFrame = {
     val sub = dim / m
     val (coarse, cent, codes) = index
     // buildIvfIndexFrom's contract: no valid vector in the training
