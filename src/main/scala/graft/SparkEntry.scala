@@ -826,7 +826,7 @@ object SparkEntry {
         |m AS (SELECT user_id, hour, v, n, s / n AS mean, s2
         |  FROM st WHERE n >= 12),
         |sd AS (SELECT user_id, hour, v, mean,
-        |    sqrt((s2 - n * mean * mean) / (n - 1)) AS sd
+        |    sqrt(greatest((s2 - n * mean * mean) / (n - 1), 0)) AS sd
         |  FROM m)
         |SELECT user_id, hour, v AS value, (v - mean) / sd AS zscore
         |FROM sd WHERE sd > 0 AND abs((v - mean) / sd) > 3

@@ -92,8 +92,13 @@ object TimeSeries {
         sum(col("v") * col("v")).over(w).as("s2"))
       .filter(col("n") >= minN)
       .withColumn("mean", col("s") / col("n"))
-      .withColumn("sd", sqrt(
-        (col("s2") - col("n") * col("mean") * col("mean")) / (col("n") - 1)))
+      // greatest(…, 0): a near-constant frame can yield a tiny NEGATIVE
+      // variance from floating rounding — Spark's sqrt would give NaN
+      // (silently dropped by sd > 0) but DuckDB's sqrt THROWS on
+      // negatives, so clamp identically on both sides
+      .withColumn("sd", sqrt(greatest(
+        (col("s2") - col("n") * col("mean") * col("mean")) / (col("n") - 1),
+        lit(0.0))))
       .filter(col("sd") > 0)
       .withColumn("zscore", (col("v") - col("mean")) / col("sd"))
       .filter(abs(col("zscore")) > z)

@@ -90,8 +90,8 @@ class AnomalyProcessor(lookback: Int, minN: Int, zThresh: Double)
     // batch q62's expression tree, verbatim: mean over the frame, then
     // (Σx² − n·m·m)/(n−1) under a sqrt, then (x − m)/sd
     val fm = base.sum / n
-    val sd = math.sqrt(
-      (base.map(x => x * x).sum - n * fm * fm) / (n - 1))
+    val sd = math.sqrt(math.max(
+      (base.map(x => x * x).sum - n * fm * fm) / (n - 1), 0.0))
     if (sd <= 0) return Iterator.empty
     val z = (mean - fm) / sd
     if (math.abs(z) > zThresh) Iterator(AnomalyRow(user, hour, mean, z))
