@@ -800,7 +800,8 @@ object SparkEntry {
       """WITH hourly AS (SELECT user_id,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |    avg(value) AS v
-        |  FROM events GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
         |ser AS (SELECT user_id,
         |    list_sort(list({'hour': hour, 'v': v})) AS xs
         |  FROM hourly GROUP BY user_id)
@@ -816,7 +817,8 @@ object SparkEntry {
       """WITH hourly AS (SELECT user_id,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |    avg(value) AS v
-        |  FROM events GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
         |st AS (SELECT user_id, hour, v,
         |    count(v) OVER w AS n, sum(v) OVER w AS s,
         |    sum(v * v) OVER w AS s2

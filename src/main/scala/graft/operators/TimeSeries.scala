@@ -23,6 +23,11 @@ object TimeSeries {
 
   private def hourlyMeans(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      // null user/ts rows have no series to belong to — dropped up
+      // front, matching the STREAMING forms' null filter (and keeping a
+      // null hour out of the sort, where Spark and DuckDB disagree on
+      // null placement: sort_array nulls-first vs list_sort nulls-last)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(avg(col("value")).as("v"))
       // an hour whose only events carry null values has no usable
