@@ -306,7 +306,8 @@ object SparkEntry {
     // Perceptual (average-hash) payload signature — integer-exact
     // mean-threshold bits, full DuckDB oracle (m6's positional style)
     "m7_media_phash"        -> (Multimodal.mediaPHash(_, _)),
-    // Near-duplicate payloads by aHash hamming radius (d5's banded join)
+    // Near-duplicate payloads by aHash hamming radius, via the lossless
+    // multi-probe pigeonhole join (radius 12; all-pairs DuckDB oracle)
     "m8_media_phash_pairs"  -> (Multimodal.mediaPHashPairs(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
