@@ -869,11 +869,19 @@ object Dedup {
     * (explode → equi-join → verify) is unchanged. No all-pairs join
     * ever materializes.
     */
-  private[graft] def hammingPairsMultiProbe(sigs: DataFrame,
+  private[graft] def hammingPairsMultiProbe(sigs0: DataFrame,
       sigCol: String, maxHamming: Int, bits: Int = 60): DataFrame = {
     val b = (maxHamming + 2) / 2                    // ceil((r+1)/2)
     val widths = Array.tabulate(b)(k => bits / b + (if (k < bits % b) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // cache the signature relation: the index and probe sides are
+    // DIFFERENT projections of it (unlike hammingPairs' identical self
+    // sides), so nothing below them is exchange-reusable and the whole
+    // upstream signature computation would otherwise run twice —
+    // measured 8 parquet scans in m8's uncached plan. One (doc_id, sig)
+    // row per doc; Bench/Verify clearCache per query (the d2 shingle-
+    // table convention).
+    val sigs = sigs0.select(col("doc_id"), col(sigCol)).cache()
     def bandKey(k: Int): Column =
       shiftright(col(sigCol), offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1))
     val idx = sigs.select(col("doc_id"), col(sigCol).as("sig"),
