@@ -871,10 +871,14 @@ object TextAnalysis {
     */
   def vocabOov(s: SparkSession, dir: String,
       vocabSize: Int = 512): DataFrame = {
+    // cached: the token stream feeds both the vocab aggregate and the
+    // membership join — without it the scan+tokenize runs twice (the
+    // t20 dsirWeights convention; Bench/Verify clearCache per query)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .transform(graft.Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .cache()
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("t"))
       .limit(vocabSize)
@@ -904,12 +908,14 @@ object TextAnalysis {
     */
   def encode(s: SparkSession, dir: String,
       vocabSize: Int = 512): DataFrame = {
+    // cached for the same two-consumer reason as t22's token stream
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .transform(graft.Tables.spread(_, col("doc_id")))
       .select(col("doc_id"), posexplode(tokens(col("text"))))
       .select(col("doc_id"), col("pos").cast("int").as("pos"),
         col("col").as("t"))
+      .cache()
     val wAll = Window.orderBy(col("cnt").desc, col("t"))
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("t"))
