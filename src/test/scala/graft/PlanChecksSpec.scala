@@ -154,4 +154,32 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(PlanChecks.hasWindowGroupLimit(
       graft.operators.CorpusOps.domainCap(spark, sfDir)))
   }
+
+  test("r12 ops plan the shapes their scaladocs promise") {
+    import graft.operators.{TextAnalysis, TimeSeries}
+    // t21: shuffle-free scan — the only exchange is the presentation sort
+    assert(PlanChecks.exchangeCount(TextAnalysis.chunk(spark, sfDir)) <= 1)
+    // t22/t23: the vocab is a TakeOrdered top-k that BROADCASTS onto the
+    // membership join — never a shuffle join against the token stream
+    for (df <- Seq(TextAnalysis.vocabOov(spark, sfDir),
+        TextAnalysis.encode(spark, sfDir))) {
+      assert(PlanChecks.hasTakeOrdered(df))
+      val (bhj, smj, shj, bnl) = PlanChecks.joinCounts(df)
+      assert(bhj >= 1 && smj + shj === 0 && bnl === 0)
+      spark.catalog.clearCache()
+    }
+    // q61/q62: the hourly aggregate + one per-user pass + presentation
+    // sort — three exchanges, nothing quadratic, no joins at all
+    for (df <- Seq(TimeSeries.ewma(spark, sfDir),
+        TimeSeries.anomalies(spark, sfDir))) {
+      assert(PlanChecks.exchangeCount(df) <= 3)
+      val (bhj, smj, shj, bnl) = PlanChecks.joinCounts(df)
+      assert(bhj + smj + shj + bnl === 0)
+    }
+    // m8: banded equi-join candidates, never nested-loop/cartesian
+    val m8 = graft.operators.Multimodal.mediaPHashPairs(spark, sfDir)
+    val (_, _, _, m8bnl) = PlanChecks.joinCounts(m8)
+    assert(m8bnl === 0)
+    spark.catalog.clearCache()
+  }
 }
