@@ -80,6 +80,29 @@ object IndexStore {
       p("nCells").toInt, p("dim").toInt)
   }
 
+  /** Incremental maintenance of a persisted IVF index: assign NEW
+    * vectors to the EXISTING centroids and append the assigned rows to
+    * the persisted corpus relation — the production shape, where the
+    * coarse quantizer is trained once and held fixed between full
+    * rebuilds and a daily increment only appends. Assignment runs
+    * through [[Similarity.assignToCells]], the same expression the
+    * build path uses, so the appended index answers queries exactly
+    * like an index whose corpus had contained the new vectors at save
+    * time (IndexStoreSpec proves the equality). Centroid drift is the
+    * caller's rebuild policy — this call never retrains.
+    *
+    * `newVectors`: a (vec_id, embedding) relation. The ids are the
+    * caller's responsibility to keep disjoint from the stored corpus
+    * (re-appending an id does not replace the old row).
+    */
+  def appendIvf(s: SparkSession, path: String,
+      newVectors: DataFrame): Unit = {
+    val ix = loadIvf(s, path)
+    require(ix.centroids.nonEmpty, s"index at $path has no centroids")
+    Similarity.assignToCells(ix.centroids, newVectors)
+      .write.mode("append").parquet(s"$path/corpus")
+  }
+
   // ── LSH ───────────────────────────────────────────────────────────────
 
   def saveLsh(index: LshIndex, path: String): Unit = {

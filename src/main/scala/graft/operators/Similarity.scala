@@ -415,17 +415,26 @@ object Similarity {
     // can then run the hot cosine as one dot + a plain IEEE divide with
     // a provably nonzero divisor (the s4/d6 lesson: any per-pair guard
     // or re-derived norm costs measurably on the candidate join).
-    val corpus = e
-      .withColumn("dists", centroidDists(centroids, col("embedding")))
+    val corpus = assignToCells(centroids, e).localCheckpoint(true)
+    IvfIndex(centroids, corpus, nCells, dim)
+  }
+
+  /** Deterministic cell assignment of a (vec_id, embedding) relation
+    * under FIXED centroids — the build-time corpus step, shared with
+    * [[IndexStore.appendIvf]]'s incremental maintenance so an appended
+    * increment gets the byte-identical assignment a full rebuild under
+    * the same centroids would give it. Zero-norm/invalid vectors are
+    * dropped here (they produced only null cosines downstream).
+    */
+  private[graft] def assignToCells(centroids: Array[Array[Double]],
+      e: DataFrame): DataFrame =
+    e.withColumn("dists", centroidDists(centroids, col("embedding")))
       .withColumn("cell",
         expr("array_position(dists, array_min(dists))").cast("int"))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("cell"),
         l2norm(col("embedding")).as("n_nrm"))
       .filter(col("n_nrm") > 0.0)
-      .localCheckpoint(true)
-    IvfIndex(centroids, corpus, nCells, dim)
-  }
 
   /** squared-L2 distance to each centroid, as literal-array dots:
     * |x-c|^2 = |x|^2 - 2<x,c> + |c|^2 ; monotone equivalent for fixed x

@@ -77,6 +77,36 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("family"))
   }
 
+  test("appendIvf: incremental append equals a same-centroid full assignment") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val half = all.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = all.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+    // build + save on half the corpus, then append the other half
+    val built = Similarity.buildIvfIndexFrom(half)
+    val path = tmp("ivf-append")
+    IndexStore.saveIvf(built, path)
+    IndexStore.appendIvf(spark, path, rest)
+    val loaded = IndexStore.loadIvf(spark, path)
+    // the appended corpus equals a full assignment under the SAME
+    // centroids (fixed-quantizer contract: append == rebuild-sans-retrain)
+    val want = rows(Similarity.assignToCells(built.centroids, all)
+      .orderBy("neighbor_id"))
+    assert(rows(loaded.corpus.orderBy("neighbor_id")) === want)
+    // and the loaded index answers queries over the merged corpus
+    val queries = loaded.corpus
+      .filter(col("neighbor_id") < 5)
+      .selectExpr("neighbor_id AS query_id", "n_emb AS q_emb",
+        "n_nrm AS q_nrm")
+    val got = rows(Similarity.ivfQuery(loaded, queries))
+    val ref = rows(Similarity.ivfQuery(
+      Similarity.IvfIndex(built.centroids,
+        Similarity.assignToCells(built.centroids, all),
+        built.nCells, built.dim), queries))
+    assert(got === ref)
+  }
+
   test("s14: persisted-index query equals the in-session s3 query") {
     val s3 = rows(Similarity.ivfTopK(spark, sfDir))
     val s14 = rows(IndexStore.ivfPersistedTopK(spark, sfDir))
