@@ -164,6 +164,13 @@ object SparkEntry {
     // Rolling z-score anomalies from explicit frame sums (no built-in
     // stddev — engines' internal algorithms differ in the last ulps)
     "q62_anomaly"          -> (TimeSeries.anomalies(_, _)),
+    // Weekly cohort retention: DISTINCT (user, week) collapse first,
+    // then a window-min cohort assignment — no countDistinct expansion
+    "q63_retention"        -> (Behavior.retention(_, _)),
+    // Ordered view→click→purchase funnel: three-level conditional-min
+    // chain, identical relational shape on both engines (tie-rule by
+    // shape, not by sort order)
+    "q64_funnel"           -> (Behavior.funnel(_, _)),
     // TPC-H Q2 shape: argmax supplier over the derived part↔supplier
     // junction, region-pruned, heap-k presentation
     "q59_best_supplier"    -> (RelationalQueries3.bestSupplierPerPart(_, _)),
@@ -834,6 +841,41 @@ object SparkEntry {
         |SELECT user_id, hour, v AS value, (v - mean) / sd AS zscore
         |FROM sd WHERE sd > 0 AND abs((v - mean) / sd) > 3
         |ORDER BY user_id, hour""".stripMargin,
+
+    // q63: same DISTINCT-first collapse and week arithmetic; both
+    // engines truncate weeks to Monday, so the day difference is an
+    // exact multiple of 7 (`//` in DuckDB, exact double div in Spark)
+    "q63_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |wc AS (SELECT user_id, w,
+        |    min(w) OVER (PARTITION BY user_id) AS cw
+        |  FROM uw)
+        |SELECT cw AS cohort_week,
+        |  CAST(date_diff('day', cw, w) // 7 AS INT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM wc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q64: the identical three-level conditional-min chain as the
+    // Spark side — step k is min(ts) at-or-after step k-1's pick, so
+    // equal-timestamp ties resolve the same way on both engines
+    "q64_funnel" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM ev e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+        |ORDER BY step""".stripMargin,
 
     "q59_best_supplier" ->
       """WITH junction AS (SELECT DISTINCT l_partkey, l_suppkey, p_name

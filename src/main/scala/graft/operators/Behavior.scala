@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** User-behavior analytics over the `events` feed — the product-facing
+  * rung next to TimeSeries' monitoring rung: cohort retention (how many
+  * of the users first seen in week W are still active k weeks later)
+  * and the ordered conversion funnel (how many users progress through
+  * view → click → purchase IN ORDER). Both are exact, engine-identical
+  * relational shapes, so they carry full DuckDB oracles.
+  */
+object Behavior {
+
+  /** q63 — weekly cohort retention. A user's cohort is the Monday-start
+    * week (`date_trunc('week', …)` — Monday in both Spark and DuckDB)
+    * of their first event; for every (cohort_week, week_offset) cell we
+    * count the cohort's users active in that week. `week_offset` is
+    * exact integer arithmetic: both timestamps are week-truncated, so
+    * the day difference is a multiple of 7 on any engine.
+    *
+    * Scale posture: the FIRST move collapses raw events to DISTINCT
+    * (user, week) — at 100 TB of events that is the only relation the
+    * rest of the query touches (|users| × |active weeks| rows, ~10⁴×
+    * smaller). Then one user-partitioned window min assigns cohorts
+    * (no self-join), and the final cell count is a plain aggregate —
+    * no countDistinct expansion, because distinctness was already
+    * established. Three bounded shuffles total, the last two over the
+    * collapsed relation.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      // null user/ts rows belong to no cohort — same up-front filter
+      // as TimeSeries.hourlyMeans
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    uw.withColumn("cw", min(col("w")).over(Window.partitionBy(col("user_id"))))
+      // datediff casts the week-truncated timestamps to DATE (session
+      // TZ is pinned UTC, both are midnight Monday): exact multiple of
+      // 7, so the double division below is exact before the int cast
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("w"), col("cw")) / lit(7)).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** q64 — ordered conversion funnel: users whose first `view` is
+    * followed (>=, microsecond timestamps) by a `click`, whose first
+    * such click is followed by a `purchase`. Step k's population is
+    * always a subset of step k−1's. The tie rule is pinned by SHAPE,
+    * not by sort order: each step is `min(ts)` over events at-or-after
+    * the previous step's pick — the identical three-level conditional-
+    * min chain is written in the DuckDB oracle, so no engine-specific
+    * ordering of equal timestamps can diverge (both compare the same
+    * microsecond values with the same `>=`).
+    *
+    * Scale posture: one pass over events per step, each probe side
+    * filtered to ONE event type before its join, each join and
+    * aggregate keyed on user_id (co-partitioned — AQE reuses the
+    * exchange), and the step relations are one row per surviving user.
+    * No window over raw events, no collect, no per-user array.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
+
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+
+    def stepCount(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+
+    stepCount(1, "view", v)
+      .unionAll(stepCount(2, "click", c))
+      .unionAll(stepCount(3, "purchase", p))
+      .orderBy(col("step"))
+  }
+}
