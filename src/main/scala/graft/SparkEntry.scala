@@ -356,6 +356,10 @@ object SparkEntry {
     // -> load -> query): exact equality with s3 gated in IndexStoreSpec;
     // rows-only in the driver gate for the same reason as s3
     "s14_ivf_persisted_topk" -> (IndexStore.ivfPersistedTopK(_, _)),
+    // MMR diversified re-rank of the exact top-nCand shortlist:
+    // deterministic greedy over distributed-computed cosines -> full
+    // unrolled-CTE oracle (shortlist-side dual of d17's drop rule)
+    "s15_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -2046,6 +2050,15 @@ object SparkEntry {
     // the s1-proven list_cosine_similarity-on-DOUBLE[] equivalence.
     "s12_kcenter_coreset" -> kcenterOracle(8),
 
+    // s15: the identical greedy unrolled as k chained CTEs — each c_r
+    // carries the incrementally-greatest'ed max-sim to the selected
+    // set, each p_r is an ORDER BY λ·cos − (1−λ)·ms DESC, nid LIMIT 1
+    // (the driver greedy's exact comparison, with the λ/(1−λ)
+    // coefficient literals rendered from the SAME Scala doubles so
+    // 1−0.7's binary rounding is shared, not re-derived). Cosines via
+    // the s1-proven list_cosine_similarity-on-DOUBLE[] equivalence.
+    "s15_mmr_rerank" -> mmrOracle(5, 20, 3, 0.7),
+
     // t15: per-term BM25 contributions summed in FIXED query-term order
     // (table, scan, join) on BOTH engines — see bm25Rank's determinism
     // note; all constant arithmetic is written with the same literal
@@ -2431,6 +2444,47 @@ object SparkEntry {
     * (ties to the smaller id, DuckDB's NULLS-LAST DESC mirroring the
     * Spark side's null-mind exclusion).
     */
+  private def mmrOracle(k: Int, nCand: Int, nQueries: Int,
+      lambda: Double): String = {
+    // coefficient literals rendered from the driver's doubles:
+    // (1.0 - 0.7).toString = "0.30000000000000004" parses back to the
+    // identical IEEE value in DuckDB — writing "0.3" instead would
+    // compare against a DIFFERENT double than the Spark-side greedy
+    val lam = lambda.toString
+    val mu = (1.0 - lambda).toString
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $nQueries),
+      |scored AS (SELECT q.query_id, c.vec_id AS nid,
+      |    list_cosine_similarity(q.q_emb, c.emb) AS cos, c.emb AS emb
+      |  FROM e c JOIN q ON q.query_id <> c.vec_id),
+      |cand AS (SELECT query_id, nid, cos, emb FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, nid) AS rn
+      |    FROM scored WHERE cos IS NOT NULL) WHERE rn <= $nCand),
+      |p1 AS (SELECT query_id, nid, cos, emb, $lam * cos AS mmr FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY $lam * cos DESC, nid) AS rn FROM cand) WHERE rn = 1)""".stripMargin
+    for (r <- 2 to k) {
+      val prevC = if (r == 2) "cand" else s"c${r - 2}"
+      val msExpr = if (r == 2) "list_cosine_similarity(c.emb, p.emb)"
+        else "greatest(c.ms, list_cosine_similarity(c.emb, p.emb))"
+      sb ++= s""",
+        |c${r - 1} AS (SELECT c.query_id, c.nid, c.cos, c.emb, $msExpr AS ms
+        |  FROM $prevC c JOIN p${r - 1} p USING (query_id) WHERE c.nid <> p.nid),
+        |p$r AS (SELECT query_id, nid, cos, emb, mmr FROM (
+        |    SELECT query_id, nid, cos, emb, $lam * cos - $mu * ms AS mmr,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY $lam * cos - $mu * ms DESC, nid) AS rn
+        |    FROM c${r - 1}) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= "\nSELECT query_id, 1 AS rank, nid AS neighbor_id, cos, mmr FROM p1"
+    for (r <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT query_id, $r, nid, cos, mmr FROM p$r"
+    sb ++= "\nORDER BY query_id, rank"
+    sb.toString
+  }
+
   private def kcenterOracle(k: Int): String = {
     // seed mirrors kcenterCoreset's validity filter (non-null, nonzero
     // norm); the unrolled CTE cannot express the Spark side's

@@ -1130,4 +1130,100 @@ object Similarity {
     selected.toSeq.toDF("rank", "vec_id", "mind")
       .orderBy(col("rank"))
   }
+
+  /** s15 — Maximal Marginal Relevance re-ranking (Carbonell &
+    * Goldstein 1998, "The use of MMR, diversity-based reranking for
+    * reordering documents and producing summaries" — public): diversify
+    * a retrieval shortlist. Per query, take the `nCand` highest-cosine
+    * candidates (s1's exact pass), then greedily select `k`:
+    * rank 1 = the most relevant; each later pick maximizes
+    * λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s), ties to the smaller
+    * id. RAG retrieval and training-batch curation both use this to
+    * stop a shortlist collapsing onto one near-duplicate cluster —
+    * it is the shortlist-side dual of d17's SemDeDup drop rule.
+    *
+    * Every cosine — query relevance AND candidate-pair similarity — is
+    * computed by the same codegen'd sequential-double expression the
+    * corpus passes use, DISTRIBUTED, before a bounded collect of the
+    * shortlist scalars (nQueries·nCand cos values + nQueries·nCand²
+    * pair sims — user constants, the same bounded-collect contract as
+    * s12's k·dim centers). The driver then runs only the greedy
+    * argmax over those collected doubles with literal λ coefficients;
+    * the DuckDB oracle unrolls the identical greedy as k chained CTEs
+    * with an incrementally-`greatest`ed max-sim column, so both
+    * engines fold the same IEEE values through the same comparisons.
+    * (Selection could flip only if two MMR scores tie within the
+    * cross-engine cosine ulp — the q62 threshold-straddle class,
+    * vanishing on continuous embeddings.)
+    *
+    * Scale posture: one broadcast-query corpus pass with a
+    * WindowGroupLimit top-nCand (no corpus sort), then an
+    * nCand×nCand pair join per query on relations of constant size.
+    * The O(k·nCand) greedy is inherently sequential — running it on
+    * the driver over collected scalars is the same call made for s12;
+    * nothing corpus-sized ever leaves the executors.
+    */
+  def mmrRerank(s: SparkSession, dir: String, k: Int = 5,
+      nCand: Int = 20, nQueries: Int = 3, lambda: Double = 0.7): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .transform(Tables.spread(_, col("vec_id")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cand = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      // null cos = zero/null vector, undefined relevance — same
+      // exclusion as s1
+      .filter(col("cos").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= nCand)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"),
+        col("embedding"))
+      .cache()
+    // pairwise sims INSIDE each query's shortlist (constant-size join)
+    val a = cand.select(col("query_id"), col("cand_id").as("i"),
+      col("embedding").as("ea"))
+    val b = cand.select(col("query_id"), col("cand_id").as("j"),
+      col("embedding").as("eb"))
+    val pairRows = a.join(b, "query_id").filter(col("i") =!= col("j"))
+      .select(col("query_id"), col("i"), col("j"),
+        cosine(col("ea"), col("eb")).as("sim"))
+      .collect()
+    val candRows = cand.select(col("query_id"), col("cand_id"), col("cos"))
+      .collect()
+    cand.unpersist()
+
+    val sim = pairRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val out = candRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        val cosOf = cs.map(c => c._2 -> c._3).toMap
+        var remaining = cs.map(_._2).toSet
+        var ms = Map.empty[Long, Double] // running max-sim to selected
+        val picks =
+          scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double, Double)]()
+        var r = 1
+        while (r <= k && remaining.nonEmpty) {
+          // empty-selected-set max-sim is 0.0 by MMR convention, so the
+          // rank-1 score is λ·cos and rank 1 = argmax cos (λ > 0)
+          val (pid, pscore) = remaining.toSeq
+            .map(id => (id, lambda * cosOf(id) -
+              (1.0 - lambda) * ms.getOrElse(id, 0.0)))
+            .minBy { case (id, sc) => (-sc, id) }
+          picks += ((qid, r, pid, cosOf(pid), pscore))
+          remaining -= pid
+          remaining.foreach { id =>
+            val v = sim((qid, id, pid))
+            ms = ms.updated(id,
+              math.max(ms.getOrElse(id, Double.NegativeInfinity), v))
+          }
+          r += 1
+        }
+        picks
+      }
+    import s.implicits._
+    out.sortBy(t => (t._1, t._2))
+      .toDF("query_id", "rank", "neighbor_id", "cos", "mmr")
+  }
 }

@@ -796,4 +796,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // term with positive idf unless nothing else exists
     assert(t6.filter(col("tfidf") < 0).count() === 0)
   }
+
+  test("s15 MMR: rank 1 = exact top-1, picks from the shortlist, scores non-increasing") {
+    import org.apache.spark.sql.functions._
+    val k = 5; val nCand = 20; val nQ = 3
+    val mmr = graft.operators.Similarity
+      .mmrRerank(spark, sfDir, k, nCand, nQ).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(spark, sfDir, k = nCand, nQueries = nQ).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, picks) =>
+      val sorted = picks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to k), s"query $q ranks")
+      // rank 1 is pure relevance: must equal the brute-force top-1
+      val top1 = brute.filter(b => b._1 == q && b._2 == 1).head
+      assert(sorted.head._3 === top1._3, s"query $q rank-1 pick")
+      assert(sorted.head._4 === top1._4, s"query $q rank-1 cos")
+      // every pick comes from the top-nCand shortlist
+      val shortlist = brute.filter(_._1 == q).map(_._3).toSet
+      sorted.foreach(p => assert(shortlist.contains(p._3),
+        s"query $q pick ${p._3} outside shortlist"))
+      // the greedy objective is monotone: ms only grows as the
+      // selected set grows, so each round's max score cannot rise
+      sorted.map(_._5).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a, s"query $q mmr scores rose: $a -> $b")
+        case _ => ()
+      }
+      // no pick repeats
+      assert(sorted.map(_._3).distinct.length === k, s"query $q dup pick")
+    }
+  }
 }

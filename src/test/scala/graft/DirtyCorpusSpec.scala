@@ -106,7 +106,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
         "s5_centroids", "s6_kmeans_assign", "s7_kmeans_iter",
         "s8_quantize_int8", "s9_dequantized_topk", "s10_pq_topk",
         "s11_radius_search", "s12_kcenter_coreset", "s13_ivfpq_topk",
-        "s14_ivf_persisted_topk",
+        "s14_ivf_persisted_topk", "s15_mmr_rerank",
         "d6_embedding_dedup", "d13_embedding_clusters", "d17_semantic_dedup")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
