@@ -605,6 +605,119 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(aIds.contains(1L) && aIds.contains(2L), s"a admitted: $aIds")
     assert(bySrc("b").map(_.getLong(0)).toSet === Set(10L, 11L, 12L))
   }
+
+  test("streaming funnel equals batch q64's chain over the closed prefix") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "funnel").toString
+      Tables.events(spark, sfDir).orderBy("ts").coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sfDir).schema).parquet(d)
+      val out = graft.streaming.FunnelStream.funnelStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("funnel_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3)))).toMap
+      assert(got.nonEmpty)
+
+      // driver reference: the conditional-min chain over events CLOSED
+      // by the final watermark (ts below max event time − 30 min)
+      val maxTsMs = Tables.events(spark, sfDir)
+        .agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val wm = maxTsMs - 30 * 60000L
+      val closed = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin("view", "click", "purchase"))
+        .filter(unix_millis(col("ts")) < wm)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val want = closed.groupBy(_._1).flatMap { case (u, es) =>
+        val vOpt = es.filter(_._2 == "view").map(_._3)
+          .minOption
+        val cOpt = vOpt.flatMap(v =>
+          es.filter(e => e._2 == "click" && e._3 >= v).map(_._3).minOption)
+        val pOpt = cOpt.flatMap(c =>
+          es.filter(e => e._2 == "purchase" && e._3 >= c).map(_._3).minOption)
+        vOpt.map(v => (u, 1) -> (("view", v))).toSeq ++
+          cOpt.map(c => (u, 2) -> (("click", c))).toSeq ++
+          pOpt.map(p => (u, 3) -> (("purchase", p))).toSeq
+      }
+      assert(got === want)
+      // the funnel narrows: per-user step sets are prefixes of 1..3
+      got.keys.groupBy(_._1).foreach { case (u, ks) =>
+        val steps = ks.map(_._2).toSeq.sorted
+        assert(steps === (1 to steps.length), s"user $u steps $steps")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
+  test("streaming funnel: late rows drop, completed users ignore further input") {
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "funnel-ooo").toString
+      val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+      def us(min: Long) = (t0 + min * 60000L) * 1000L
+      // f1: view@10, click@40 for u1; u2's view@100 pushes wm to 70
+      val f1 = Seq((1L, ts(10), "view"), (1L, ts(40), "click"),
+        (2L, ts(100), "view"))
+      // f2: purchase@60 is LATE (wm 70) → dropped; purchase@80 counts;
+      // u2@200 pushes wm to 170 so the purchase closes
+      val f2 = Seq((1L, ts(60), "purchase"), (1L, ts(80), "purchase"),
+        (2L, ts(200), "click"))
+      // f3: u1 converted — further events must be ignored
+      val f3 = Seq((1L, ts(90), "purchase"), (1L, ts(95), "view"),
+        (2L, ts(300), "purchase"))
+      Seq(f1, f2, f3).foreach { rows =>
+        rows.toDF("user_id", "ts", "event_type").coalesce(1)
+          .write.mode("append").parquet(d)
+        Thread.sleep(1100)
+      }
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+      val out = graft.streaming.FunnelStream.funnelStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("funnel_ooo").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val u1 = spark.table("funnel_ooo").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => r.getInt(1) -> r.getLong(3)).toMap
+      // late purchase@60 excluded; the chain closes on purchase@80;
+      // the f3 purchase@90 / view@95 never re-emit or rewrite
+      assert(u1 === Map(1 -> us(10), 2 -> us(40), 3 -> us(80)), s"got $u1")
+      val u2 = spark.table("funnel_ooo").collect()
+        .filter(_.getLong(0) == 2L)
+        .map(r => r.getInt(1) -> r.getLong(3)).toMap
+      // u2: view@100 closed by wm 170 after f2; click@200 and the
+      // final purchase@300 sit above the last watermark (270) → only
+      // step 1 is final... except click@200 closes when f3's
+      // purchase@300 advances wm to 270. purchase@300 itself never
+      // closes.
+      assert(u2 === Map(1 -> us(100), 2 -> us(200)), s"got $u2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
 }
 
 /** Top-level (not an inner/anonymous class: a processor ships to
