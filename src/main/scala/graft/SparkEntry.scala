@@ -171,6 +171,9 @@ object SparkEntry {
     // chain, identical relational shape on both engines (tie-rule by
     // shape, not by sort order)
     "q64_funnel"           -> (Behavior.funnel(_, _)),
+    // Conversion lag over q64's chain: integer-microsecond sums (exact
+    // regardless of merge order), one presentation divide
+    "q65_conversion_lag"   -> (Behavior.conversionLag(_, _)),
     // TPC-H Q2 shape: argmax supplier over the derived part↔supplier
     // junction, region-pruned, heap-k presentation
     "q59_best_supplier"    -> (RelationalQueries3.bestSupplierPerPart(_, _)),
@@ -243,6 +246,9 @@ object SparkEntry {
     // Token-ID encoding against the deterministic top-k vocab (the
     // training encode step), flattened to (doc_id, pos, token_id)
     "t23_encode" -> (TextAnalysis.encode(_, _)),
+    // Per-doc shingle novelty vs everything ingested before it (window
+    // min over the hashed shingle — one shuffle, no self-join)
+    "t24_novelty" -> (TextAnalysis.noveltyScores(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -310,6 +316,9 @@ object SparkEntry {
     // Incremental ingest: dedup the incoming batch against itself,
     // then anti-join the existing corpus's fingerprints
     "d23_cross_dedup"       -> (Dedup.crossDedup(_, _)),
+    // Output shard manifest: deterministic hash sharding + per-shard
+    // doc/byte totals (the write-side planning step)
+    "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
     // Perceptual (average-hash) payload signature — integer-exact
     // mean-threshold bits, full DuckDB oracle (m6's positional style)
     "m7_media_phash"        -> (Multimodal.mediaPHash(_, _)),
@@ -881,6 +890,30 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p
         |ORDER BY step""".stripMargin,
 
+    // q65: q64's chain verbatim, then integer-microsecond lags (the
+    // sum is exact — no merge-order drift to guard against) and one
+    // presentation divide in the same literal order as the Spark side
+    "q65_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM ev e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1),
+        |lag AS (SELECT date_diff('microseconds', v.v_ts, p.p_ts) AS lag_us
+        |  FROM v JOIN p USING (user_id))
+        |SELECT count(*) AS n_converted,
+        |  CAST(sum(lag_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000.0 AS mean_lag_sec,
+        |  CAST(min(lag_us) AS DOUBLE) / 1000000.0 AS min_lag_sec,
+        |  CAST(max(lag_us) AS DOUBLE) / 1000000.0 AS max_lag_sec
+        |FROM lag""".stripMargin,
+
     "q59_best_supplier" ->
       """WITH junction AS (SELECT DISTINCT l_partkey, l_suppkey, p_name
         |  FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1191,6 +1224,23 @@ object SparkEntry {
         |  CAST(coalesce(v.token_id, 512) AS INT) AS token_id
         |FROM toks k LEFT JOIN vocab v ON k.t = v.t
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // t24: the d2-standard shingle sets, hashed with the SAME md5
+    // 60-bit rule as the Spark side (so even a hash collision cannot
+    // diverge the engines), first-occurrence via a window min
+    "t24_novelty" ->
+      s"""$shingleSets,
+        |ex AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(unnest(t)), 1, 15) AS BIGINT) AS g
+        |  FROM sz),
+        |fd AS (SELECT doc_id, g,
+        |    min(doc_id) OVER (PARTITION BY g) AS first_doc FROM ex)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
     // the DuckDB mirror is bit-identical by construction — the same
@@ -1745,6 +1795,19 @@ object SparkEntry {
         |SELECT doc_id, fp FROM inc
         |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = inc.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    // d24: the d19 hash rule ('0x' + 15 md5 hex chars → 60-bit
+    // nonnegative BIGINT, so plain % equals pmod) on the salted doc
+    // key, then per-shard totals
+    "d24_shard_manifest" ->
+      """WITH h AS (SELECT
+        |    CAST(CAST('0x' || substr(md5('shard_' || doc_id), 1, 15)
+        |      AS BIGINT) % 64 AS INT) AS shard_id,
+        |    n_chars
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM h GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "d20_domain_cap" ->
       """SELECT doc_id, source, rk FROM (

@@ -65,6 +65,26 @@ object Behavior {
     * No window over raw events, no collect, no per-user array.
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
+    val (v, c, p) = funnelChain(s, dir)
+
+    def stepCount(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+
+    stepCount(1, "view", v)
+      .unionAll(stepCount(2, "click", c))
+      .unionAll(stepCount(3, "purchase", p))
+      .orderBy(col("step"))
+  }
+
+  /** The shared conditional-min chain: per-user first view, first
+    * click at-or-after it, first purchase at-or-after that. Used
+    * verbatim by q64 (counts) and q65 (lag stats) so the two can
+    * never disagree on who converted.
+    */
+  private def funnelChain(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ev = Tables.events(s, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_type"))
@@ -79,15 +99,29 @@ object Behavior {
       .join(c, "user_id")
       .filter(col("ts") >= col("c_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    (v, c, p)
+  }
 
-    def stepCount(ord: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(ord).as("step"), lit(name).as("event_type"),
-          col("n_users"))
-
-    stepCount(1, "view", v)
-      .unionAll(stepCount(2, "click", c))
-      .unionAll(stepCount(3, "purchase", p))
-      .orderBy(col("step"))
+  /** q65 — conversion lag: how long the full view→…→purchase journey
+    * takes for converted users. The lag is an exact INTEGER number of
+    * microseconds (timestamp difference — no float until the final
+    * presentation divide), so the sum is engine-exact regardless of
+    * partial-aggregation merge order — the q58 double-sum-drift class
+    * avoided by construction rather than by a decimal cast. The mean
+    * divides once, in the same literal order on both engines.
+    *
+    * Scale posture: q64's chain plus one user-keyed join of two
+    * one-row-per-user relations and a single-row global aggregate.
+    */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val (v, _, p) = funnelChain(s, dir)
+    v.join(p, "user_id")
+      .select((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+        .as("lag_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        (sum(col("lag_us")).cast("double") / count(lit(1)).cast("double")
+          / lit(1000000.0)).as("mean_lag_sec"),
+        (min(col("lag_us")).cast("double") / lit(1000000.0)).as("min_lag_sec"),
+        (max(col("lag_us")).cast("double") / lit(1000000.0)).as("max_lag_sec"))
   }
 }

@@ -563,4 +563,30 @@ object CorpusOps {
         (lit(1.0) / col("cluster_size")).as("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** d24 — output shard manifest: the write-side planning step of a
+    * 100 TB corpus build. Docs are assigned to `nShards` output shards
+    * by the engine-standard salted 60-bit hash of the doc key (d19's
+    * rule — deterministic, reproducible, no RNG, co-located with
+    * nothing so the write stage is embarrassingly parallel), and the
+    * manifest reports each shard's document count and byte volume —
+    * what a writer needs to size output files and what an auditor
+    * checks for balance before committing a layout. Hash sharding's
+    * balance guarantee is statistical; the spec pins it on this corpus
+    * (max/mean bounded), and a skewed manifest is exactly the signal
+    * that the shard key must change BEFORE a petabyte lands on disk.
+    *
+    * Scale posture: one projection + one `nShards`-key aggregate —
+    * map-side combine reduces each partition to at most `nShards`
+    * rows before the single bounded shuffle.
+    */
+  def shardManifest(s: SparkSession, dir: String,
+      nShards: Int = 64): DataFrame =
+    Tables.documents(s, dir)
+      .select(pmod(hash64(concat(lit("shard_"), col("doc_id").cast("string"))),
+        lit(nShards.toLong)).cast("int").as("shard_id"),
+        col("n_chars"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("shard_id"))
 }

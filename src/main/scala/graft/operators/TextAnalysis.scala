@@ -929,4 +929,35 @@ object TextAnalysis {
         coalesce(col("token_id"), lit(vocabSize)).as("token_id"))
       .orderBy(col("doc_id"), col("pos"))
   }
+
+  /** t24 — per-document n-gram NOVELTY against everything ingested
+    * before it (doc_id order = ingest order): the fraction of a doc's
+    * distinct word-3-gram shingles whose FIRST occurrence in the
+    * corpus is this doc. The dedup-aware mixing signal (SemDeDup /
+    * D4-style data-diet curation scores docs by how much genuinely new
+    * content they add, not just whether they are near-duplicates) —
+    * d2/d8 find pairs, t24 scores each doc's marginal contribution.
+    *
+    * Shingles ride the corpus-standard 60-bit md5 hash (d2's argument:
+    * primitive shuffle keys, identity preserved at ~1e-10 collision
+    * odds — and the oracle hashes the SAME way, so even a collision
+    * cannot diverge the engines). first-occurrence is a window min
+    * over the shingle partition — ONE shuffle on the hashed shingle,
+    * no self-join — then one doc-keyed aggregate. Docs with no
+    * shingles (< 3 tokens) have no novelty to measure and are absent,
+    * matching the oracle's len(t) > 0 guard.
+    */
+  def noveltyScores(s: SparkSession, dir: String): DataFrame = {
+    val ex = Dedup.docShingles(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    ex.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -797,6 +797,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(t6.filter(col("tfidf") < 0).count() === 0)
   }
 
+  test("d24 shard manifest covers the corpus exactly, deterministically, without gross skew") {
+    import org.apache.spark.sql.functions._
+    val m = graft.operators.CorpusOps.shardManifest(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val totChars = Tables.documents(spark, sfDir)
+      .agg(sum("n_chars")).head().getLong(0)
+    // exact partition of the corpus: every doc in exactly one shard
+    assert(m.map(_._2).sum === nDocs)
+    assert(m.map(_._3).sum === totChars)
+    assert(m.forall(s => s._1 >= 0 && s._1 < 64))
+    assert(m.map(_._1).distinct.length === m.length)
+    // deterministic: a re-run yields the identical manifest
+    val again = graft.operators.CorpusOps.shardManifest(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq === again.toSeq)
+    // hash balance (loose at 50 docs / 64 shards: birthday-scale
+    // collisions only — no shard should swallow a fifth of the corpus)
+    assert(m.map(_._2).max <= math.max(5L, nDocs / 5))
+  }
+
   test("s15 MMR: rank 1 = exact top-1, picks from the shortlist, scores non-increasing") {
     import org.apache.spark.sql.functions._
     val k = 5; val nCand = 20; val nQ = 3

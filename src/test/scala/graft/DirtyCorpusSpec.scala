@@ -80,7 +80,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d11_decontaminate", "d12_curate", "d14_decontaminate_bloom",
     "d15_ngram_spans", "d16_ngram_span_removal", "d18_quality_dedup",
     "d19_split_assign", "d20_domain_cap", "d21_soft_dedup",
-    "d22_curation_pipeline", "d23_cross_dedup",
+    "d22_curation_pipeline", "d23_cross_dedup", "d24_shard_manifest",
+    "t24_novelty",
     "t19_ccnet_buckets", "t20_dsir_weights",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
@@ -123,6 +124,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
         "w4_first_event", "w5_funnel_join", "w6_window_topk",
         "w7_click_attribution", "w8_window_uniques", "q60_gap_fill",
         "q61_ewma", "q62_anomaly", "q63_retention", "q64_funnel",
+        "q65_conversion_lag",
         "events_speed_faithful", "events_speed_weighted")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()

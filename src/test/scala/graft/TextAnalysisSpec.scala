@@ -409,4 +409,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rows.count(_._3 == vocabSize) === oov(doc), s"doc $doc oov")
     }
   }
+
+  test("t24 novelty equals a driver-side first-occurrence recompute") {
+    val got = TextAnalysis.noveltyScores(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // driver recompute mirroring the tokens/shingle convention
+    // (lowercase, \s+ split, empties dropped, joined with spaces,
+    // distinct) on the STRING shingles — the operator hashes them, but
+    // identity is preserved (d2's collision argument)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val sh = docs.map { case (id, text) =>
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    sh.foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val want = sh.collect { case (id, gs) if gs.nonEmpty =>
+      val novel = gs.count(g => firstDoc(g) == id)
+      id -> ((gs.size.toLong, novel.toLong, novel.toDouble / gs.size))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the first doc with shingles is fully novel by construction
+    val firstId = want.keys.min
+    assert(got(firstId)._3 === 1.0)
+    // corpus-level conservation: novel shingles sum to the vocabulary
+    assert(got.values.map(_._2).sum === firstDoc.size.toLong)
+  }
 }
