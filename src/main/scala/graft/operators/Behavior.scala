@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -22,23 +21,25 @@ object Behavior {
     * exact integer arithmetic: both timestamps are week-truncated, so
     * the day difference is a multiple of 7 on any engine.
     *
-    * Scale posture: the FIRST move collapses raw events to DISTINCT
-    * (user, week) — at 100 TB of events that is the only relation the
-    * rest of the query touches (|users| × |active weeks| rows, ~10⁴×
-    * smaller). Then one user-partitioned window min assigns cohorts
-    * (no self-join), and the final cell count is a plain aggregate —
-    * no countDistinct expansion, because distinctness was already
-    * established. Three bounded shuffles total, the last two over the
-    * collapsed relation.
+    * Scale posture: ONE user-keyed aggregate collapses raw events to
+    * each user's active-week SET — collect_set partial-aggregates
+    * map-side, so the single shuffle moves distinct (user, week) pairs
+    * (|users| × |active weeks|, ~10⁴× smaller than the event stream),
+    * and the per-user array is bounded by the CALENDAR, not the data
+    * (~52 entries per year of history). Cohort = array_min, no second
+    * shuffle, no window, no self-join; the final cell count is a
+    * plain aggregate over the collapsed relation. Two shuffles total
+    * plus the presentation sort.
     */
   def retention(s: SparkSession, dir: String): DataFrame = {
-    val uw = Tables.events(s, dir)
+    Tables.events(s, dir)
       // null user/ts rows belong to no cohort — same up-front filter
       // as TimeSeries.hourlyMeans
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
-      .distinct()
-    uw.withColumn("cw", min(col("w")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("w")).as("ws"))
+      .select(explode(col("ws")).as("w"), array_min(col("ws")).as("cw"))
       // datediff casts the week-truncated timestamps to DATE (session
       // TZ is pinned UTC, both are midnight Monday): exact multiple of
       // 7, so the double division below is exact before the int cast
