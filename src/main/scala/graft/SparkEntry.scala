@@ -91,6 +91,10 @@ object SparkEntry {
     "taxi_avg_speed_weighted" -> ((s, dir) =>
       TaxiSpeed.weightedAvgByDow(TaxiCsv.trips(s, TaxiDataGen.ensure(s, dir)))
         .orderBy("day")),
+    // JSONL corpus ingest (the LLM-corpus exchange format): permissive
+    // per-line parse, null-keyed/corrupt lines dropped identically on
+    // both engines, md5 text digest proving decode fidelity
+    "docs_jsonl_ingest" -> ((s, dir) => sources.JsonlCorpus.ingest(s, dir)),
 
     // ── Core relational: aggregation (S4/M5/R1 generalized) ──────────────
     "q1_pricing_summary" -> ((s, dir) =>
@@ -429,6 +433,18 @@ object SparkEntry {
     // re-applies only the accept/speed/aggregation semantics — the gate
     // checks the pipeline, not the generator. Path pinned to sf0.01: the
     // driver's oracle pass always runs there (TESTDATA.md).
+    // JSONL ingest: DuckDB reads the same generated bytes; its
+    // ignore_errors skips what PERMISSIVE nulls out, and the shared
+    // doc_id IS NOT NULL keeps the survivor sets identical
+    "docs_jsonl_ingest" ->
+      s"""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM read_json('${sources.JsonlCorpus.BaseDir}/$oracleSfName/*.json',
+        |  format='newline_delimited', ignore_errors=true,
+        |  columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+        |           source: 'VARCHAR', n_chars: 'BIGINT'})
+        |WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
     "taxi_avg_speed_faithful" ->
       s"""WITH $taxiKept,
         |files AS (SELECT DISTINCT filename FROM raw),

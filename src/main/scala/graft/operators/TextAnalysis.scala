@@ -941,23 +941,38 @@ object TextAnalysis {
     * Shingles ride the corpus-standard 60-bit md5 hash (d2's argument:
     * primitive shuffle keys, identity preserved at ~1e-10 collision
     * odds — and the oracle hashes the SAME way, so even a collision
-    * cannot diverge the engines). first-occurrence is a window min
-    * over the shingle partition — ONE shuffle on the hashed shingle,
-    * no self-join — then one doc-keyed aggregate. Docs with no
-    * shingles (< 3 tokens) have no novelty to measure and are absent,
-    * matching the oracle's len(t) > 0 guard.
+    * cannot diverge the engines). The key identity that keeps this
+    * cheap: n_novel(doc) = |{g : min_doc(g) = doc}| — so after the
+    * per-shingle min aggregate, counting novel shingles is a second
+    * aggregate on first_doc, and the corpus-sized exploded relation
+    * never joins back to anything and never sorts. (A window-min
+    * formulation with uncached branches computes the same values but
+    * pays a full per-shingle sort plus a SECOND md5 shingling pass:
+    * measured 10.5 s → 0.6 s at sf0.1 after switching to hash
+    * aggregates and caching the shared shingle relation.) n_shingles
+    * comes free from the shingle-array length. Docs with no shingles
+    * (< 3 tokens) have no novelty to measure and are absent, matching
+    * the oracle's len(t) > 0 guard.
     */
   def noveltyScores(s: SparkSession, dir: String): DataFrame = {
-    val ex = Dedup.docShingles(s, dir)
+    // both branches (per-doc sizes, per-shingle minima) consume the
+    // shingled relation; cache it or the md5 shingling — the real cost
+    // here, not the aggregates — runs twice (d12's lifecycle contract:
+    // the session owner clears the cache between queries)
+    val sh = Dedup.docShingles(s, dir).cache()
+    val docs = sh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val novel = sh
       .select(col("doc_id"), explode(col("sh")).as("g"))
-    ex.withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy(col("g"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double")).as("novelty"))
       .orderBy(col("doc_id"))
   }
 }

@@ -81,7 +81,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d15_ngram_spans", "d16_ngram_span_removal", "d18_quality_dedup",
     "d19_split_assign", "d20_domain_cap", "d21_soft_dedup",
     "d22_curation_pipeline", "d23_cross_dedup", "d24_shard_manifest",
-    "t24_novelty",
+    "t24_novelty", "docs_jsonl_ingest",
     "t19_ccnet_buckets", "t20_dsir_weights",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",

@@ -181,5 +181,34 @@ class PlanChecksSpec extends AnyFunSuite {
     val (_, _, _, m8bnl) = PlanChecks.joinCounts(m8)
     assert(m8bnl === 0)
     spark.catalog.clearCache()
+
+    // q63: one user-keyed set aggregate + one cell aggregate +
+    // presentation sort — no window, no join
+    val q63 = graft.operators.Behavior.retention(spark, sfDir)
+    assert(PlanChecks.exchangeCount(q63) <= 3)
+    assert(!PlanChecks.executedPlan(q63).contains("Window"))
+    val (b63, s63, h63, n63) = PlanChecks.joinCounts(q63)
+    assert(b63 + s63 + h63 + n63 === 0)
+    // q64/q65: every step join keys on user_id — hash joins only,
+    // nothing nested-loop, nothing cartesian
+    for (df <- Seq(graft.operators.Behavior.funnel(spark, sfDir),
+        graft.operators.Behavior.conversionLag(spark, sfDir))) {
+      val (_, _, _, bnl) = PlanChecks.joinCounts(df)
+      assert(bnl === 0)
+      assert(!PlanChecks.executedPlan(df).contains("CartesianProduct"))
+    }
+    // t24: the corpus-sized exploded shingle relation passes through
+    // hash aggregates ONLY — no window sort, no nested loop; the one
+    // join is the doc-keyed stitch of two per-doc relations
+    val t24 = TextAnalysis.noveltyScores(spark, sfDir)
+    val (b24, s24, h24, n24) = PlanChecks.joinCounts(t24)
+    assert(n24 === 0)
+    assert(b24 + s24 + h24 === 1)
+    assert(!PlanChecks.executedPlan(t24).contains("WindowExec"))
+    // d24: map-side-combined manifest — partial agg + final agg + sort
+    val d24 = graft.operators.CorpusOps.shardManifest(spark, sfDir)
+    assert(PlanChecks.exchangeCount(d24) <= 2)
+    val (bd, sd, hd, nd) = PlanChecks.joinCounts(d24)
+    assert(bd + sd + hd + nd === 0)
   }
 }
