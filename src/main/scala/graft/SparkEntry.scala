@@ -178,6 +178,9 @@ object SparkEntry {
     // Conversion lag over q64's chain: integer-microsecond sums (exact
     // regardless of merge order), one presentation divide
     "q65_conversion_lag"   -> (Behavior.conversionLag(_, _)),
+    // DAU / trailing-7d WAU / stickiness: sliding distinct restated as
+    // a bounded contribution explode of the collapsed (user, day) set
+    "q66_stickiness"       -> (Behavior.stickiness(_, _)),
     // TPC-H Q2 shape: argmax supplier over the derived part↔supplier
     // junction, region-pruned, heap-k presentation
     "q59_best_supplier"    -> (RelationalQueries3.bestSupplierPerPart(_, _)),
@@ -929,6 +932,21 @@ object SparkEntry {
         |  CAST(min(lag_us) AS DOUBLE) / 1000000.0 AS min_lag_sec,
         |  CAST(max(lag_us) AS DOUBLE) / 1000000.0 AS max_lag_sec
         |FROM lag""".stripMargin,
+
+    // q66: the same contribution-explode restatement — each distinct
+    // (user, day) row feeds target days d..d+6, so trailing WAU is a
+    // plain distinct count; stickiness divides the two exact integers
+    "q66_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+        |contrib AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS td
+        |  FROM ud, range(0, 7) r(i)),
+        |wau AS (SELECT td, count(*) AS wau FROM contrib GROUP BY td)
+        |SELECT d AS day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON d = td ORDER BY day""".stripMargin,
 
     "q59_best_supplier" ->
       """WITH junction AS (SELECT DISTINCT l_partkey, l_suppkey, p_name

@@ -125,4 +125,40 @@ object Behavior {
         (min(col("lag_us")).cast("double") / lit(1000000.0)).as("min_lag_sec"),
         (max(col("lag_us")).cast("double") / lit(1000000.0)).as("max_lag_sec"))
   }
+
+  /** q66 — DAU / trailing-7-day WAU / stickiness per day. The sliding
+    * DISTINCT count that naively needs a per-day 7-day window over raw
+    * events is restated as a CONTRIBUTION explode: each collapsed
+    * (user, day) row contributes the user to the seven target days
+    * d..d+6, so trailing WAU(td) is a plain distinct count — no range
+    * join, no window, no re-scan per day.
+    *
+    * Scale posture: one DISTINCT collapse of raw events to
+    * (user, day) (the 10⁴×-smaller relation, cached for its two
+    * consumers), then a bounded 7× explode of the COLLAPSED relation
+    * and two hash aggregates; the final DAU⋈WAU join is
+    * days-sized. Stickiness divides two exact integers once,
+    * identically on both engines.
+    */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      // two consumers (DAU, the WAU explode) — d12's lifecycle
+      // contract: the session owner clears the cache between queries
+      .cache()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("user_id"), date_add(col("d"), col("i")).as("td"))
+      .distinct()
+      .groupBy(col("td")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("d") === col("td"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
 }

@@ -110,4 +110,28 @@ class BehaviorSpec extends AnyFunSuite {
     assert(math.abs(mean - lags.sum.toDouble / n / 1e6) < 1e-9)
     assert(mn >= 0.0 && mn <= mx)
   }
+
+  test("q66 stickiness equals a driver-side trailing-WAU recompute") {
+    val got = Behavior.stickiness(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    try {
+      val ud = rawEvents().map { case (u, _, tsUs) =>
+        (u, Math.floorDiv(tsUs / 1000000L, 86400L)) // epoch day, UTC
+      }.distinct
+      val dau = ud.groupBy(_._2).map { case (d, rows) => d -> rows.size }
+      val wau = ud.flatMap { case (u, d) => (0 to 6).map(i => (u, d + i)) }
+        .distinct.groupBy(_._2).map { case (d, rows) => d -> rows.size }
+      val want = dau.map { case (d, n) =>
+        java.time.LocalDate.ofEpochDay(d).toString ->
+          ((n.toLong, wau(d).toLong, n.toDouble / wau(d).toDouble))
+      }
+      assert(got === want)
+      assert(got.nonEmpty)
+      // stickiness is a fraction of the trailing week: (0, 1]
+      got.values.foreach { case (da, wa, st) =>
+        assert(da <= wa && st > 0.0 && st <= 1.0)
+      }
+    } finally spark.catalog.clearCache()
+  }
 }
