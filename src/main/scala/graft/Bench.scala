@@ -208,6 +208,12 @@ object Bench {
       val rS3 = recall(graft.operators.Similarity.ivfTopK(spark, sfDir))
       val rS10 = recall(graft.operators.Similarity.pqTopK(spark, sfDir))
       val rS13 = recall(graft.operators.Similarity.ivfPqTopK(spark, sfDir))
+      // s16's baseline is the exact all-pairs JOIN (s4), not s1's
+      // 5-query scan — every corpus row is a query here
+      val exactJoin = pairSet(graft.operators.Similarity.knnJoin(spark, sfDir))
+      val rS16 = (exactJoin intersect
+        pairSet(graft.operators.Similarity.ivfKnnJoin(spark, sfDir)))
+        .size.toDouble / exactJoin.size
       val q27 = graft.operators.RelationalQueries2.approxDistinct(spark, sfDir)
         .select("approx_orders", "exact_orders").head()
       val hllErr =
@@ -225,8 +231,9 @@ object Bench {
       val corpus = Tables.documents(spark, sfDir).count()
       spark.catalog.clearCache()
       System.err.println(f"[bench] accuracy: s2 $rS2%.3f s3 $rS3%.3f " +
-        f"s10 $rS10%.3f s13 $rS13%.3f q27 ±$hllErr%.4f d14 fn=$falseNeg extra=$extra/$corpus")
-      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"""
+        f"s10 $rS10%.3f s13 $rS13%.3f s16 $rS16%.3f q27 ±$hllErr%.4f " +
+        f"d14 fn=$falseNeg extra=$extra/$corpus")
+      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"""
     } catch { case NonFatal(e) =>
       System.err.println("[bench] accuracy block failed:")
       e.printStackTrace()

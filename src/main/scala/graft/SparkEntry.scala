@@ -218,6 +218,9 @@ object SparkEntry {
     // Product-line profit by nation and year (TPC-H Q9 shape, cost
     // proxied off p_retailprice): selective part probe FIRST
     "q58_profit" -> (RelationalQueries3.profitByNationYear(_, _)),
+    // Large-volume orders (TPC-H Q18 shape): HAVING on the pre-join
+    // aggregate, co-partitioned orderkey join, TakeOrdered top-100
+    "q67_big_orders" -> (RelationalQueries3.bigOrders(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -332,6 +335,9 @@ object SparkEntry {
     // Near-duplicate payloads by aHash hamming radius, via the lossless
     // multi-probe pigeonhole join (radius 12; all-pairs DuckDB oracle)
     "m8_media_phash_pairs"  -> (Multimodal.mediaPHashPairs(_, _)),
+    // Shot-boundary detection: per-frame integer-exact aHash, lag
+    // window, hamming-threshold cuts (full DuckDB oracle)
+    "m9_shot_boundaries"    -> (Multimodal.shotBoundaries(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -342,6 +348,9 @@ object SparkEntry {
     "s3_ivf_topk"    -> (Similarity.ivfTopK(_, _)),
     // Exact k-NN self-join (tiled equi-join decomposition, no BNLJ)
     "s4_knn_join"    -> (Similarity.knnJoin(_, _)),
+    // Approximate k-NN JOIN via IVF cells — s4's 100 TB scale path;
+    // recall vs s4 spec-gated + emitted as a bench-artifact field
+    "s16_ivf_knn_join" -> (Similarity.ivfKnnJoin(_, _)),
     // Per-label mean embedding (map-side-combined, no corpus explode)
     "s5_centroids"   -> (Similarity.centroids(_, _)),
     // One k-means E-step against broadcast label centroids
@@ -1187,6 +1196,14 @@ object SparkEntry {
         |WHERE p_name LIKE '%red%'
         |GROUP BY n_name, o_year
         |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q67_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
@@ -1321,6 +1338,38 @@ object SparkEntry {
         |FROM p a JOIN p y ON a.doc_id < y.doc_id
         |WHERE bit_count(xor(a.phash, y.phash)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // m9: same integer-exact bit rule as m7, but per NON-OVERLAPPING
+    // 64-byte frame with 16 contiguous 4-sample buckets; consecutive
+    // frames' signatures xor'd, boundary at hamming >= 9. Frame
+    // offsets are 1-based (fi*64 + 1), matching m6's convention.
+    "m9_shot_boundaries" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (SELECT doc_id, unnest(range(0, (n - 64) // 64 + 1)) AS fi,
+        |    text FROM d),
+        |s AS (SELECT doc_id, fi, unnest(range(0, 64)) AS j, text FROM f),
+        |sc AS (SELECT doc_id, fi, j // 4 AS bk,
+        |    ascii(substr(text, CAST(fi * 64 + j + 1 AS INT), 1)) AS c
+        |  FROM s),
+        |b AS (SELECT doc_id, fi, bk, sum(c) AS sb
+        |  FROM sc GROUP BY doc_id, fi, bk),
+        |t AS (SELECT doc_id, fi, sum(sb) AS st
+        |  FROM b GROUP BY doc_id, fi),
+        |sig AS (SELECT b.doc_id, b.fi,
+        |    CAST(sum(CASE WHEN sb * 16 > st
+        |      THEN (1::BIGINT << CAST(bk AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM b JOIN t ON b.doc_id = t.doc_id AND b.fi = t.fi
+        |  GROUP BY b.doc_id, b.fi),
+        |lagd AS (SELECT doc_id, fi, sig,
+        |    lag(sig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |  FROM sig)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * 64 + 1 AS INT) AS frame_offset,
+        |  CAST(bit_count(xor(sig, prev)) AS INT) AS dist,
+        |  bit_count(xor(sig, prev)) >= 9 AS is_boundary
+        |FROM lagd WHERE prev IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

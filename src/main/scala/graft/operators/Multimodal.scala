@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -367,6 +368,69 @@ object Multimodal {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("sb") * col("ct") > col("st") * col("cb"),
         expr("shiftleft(CAST(1 AS BIGINT), bk)")).otherwise(0L)).as("phash"))
+  }
+
+  /** m9 — shot-boundary detection: segment each payload's frame stream
+    * where consecutive frames' perceptual signatures diverge — the
+    * video-segmentation pass that follows frame sampling (m3) in a real
+    * pipeline, with payload bytes standing in for decoded frames (the
+    * m1/m6 codec contract). Non-overlapping m6-style frames; each frame
+    * gets a 16-bit aHash (m7's integer-exact mean-threshold bits, here
+    * over 16 CONTIGUOUS 4-sample buckets — contiguity makes each bucket
+    * sum one `slice` aggregate, no per-sample bucket shuffle at all);
+    * a boundary is a frame whose hamming distance to its predecessor
+    * reaches `threshold` (9: the corpus' inter-frame distances span
+    * 1-12 with median ~7, so 9 marks the divergent quartile; real
+    * footage has near-0 intra-shot distances and the same threshold
+    * cleanly separates cuts).
+    *
+    * Every bit decision is integer arithmetic (`sb·bits > st`), so
+    * signatures — and therefore distances and boundary flags — are
+    * bit-identical across engines: full DuckDB oracle, no tolerance.
+    *
+    * Scale posture: signatures are computed per-frame inside ONE
+    * codegen'd projection (the per-bucket sums are 16 statically
+    * unrolled slice-aggregates — no posexplode to samples, no
+    * (doc, bucket) shuffle like m7 needs for its global buckets); the
+    * only shuffle is the lag window's partition on doc_id, whose state
+    * is one row. First frames have no predecessor and are not emitted
+    * (a shot START is the frame after a boundary; frame 0 trivially
+    * starts shot 0 on every engine).
+    */
+  def shotBoundaries(s: SparkSession, dir: String,
+      width: Int = 64, bits: Int = 16, threshold: Int = 9): DataFrame =
+    shotBoundariesFrom(Tables.documents(s, dir), width, bits, threshold)
+
+  /** The two-relation form for spec-planted frame streams. */
+  private[graft] def shotBoundariesFrom(docs: DataFrame,
+      width: Int = 64, bits: Int = 16, threshold: Int = 9): DataFrame = {
+    val sub = width / bits
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= width)
+      .select(col("doc_id"),
+        transform(filter(split(col("text"), ""), c => c =!= ""),
+          c => ascii(c)).as("samples"),
+        posexplode(sequence(lit(1), col("n") - (width - 1), lit(width))))
+      .withColumnRenamed("col", "o")
+      .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
+        col("o").cast("int").as("frame_offset"),
+        slice(col("samples"), col("o"), lit(width)).as("bytes"))
+      .withColumn("st", aggregate(col("bytes"), lit(0L), (a, x) => a + x))
+      .withColumn("sig", (0 until bits).map { b =>
+        when(aggregate(slice(col("bytes"), b * sub + 1, sub), lit(0L),
+          (a, x) => a + x) * lit(bits) > col("st"), lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _))
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"), col("sig"))
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("dist",
+        bit_count(col("sig").bitwiseXOR(col("prev"))).cast("int"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+        col("dist"), (col("dist") >= threshold).as("is_boundary"))
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Pure-SQL binary ops over the payload column (no decode): byte

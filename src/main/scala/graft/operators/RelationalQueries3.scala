@@ -501,4 +501,36 @@ object RelationalQueries3 {
         .cast("decimal(18,4)")).cast("double").as("profit"))
       .orderBy(col("n_name"), col("o_year").desc)
   }
+
+  /** q67 — TPC-H Q18 shape: large-volume orders (total quantity above a
+    * fixed threshold) with their customer. Reference behavior cited for
+    * the family at `Sample.cs:1-264` (the reference has no relational
+    * surface; SURVEY §2.3 marks this absent category).
+    *
+    * Scale posture: the HAVING filter runs ON the aggregate BEFORE any
+    * join — lineitem collapses to one row per order (map-side partial
+    * sum), and only threshold survivors reach the joins. The orders
+    * join reuses the aggregate's hash partitioning on the SAME key
+    * (orderkey), so AQE plans one co-partitioned join with no extra
+    * exchange of the agg side. No broadcast hint on either join: the
+    * survivor count is proportional to |orders| (a fixed per-order
+    * quantity threshold keeps a constant FRACTION, not a constant
+    * COUNT), so at 100 TB neither side is broadcastable and the shuffle
+    * join on the already-partitioned key is the right plan; at test SF
+    * AQE downgrades the small sides to broadcast on its own. The final
+    * top-100 is a TakeOrdered, never a global sort.
+    */
+  def bigOrders(s: SparkSession, dir: String,
+      minQty: Double = 250.0, topK: Int = 100): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(topK)
+  }
 }

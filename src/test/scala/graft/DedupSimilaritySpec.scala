@@ -307,6 +307,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("s16 IVF kNN join recall@3 >= 0.8 vs exact s4; rank contract holds") {
+    val exact = Similarity.knnJoin(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfKnnJoin(spark, sfDir).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"s16 ivfKnnJoin recall@3 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+    // no self-pairs; per-query ranks are 1..n with n <= k
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall { rs =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      ranks === (1 to ranks.length)
+    })
+  }
+
   // The sf corpora are deliberately near-isotropic (neighbors at cos
   // 0.4-0.55 against a 0.3 background), where NO sub-quadratic scheme
   // can prune without losing recall — there s2's value is the

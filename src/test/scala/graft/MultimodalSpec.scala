@@ -223,4 +223,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("m9: a repeated frame is no boundary, a flipped frame is; short docs emit nothing") {
+    import spark.implicits._
+    // frame A: low bytes then high bytes -> bits set in the high half;
+    // frame B is A mirrored -> the complementary bit set. A->A distance
+    // 0 (no cut), A->B distance 16 (cut). Doc 2 is shorter than one
+    // frame and must vanish; doc 3 has exactly one frame (no
+    // predecessor) and must vanish too.
+    val fa = "a" * 32 + "z" * 32
+    val fb = "z" * 32 + "a" * 32
+    val docs = Seq((1L, fa + fa + fb), (2L, "tiny"), (3L, fa))
+      .toDF("doc_id", "text")
+    val got = Multimodal.shotBoundariesFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq((1L, 1, 0, false), (1L, 2, 16, true)), got.toSeq)
+  }
+
+  test("m9 on the corpus: every emitted frame has a predecessor; flags match dists") {
+    val rows = Multimodal.shotBoundaries(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) >= 1)) // frame_idx 0 never emitted
+    assert(rows.forall(r => r.getBoolean(4) === (r.getInt(3) >= 9)))
+    // offsets follow the m6 1-based stride convention
+    assert(rows.forall(r => r.getInt(2) === r.getInt(1) * 64 + 1))
+  }
 }

@@ -204,4 +204,22 @@ class Relational3Spec extends AnyFunSuite {
     assert(math.abs(got - total) < 1e-6 * math.max(1.0, math.abs(total)),
       s"$got != $total")
   }
+
+  test("q67 big orders: HAVING filters before the joins; every row is genuinely big") {
+    val df = RelationalQueries3.bigOrders(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every surviving order's total quantity really exceeds the threshold
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 250.0))
+    // presentation order: totalprice descending, orderkey tie-break
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    // survivor set matches an independent HAVING recompute exactly
+    val expect = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+      .filter(col("s") > 250.0).count()
+    assert(rows.length === math.min(100, expect.toInt))
+    // no nested-loop degradation on either join
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+  }
 }

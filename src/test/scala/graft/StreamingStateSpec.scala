@@ -569,6 +569,45 @@ class StreamingStateSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming w6 leaderboard equals batch top-k over the closed hours") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "topk").toString
+      Tables.events(spark, sfDir).orderBy("ts").coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sfDir).schema).parquet(d)
+      val out = graft.streaming.TopKStream.windowTopKStream(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("topk_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("topk_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+
+      val maxTsMs = Tables.events(spark, sfDir)
+        .agg(max(unix_timestamp(col("ts")))).head().getLong(0) * 1000
+      val wm = maxTsMs - 30 * 60000L
+      val batchClosed = graft.streaming.EventsWindows
+        .windowTopK(spark, sfDir).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getString(2),
+          r.getLong(3)))
+        .filter { case (h, _, _, _) => h + 3600000L <= wm }
+        .toSet
+      assert(got === batchClosed,
+        s"stream-only ${got -- batchClosed}; batch-only ${batchClosed -- got}")
+      assert(got.nonEmpty, "no hours closed on this corpus")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("d20 streaming domain cap: admission capped per source, state carries across batches") {
     import spark.implicits._
     val base = Paths.get("target", "test-tmp")
