@@ -259,6 +259,9 @@ object SparkEntry {
     // Per-doc shingle novelty vs everything ingested before it (window
     // min over the hashed shingle — one shuffle, no self-join)
     "t24_novelty" -> (TextAnalysis.noveltyScores(_, _)),
+    // Count-Min frequency sketch — deterministic hashes, so unlike the
+    // HLL (q27) it carries a full bit-identical DuckDB oracle
+    "t25_countmin" -> (TextAnalysis.countMin(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -338,6 +341,9 @@ object SparkEntry {
     // Shot-boundary detection: per-frame integer-exact aHash, lag
     // window, hamming-threshold cuts (full DuckDB oracle)
     "m9_shot_boundaries"    -> (Multimodal.shotBoundaries(_, _)),
+    // VAD-style activity runs over integer frame energy (gaps-and-
+    // islands window idiom; bit-exact oracle)
+    "m10_vad_segments"      -> (Multimodal.vadSegments(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1293,6 +1299,32 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
         |FROM fd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // t25: the sketch is pure integer arithmetic over deterministic
+    // md5-convention hashes — cells, estimates, and overcounts are
+    // bit-identical across engines. Built from the (token, count)
+    // aggregate on both sides (cell sums are identical either way).
+    "t25_countmin" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |rows_ AS (SELECT unnest(range(4)) AS r),
+        |cells AS (SELECT r,
+        |    CAST(CAST('0x' || substr(md5('cm' || r || '_' || tok), 1, 15)
+        |      AS BIGINT) % 512 AS INT) AS cell,
+        |    sum(n) AS cn
+        |  FROM counts CROSS JOIN rows_ GROUP BY 1, 2),
+        |q AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 20),
+        |qc AS (SELECT tok, n, r,
+        |    CAST(CAST('0x' || substr(md5('cm' || r || '_' || tok), 1, 15)
+        |      AS BIGINT) % 512 AS INT) AS cell
+        |  FROM q CROSS JOIN rows_)
+        |SELECT qc.tok AS tok, CAST(qc.n AS BIGINT) AS exact_n,
+        |  CAST(min(cn) AS BIGINT) AS cm_est,
+        |  CAST(min(cn) - qc.n AS BIGINT) AS overcount
+        |FROM qc JOIN cells ON qc.r = cells.r AND qc.cell = cells.cell
+        |GROUP BY qc.tok, qc.n ORDER BY exact_n DESC, tok""".stripMargin,
+
     // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
     // the DuckDB mirror is bit-identical by construction — the same
     // bucket partition floor(pos·60/n) over [0, n) sample positions.
@@ -1370,6 +1402,31 @@ object SparkEntry {
         |  bit_count(xor(sig, prev)) >= 9 AS is_boundary
         |FROM lagd WHERE prev IS NOT NULL
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m10: integer Σx² energy gate + gaps-and-islands run grouping —
+    // every value integer arithmetic, bit-identical across engines.
+    "m10_vad_segments" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (SELECT doc_id, unnest(range(0, (n - 64) // 64 + 1)) AS fi,
+        |    text FROM d),
+        |s AS (SELECT doc_id, fi,
+        |    ascii(substr(text, CAST(fi * 64 + j + 1 AS INT), 1)) AS c
+        |  FROM f CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |fr AS (SELECT doc_id, fi, sum(c * c) AS ssq
+        |  FROM s GROUP BY doc_id, fi),
+        |a AS (SELECT doc_id, fi, ssq,
+        |    fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+        |  FROM fr WHERE ssq >= 628000),
+        |seg AS (SELECT doc_id, grp, min(fi) AS sf, max(fi) AS ef,
+        |    count(*) AS nf, sum(ssq) AS tssq
+        |  FROM a GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sf)
+        |    AS INT) AS seg_idx,
+        |  CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(tssq AS BIGINT) AS total_ssq
+        |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

@@ -433,6 +433,61 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m10 — VAD-style activity segmentation: group each payload's frame
+    * stream into maximal runs of consecutive HIGH-ENERGY frames — the
+    * voice-activity-detection pass an audio pipeline runs between
+    * frame features (m6) and ASR, with payload bytes standing in for
+    * PCM (the m1/m6 codec contract). A frame is active iff its energy
+    * Σx² reaches `threshold` — an INTEGER comparison (the squared form
+    * of an RMS gate: rms ≥ t ⟺ Σx² ≥ t²·width), so activity, run
+    * extents, and totals are all bit-identical across engines and the
+    * DuckDB oracle is exact. The default threshold is the corpus'
+    * median frame energy (~628k for 64-byte frames of this byte
+    * distribution), which yields genuine run structure; a real
+    * deployment sets it from a noise floor.
+    *
+    * The runs are found with the gaps-and-islands idiom: within a doc,
+    * active frames get `grp = frame_idx − row_number()`, constant
+    * exactly along consecutive runs — one window over active frames,
+    * one aggregate per run, one presentation window. No self-join, no
+    * per-doc driver logic; the doc_id partition is the only shuffle
+    * key, so the operator scales with the frame count like m6.
+    *
+    * Output: (doc_id, seg_idx, start_frame, end_frame, n_frames,
+    * total_ssq) — one row per activity segment.
+    */
+  def vadSegments(s: SparkSession, dir: String,
+      width: Int = 64, stride: Int = 64,
+      threshold: Long = 628000L): DataFrame =
+    vadSegmentsFrom(Tables.documents(s, dir), width, stride, threshold)
+
+  /** The two-relation form for spec-planted frame streams. */
+  private[graft] def vadSegmentsFrom(docs: DataFrame,
+      width: Int = 64, stride: Int = 64,
+      threshold: Long = 628000L): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= width)
+      .select(col("doc_id"),
+        transform(split(col("text"), ""), c => ascii(c)).as("samples"),
+        posexplode(sequence(lit(1), col("n") - (width - 1), lit(stride))))
+      .withColumnRenamed("col", "o")
+      .select(col("doc_id"), col("pos").cast("int").as("fi"),
+        aggregate(slice(col("samples"), col("o"), lit(width)), lit(0L),
+          (a, x) => a + x * x).as("ssq"))
+      .filter(col("ssq") >= threshold)
+      .withColumn("grp", col("fi") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("fi")).as("start_frame"), max(col("fi")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("ssq")).as("total_ssq"))
+      .withColumn("seg_idx", row_number().over(wSeg).cast("int"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("total_ssq"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */

@@ -975,4 +975,61 @@ object TextAnalysis {
           / col("n_shingles").cast("double")).as("novelty"))
       .orderBy(col("doc_id"))
   }
+
+  /** t25 — Count-Min sketch (Cormode & Muthukrishnan 2005): the
+    * fixed-size frequency summary next to t14's Misra–Gries rung.
+    * `depth` hash rows × `width` counters; a token's estimate is the
+    * MIN of its `depth` cells, which can only OVER-count (collisions
+    * add, never subtract) — the one-sided guarantee the spec asserts
+    * row-by-row.
+    *
+    * Everything is DETERMINISTIC — the hash rows are `hash64` (the
+    * cross-engine md5 convention) salted by the row index, so the
+    * whole sketch AND every estimate are bit-identical in DuckDB:
+    * unlike HLL (q27), this sketch carries a full hash-checked oracle.
+    *
+    * Scale posture: the sketch is built from the (token, count)
+    * aggregate, not from raw occurrences — the cell value is the same
+    * sum either way, but this way the depth-fold explode runs over
+    * |vocab| rows instead of N tokens, and the corpus pays exactly ONE
+    * occurrence-level shuffle (the same one t7/t14 pay). The sketch
+    * itself is depth × width = 2,048 cells regardless of corpus size —
+    * the point of a sketch: it's the relation a production pipeline
+    * persists and merges across corpus shards (cell-wise sum, which is
+    * exactly how the partial aggregates already combine). The top-k
+    * probe set and exact counts exist for the verification story; a
+    * deployment queries the 2,048-row sketch alone.
+    */
+  def countMin(s: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 512, topK: Int = 20): DataFrame =
+    countMinFrom(Tables.documents(s, dir), depth, width, topK)
+
+  /** The two-relation form — spec-planted corpora use a tiny `width`
+    * to force collisions and exercise the over-count guarantee. */
+  private[graft] def countMinFrom(docs: DataFrame, depth: Int = 4,
+      width: Int = 512, topK: Int = 20): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .persist() // vocab-sized; feeds the sketch AND the probe set
+    def cell(r: Column, tok: Column): Column =
+      pmod(hash64(concat(lit("cm"), r.cast("string"), lit("_"), tok)),
+        lit(width)).cast("int")
+    val sketch = counts
+      .select(col("tok"), col("n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cell(col("r"), col("tok")).as("cell"))
+      .agg(sum(col("n")).as("cn"))
+    val probes = counts
+      .orderBy(col("n").desc, col("tok")).limit(topK)
+      .select(col("tok"), col("n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("cell", cell(col("r"), col("tok")))
+    probes.join(sketch, Seq("r", "cell"))
+      .groupBy(col("tok"), col("n").as("exact_n"))
+      .agg(min(col("cn")).as("cm_est"))
+      .select(col("tok"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
 }

@@ -240,6 +240,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 1, 0, false), (1L, 2, 16, true)), got.toSeq)
   }
 
+  test("m10: planted loud/quiet frames segment into the expected runs") {
+    import spark.implicits._
+    // 'z'*64 -> ssq 64*122^2 = 952,576 (active); ' '*64 -> 65,536
+    // (quiet). Pattern loud,loud,quiet,loud => runs [0,1] and [3,3];
+    // an all-quiet doc emits nothing.
+    val loud = "z" * 64; val quiet = " " * 64
+    val docs = Seq((7L, loud + loud + quiet + loud), (8L, quiet + quiet))
+      .toDF("doc_id", "text")
+    val got = Multimodal.vadSegmentsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    val loudSsq = 64L * 122 * 122
+    assert(got.toSeq === Seq(
+      (7L, 1, 0, 1, 2L, 2 * loudSsq),
+      (7L, 2, 3, 3, 1L, loudSsq)), got.toSeq)
+  }
+
   test("m9 on the corpus: every emitted frame has a predecessor; flags match dists") {
     val rows = Multimodal.shotBoundaries(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -442,4 +442,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     // corpus-level conservation: novel shingles sum to the vocabulary
     assert(got.values.map(_._2).sum === firstDoc.size.toLong)
   }
+
+  test("t25 count-min: estimates never under-count; exact when width is ample") {
+    // ample width on the real corpus: estimates are one-sided
+    val rows = graft.operators.TextAnalysis.countMin(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n")))
+    assert(rows.forall(r => r.getAs[Long]("overcount") ===
+      r.getAs[Long]("cm_est") - r.getAs[Long]("exact_n")))
+  }
+
+  test("t25 count-min under forced collisions: over-counts appear, never under-counts") {
+    import spark.implicits._
+    // 12 distinct tokens into width-2 rows: pigeonhole forces
+    // collisions in every hash row, so some estimate MUST over-count —
+    // and none may under-count (the CM guarantee under any collision)
+    val docs = Seq((1L, (1 to 12).map(i => s"tok$i").mkString(" ")),
+      (2L, "tok1 tok1 tok2 tok3"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .countMinFrom(docs, depth = 2, width = 2, topK = 12).collect()
+    assert(rows.length === 12)
+    assert(rows.forall(r => r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n")))
+    assert(rows.exists(_.getAs[Long]("overcount") > 0),
+      "width-2 sketch over 12 tokens produced no collision over-count")
+  }
 }
