@@ -419,6 +419,14 @@ object SparkEntry {
     // Windowed unique visitors: exact batch truth; the streaming mirror
     // is the HLL sketch form, error-gated vs this in StreamingSpec
     "w8_window_uniques" -> (graft.streaming.EventsWindows.windowUniques(_, _)),
+
+    // ── Graph analytics over warehouse relations ─────────────────────────
+    // PageRank on the customer–supplier trade graph, 3 unrolled
+    // iterations in fixed-point bigint (bit-identical across engines)
+    "g1_pagerank"  -> (Graph.pageRank(_, _)),
+    // Exact triangle count of the part co-purchase graph (oriented
+    // two-join enumeration)
+    "g2_triangles" -> (Graph.triangleCount(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2556,6 +2564,54 @@ object SparkEntry {
         |    AS win_start,
         |  count(DISTINCT user_id) AS uniques
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // g1: the fixed-point design makes three PageRank iterations pure
+    // bigint arithmetic — `div`/`//` truncate identically on the
+    // non-negative ranks, bigint sums are exact, so the unrolled CTEs
+    // below are bit-identical to the Spark loop.
+    "g1_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |p AS (SELECT count(DISTINCT src) AS n FROM e),
+        |r0 AS (SELECT src AS v, 1000000000000 // (SELECT n FROM p) AS rank
+        |  FROM (SELECT DISTINCT src FROM e)),
+        |r1 AS (SELECT ed.dst AS v,
+        |    (15 * 1000000000000) // (100 * (SELECT n FROM p))
+        |      + (85 * sum(r0.rank // ed.deg)) // 100 AS rank
+        |  FROM ed JOIN r0 ON r0.v = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT ed.dst AS v,
+        |    (15 * 1000000000000) // (100 * (SELECT n FROM p))
+        |      + (85 * sum(r1.rank // ed.deg)) // 100 AS rank
+        |  FROM ed JOIN r1 ON r1.v = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT ed.dst AS v,
+        |    (15 * 1000000000000) // (100 * (SELECT n FROM p))
+        |      + (85 * sum(r2.rank // ed.deg)) // 100 AS rank
+        |  FROM ed JOIN r2 ON r2.v = ed.src GROUP BY ed.dst)
+        |SELECT v AS vertex, CAST(rank AS BIGINT) AS rank_fp,
+        |  CAST(rank AS DOUBLE) / 1e12 AS rank
+        |FROM r3 ORDER BY rank_fp DESC, vertex LIMIT 20""".stripMargin,
+
+    // g2: edges oriented small→large make each triangle enumerable
+    // exactly once; counts are integers, bit-identical across engines.
+    "g2_triangles" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+        |t AS (SELECT count(*) AS n_triangles
+        |  FROM e xy JOIN e yz ON xy.pb = yz.pa
+        |  WHERE EXISTS (SELECT 1 FROM e xz
+        |    WHERE xz.pa = xy.pa AND xz.pb = yz.pb)),
+        |nv AS (SELECT count(DISTINCT v) AS n_vertices FROM (
+        |  SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT nv.n_vertices, ne.n_edges, t.n_triangles
+        |FROM t, nv, ne""".stripMargin,
 
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and

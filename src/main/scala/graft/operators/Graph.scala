@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relations the warehouse already holds — the
+  * rung a data platform climbs after joins and windows: centrality
+  * (who matters in the trade network) and clustering (how cliquish is
+  * co-purchase behavior). Both operators are EXACT and engine-
+  * identical, so they carry full DuckDB oracles:
+  *
+  *   - g1 PageRank runs in FIXED-POINT integer arithmetic (ranks are
+  *     bigint micro-units, damping is `85 * x div 100`), the m6/m7
+  *     verification strategy applied to an iterative algorithm —
+  *     bigint sums are exact and associative, integer division
+  *     truncates identically in Spark (`div`) and DuckDB (`//`) for
+  *     non-negative values, so three unrolled iterations stay
+  *     bit-identical across engines where a double-valued PageRank
+  *     would drift past the 9-digit gate on merge order alone.
+  *   - g2 triangle counting orients every edge small-id → large-id,
+  *     which makes each triangle countable exactly once with two
+  *     joins — the standard distributed formulation.
+  *
+  * Spark-first shape: the graph IS a DataFrame of edges; iterations
+  * are self-joins + aggregations that Catalyst plans as ordinary
+  * shuffle joins, with AQE free to pick broadcast/skew handling per
+  * iteration. No driver-side adjacency structures, no vertex collect.
+  */
+object Graph {
+
+  /** The customer–supplier trade graph: an UNDIRECTED edge per distinct
+    * (customer, supplier) pair that ever traded (orders ⋈ lineitem).
+    * Vertex ids are disjoint by prefix ('c' / 's'); the returned
+    * relation is symmetrized (both directions materialized), so every
+    * vertex has in-degree = out-degree ≥ 1 and PageRank needs no
+    * dangling-mass term.
+    *
+    * Scale posture: the orders ⋈ lineitem join is the fact-fact equi
+    * join every TPC-H engine shuffles on orderkey; the distinct is one
+    * more shuffle on the (src, dst) pair, bounded by the number of
+    * distinct trading relationships (≪ lineitems).
+    */
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      concat(lit("c"), col("o_custkey")).as("cv"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      concat(lit("s"), col("l_suppkey")).as("sv"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cv").as("src"), col("sv").as("dst")).distinct()
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** g1 — PageRank over the trade graph, `iters` unrolled iterations
+    * at damping 0.85, top `topK` vertices by final rank.
+    *
+    * Fixed-point design (the cross-engine-exactness contract): ranks
+    * live in micro-units of 1e-12 (`Scale`). With N vertices,
+    *
+    *   r0(v)     = Scale div N
+    *   r_{k+1}(v) = (15·Scale) div (100·N)
+    *              + (85 · Σ_{u→v} (r_k(u) div deg(u))) div 100
+    *
+    * Every operation is bigint arithmetic on non-negative values, so
+    * Spark and DuckDB produce the SAME bits regardless of aggregation
+    * merge order — a double-valued formulation would straddle the
+    * verify gate's 9th digit on high-in-degree vertices. The
+    * truncation error is < 1e-12 per term, orders of magnitude below
+    * anything a ranking consumer can observe. The symmetrized edge
+    * relation guarantees no dangling vertices (every vertex has
+    * out-edges) and no rankless vertices (every vertex has in-edges,
+    * so the per-iteration groupBy covers all N).
+    *
+    * Scale posture: per iteration, one shuffle join (ranks ⋈ edges on
+    * src) and one aggregation shuffle on dst — the textbook
+    * distributed PageRank data flow; the loop-invariant edges⋈degree
+    * relation is computed once and cached. The only driver-side value
+    * is N (a count), needed as a literal in the rank seed. A fixed
+    * small iteration budget is deliberate: each iteration is a full
+    * pass over the edge relation, and 3 iterations already separate
+    * the hub vertices; production tuning raises `iters`, not the
+    * algorithm.
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3,
+      topK: Int = 20): DataFrame =
+    pageRankOver(tradeEdges(s, dir), iters, topK)
+
+  private val Scale = 1000000000000L // 1e-12 rank micro-units
+
+  /** The edge-relation form for spec-planted graphs. `edges` must be
+    * symmetrized: (src, dst) string columns, both directions present.
+    */
+  private[graft] def pageRankOver(edges: DataFrame, iters: Int,
+      topK: Int): DataFrame = {
+    // ONE pass builds the edge relation; the degree relation doubles as
+    // the vertex relation (symmetrized ⇒ every vertex has out-edges),
+    // so N and the rank seed need no extra distinct shuffle.
+    val e = edges.persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count() // materializes e + deg
+    val base = (15L * Scale) / (100L * n) // Scala Long div == floor (n>0)
+    // loop-invariant: every iteration streams this same relation,
+    // assembled from the two cached inputs
+    val edeg = e.join(deg, "src").persist()
+    var rank: DataFrame =
+      deg.select(col("src").as("v"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      // ranks are 2 columns × |V| rows — broadcast them over the cached
+      // edge relation so no iteration re-shuffles edges; the only
+      // per-iteration shuffle is the partial-aggregated contribution
+      // combine on dst. At billion-vertex scale, drop the broadcast
+      // hint: edeg is already hash-partitioned by src from the degree
+      // join, so a shuffled join moves only the vertex-sized rank side.
+      rank = edeg.join(broadcast(rank), edeg("src") === rank("v"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("v"),
+          (lit(base) + expr(s"85 * c div 100")).as("rank"))
+    }
+    // edeg stays persisted for the caller's execution (verify/bench end
+    // each query with clearCache(), the operator-cache lifecycle here)
+    rank
+      .orderBy(col("rank").desc, col("v"))
+      .limit(topK)
+      .select(col("v").as("vertex"), col("rank").as("rank_fp"),
+        (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** The part co-purchase graph: an undirected edge between two parts
+    * that appear in the SAME order, oriented small-key → large-key and
+    * deduplicated. Per-order pair generation is quadratic only in
+    * lines-per-order (TPC-H: ≤ 7), so the edge relation stays linear
+    * in orders at any corpus size — the projection that IS safe, in
+    * contrast to projecting customers over shared suppliers (hub
+    * suppliers would go quadratic).
+    */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = l.select(col("ok"), col("pk").as("pa"))
+    val b = l.select(col("ok"), col("pk").as("pb"))
+    a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+  }
+
+  /** g2 — exact triangle count of the co-purchase graph, plus the
+    * vertex and edge counts that contextualize it (the global
+    * clustering numerator a basket-analysis pipeline tracks over
+    * time).
+    *
+    * Every edge is stored once, oriented pa < pb, so a triangle
+    * {x < y < z} is found exactly once: join edges (x,y) ⋈ (y,z) on
+    * the shared middle vertex, then semi-join the closing edge (x,z).
+    * Two shuffle joins over the oriented edge relation — the standard
+    * distributed triangle enumeration; orientation bounds the join
+    * fan-out by out-degree, which the small→large rule keeps balanced.
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCountOver(copurchaseEdges(s, dir))
+
+  /** The edge-relation form for spec-planted graphs. `edges` must be
+    * canonical (pa < pb) and distinct.
+    *
+    * Enumeration runs over a DEGREE-ORDERED re-orientation (smaller
+    * (degree, id) endpoint first — the compact-forward algorithm):
+    * each triangle has exactly one vertex from which both its lesser
+    * edges point, and that vertex's out-degree is O(√m) by the
+    * orientation, so the wedge join fans out Σ C(outdeg, 2) =
+    * O(m^1.5) instead of Σ deg² — the difference between a join that
+    * survives hub vertices (a part in thousands of orders) and one
+    * that goes quadratic on them. The count is orientation-invariant,
+    * so the id-oriented DuckDB oracle checks the same number.
+    */
+  private[graft] def triangleCountOver(edges: DataFrame): DataFrame = {
+    val canon = edges.persist()
+    val deg = canon.select(col("pa").as("v"))
+      .union(canon.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // re-orient by (degree, id); carry the dst's order key for the
+    // wedge-side comparison below
+    val lesser =
+      struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+    val o = canon
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(
+        when(lesser, col("pa")).otherwise(col("pb")).as("src"),
+        when(lesser, col("pb")).otherwise(col("pa")).as("dst"))
+      .persist()
+    // edge-iterator count: a triangle {a ≺ b ≺ c} is found exactly once
+    // at its oriented edge (a, b), as c ∈ N⁺(a) ∩ N⁺(b). Joining the
+    // per-vertex out-neighbor ARRAYS onto each edge keeps the work at
+    // Σ_e (|N⁺(u)|+|N⁺(v)|) codegen'd in-core comparisons — no
+    // wedge-row materialization (the wedge self-join form produces
+    // Σ outdeg² rows before its closing semi join: 72M at sf0.1,
+    // measured ~2× slower end-to-end, and the gap widens with degree).
+    val adj = o.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val tris = o
+      .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")),
+        Seq("dst"), "left")
+      .select(size(array_intersect(
+        col("na"), coalesce(col("nb"), array()))).as("k"))
+      .agg(coalesce(sum(col("k")), lit(0)).cast("long").as("n_triangles"))
+    // context stats: vertex count over both endpoints, edge count
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    tris.crossJoin(canon.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nv)
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Independent fixed-point PageRank in plain Scala Long arithmetic —
+    * the same recurrence the operator documents, computed sequentially
+    * so the distributed plumbing is what the comparison exercises.
+    */
+  private def referencePr(edges: Seq[(String, String)], iters: Int)
+      : Map[String, Long] = {
+    val sym = edges ++ edges.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vs = sym.map(_._1).distinct.sorted
+    val n = vs.size.toLong
+    val scale = 1000000000000L
+    val base = (15L * scale) / (100L * n)
+    var r = vs.map(v => v -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2)
+      r = vs.map { v =>
+        val s = in(v).map { case (u, _) => r(u) / deg(u) }.sum
+        v -> (base + (85L * s) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("g1 planted: distributed fixed-point ranks equal the sequential fold exactly") {
+    import spark.implicits._
+    // star (x hub) + a pendant path: asymmetric degrees exercise the
+    // div-by-degree and the hub should out-rank the leaves
+    val undirected =
+      Seq(("x", "a"), ("x", "b"), ("x", "c"), ("c", "d"))
+    val sym = (undirected ++ undirected.map(_.swap))
+      .toDF("src", "dst")
+    val got = Graph.pageRankOver(sym, iters = 3, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referencePr(undirected, 3)
+    assert(got === want, s"got $got want $want")
+    // hub dominates; pendant leaf is weakest
+    val top = Graph.pageRankOver(sym, iters = 3, topK = 1).collect()
+    assert(top.head.getString(0) === "x")
+  }
+
+  test("g1 on the corpus: full rank coverage, ordered output, sane mass") {
+    val rows = Graph.pageRank(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val fps = rows.map(_.getLong(1))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b }, "not desc")
+    // every rank positive and below total mass; double column consistent
+    assert(fps.forall(f => f > 0 && f < 1000000000000L))
+    rows.foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1).toDouble / 1e12)
+    }
+  }
+
+  test("g2 planted: one triangle plus a dangling edge counts exactly once") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("pa", "pb")
+    val r = Graph.triangleCountOver(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 4L, 1L)))
+  }
+
+  test("g2 planted: K4 has four triangles") {
+    import spark.implicits._
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = (for { a <- vs; b <- vs if a < b } yield (a, b))
+      .toDF("pa", "pb")
+    val r = Graph.triangleCountOver(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 6L, 4L)))
+  }
+
+  test("g2 on the corpus: stats are internally consistent") {
+    val r = Graph.triangleCount(spark, sfDir).collect().head
+    val (nv, ne, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv > 0 && ne > 0 && nt >= 0)
+    // triangles are bounded by the wedge count upper bound ne*(ne-1)/2
+    assert(nt <= ne * (ne - 1) / 2)
+  }
+}

@@ -211,4 +211,26 @@ class PlanChecksSpec extends AnyFunSuite {
     val (bd, sd, hd, nd) = PlanChecks.joinCounts(d24)
     assert(bd + sd + hd + nd === 0)
   }
+
+  test("graph ops: g1 broadcasts ranks per iteration, neither plans a nested loop") {
+    spark.catalog.clearCache()
+    // g1: each of the 3 iterations joins the vertex-sized rank relation
+    // onto the cached edge relation via BROADCAST — the edges are never
+    // re-shuffled inside the loop
+    val g1 = graft.operators.Graph.pageRank(spark, sfDir)
+    assert(PlanChecks.hasBroadcastJoin(g1))
+    assert(!PlanChecks.hasBroadcastNestedLoop(g1))
+    assert(!PlanChecks.executedPlan(g1).contains("CartesianProduct"))
+    spark.catalog.clearCache()
+    // g2: orientation + adjacency joins are all equi-keyed (hash/merge);
+    // the only nested-loop joins are the final 1-row × 1-row stat
+    // stitches, bounded by construction
+    // (the orientation joins live inside the persisted relation's
+    // cached plan; the visible ones are the two adjacency joins)
+    val g2 = graft.operators.Graph.triangleCount(spark, sfDir)
+    val (gb, gs, gh, gn) = PlanChecks.joinCounts(g2)
+    assert(gb + gs + gh >= 2, s"equi joins: $gb+$gs+$gh")
+    assert(gn <= 2, s"nested-loop joins beyond the 1-row stitches: $gn")
+    spark.catalog.clearCache()
+  }
 }
