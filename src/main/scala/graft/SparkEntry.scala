@@ -262,6 +262,9 @@ object SparkEntry {
     // Count-Min frequency sketch — deterministic hashes, so unlike the
     // HLL (q27) it carries a full bit-identical DuckDB oracle
     "t25_countmin" -> (TextAnalysis.countMin(_, _)),
+    // Flesch / Flesch–Kincaid readability: integer counts + one double
+    // formula per doc — engine-identical, shuffle-free scan
+    "t26_readability" -> (TextAnalysis.readability(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -332,6 +335,9 @@ object SparkEntry {
     // Output shard manifest: deterministic hash sharding + per-shard
     // doc/byte totals (the write-side planning step)
     "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
+    // Eval-side contamination report: per benchmark doc, the fraction
+    // of its shingles found in the training corpus (zero rows kept)
+    "d25_contamination_report" -> (CorpusOps.contaminationReport(_, _)),
     // Perceptual (average-hash) payload signature — integer-exact
     // mean-threshold bits, full DuckDB oracle (m6's positional style)
     "m7_media_phash"        -> (Multimodal.mediaPHash(_, _)),
@@ -1332,6 +1338,55 @@ object SparkEntry {
         |  CAST(min(cn) - qc.n AS BIGINT) AS overcount
         |FROM qc JOIN cells ON qc.r = cells.r AND qc.cell = cells.cell
         |GROUP BY qc.tok, qc.n ORDER BY exact_n DESC, tok""".stripMargin,
+
+    // t26: the three counts are integers (tokens / [.!?]+ runs /
+    // per-word [aeiouy]+ vowel groups, each floored at 1) and each
+    // score is one double expression over them — engine-identical.
+    "t26_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS INT) AS n_sentences,
+        |    CAST(list_sum(list_transform(toks, x ->
+        |      greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d WHERE len(toks) >= 1)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch,
+        |  0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |    - 15.59 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // d25: same shingle convention as d11, reversed direction — report
+    // rows for EVERY eval doc, zero-overlap included.
+    "d25_contamination_report" ->
+      """WITH words AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |      ELSE [] END) AS t
+        |  FROM words),
+        |train AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(t) AS g FROM sh WHERE doc_id % 20 <> 0) u),
+        |ex AS (SELECT doc_id, unnest(t) AS g FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hit
+        |  FROM ex JOIN train USING (g) GROUP BY doc_id)
+        |SELECT e.doc_id, CAST(len(e.t) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN len(e.t) = 0 THEN 0.0
+        |    ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(e.t)
+        |  END AS contamination
+        |FROM sh e LEFT JOIN hits h USING (doc_id)
+        |WHERE e.doc_id % 20 = 0
+        |ORDER BY e.doc_id""".stripMargin,
 
     // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
     // the DuckDB mirror is bit-identical by construction — the same

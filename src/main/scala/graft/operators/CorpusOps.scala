@@ -589,4 +589,41 @@ object CorpusOps {
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("shard_id"))
+
+  /** d25 — eval-side contamination REPORT: for every benchmark document
+    * (the same doc_id % benchMod == 0 slice d11 uses), what fraction of
+    * its distinct word-3-gram shingles appears ANYWHERE in the training
+    * corpus. d11 answers the curation question (which training docs to
+    * drop); this answers the eval-integrity question an evaluation
+    * owner asks before trusting a score — including the ZERO-overlap
+    * rows d11's join drops, because "this eval doc is clean" is the
+    * point of the report.
+    *
+    * Scale posture: the direction d11's broadcast cannot serve — here
+    * the TRAINING side is the haystack. The train corpus is scanned
+    * ONCE, probing the broadcast eval shingle relation (eval sets are
+    * MBs); matches are cut to distinct (eval_doc, shingle) pairs — an
+    * eval shingle counts once no matter how many train docs contain
+    * it — and that dedup shuffle is bounded by the eval shingle count,
+    * never by corpus size. No shuffle of train shingles at any point.
+    */
+  def contaminationReport(s: SparkSession, dir: String,
+      benchMod: Int = DefaultBenchMod): DataFrame = {
+    val docs = docShinglesCached(s, dir)
+    val eval = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+    val evalSh = eval.select(col("doc_id"), explode(col("sh")).as("g"))
+    val trainSh = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .select(explode(col("sh")).as("g"))
+    val hits = trainSh.join(broadcast(evalSh), Seq("g"))
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    eval.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
 }

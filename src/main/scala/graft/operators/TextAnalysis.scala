@@ -1032,4 +1032,46 @@ object TextAnalysis {
         (col("cm_est") - col("exact_n")).as("overcount"))
       .orderBy(col("exact_n").desc, col("tok"))
   }
+
+  /** t26 — readability scoring: Flesch reading ease and Flesch–Kincaid
+    * grade per document, the classic curation signal next to t3's
+    * heuristic quality score (too-hard and too-degenerate documents
+    * both hurt a pretraining mix).
+    *
+    * The three counts are deterministic integer features — words
+    * (whitespace tokens), sentences (runs of [.!?], floored at 1),
+    * syllables (per-word vowel-group count [aeiouy]+, floored at 1 per
+    * word — the standard heuristic when no pronunciation dictionary is
+    * in play) — and each formula is then a single double expression
+    * over those integers, so results are engine-identical with no
+    * aggregation-order hazard.
+    *
+    * Scale posture: one shuffle-free codegen'd scan; the per-word
+    * syllable fold is a HOF over the materialized token array (NOT a
+    * re-tokenizing lambda — the shinglesFromTokens gotcha).
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityFrom(Tables.documents(s, dir))
+
+  /** The two-relation form for spec-planted corpora. */
+  private[graft] def readabilityFrom(docs: DataFrame): DataFrame = {
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+          .as("n_sentences"),
+        aggregate(
+          transform(col("toks"),
+            t => greatest(lit(1), regexp_count(t, lit("[aeiouy]+")))),
+          lit(0L), (a, x) => a + x).as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
 }

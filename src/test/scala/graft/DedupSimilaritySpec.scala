@@ -205,6 +205,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache() // both operators cache shingle tables
   }
 
+  test("d25 contamination report covers every eval doc and agrees with d11's direction") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.operators.CorpusOps.contaminationReport(spark, sfDir)
+      .collect()
+    // full coverage: one row per doc_id % 20 == 0 document, zero rows kept
+    val nEval = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 20 === 0).count()
+    assert(rep.length === nEval)
+    rep.foreach { r =>
+      val (n, h, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0 && h <= n, r.toString)
+      assert(c >= 0.0 && c <= 1.0, r.toString)
+      if (n > 0) assert(math.abs(c - h.toDouble / n) < 1e-12)
+    }
+    // cross-check vs d11: some train doc is flagged iff some eval doc
+    // has a hit (both report the same overlap relation's two sides)
+    val anyTrainFlagged =
+      graft.operators.CorpusOps.decontaminate(spark, sfDir).count() > 0
+    val anyEvalHit = rep.exists(_.getLong(2) > 0)
+    assert(anyTrainFlagged === anyEvalHit)
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup keeps every distinct document once") {
     val d = Dedup.exactDedup(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()

@@ -443,6 +443,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === firstDoc.size.toLong)
   }
 
+  test("t26 readability: planted doc yields the hand-computed scores") {
+    import spark.implicits._
+    // tokens: [the, cat, sat., it, ran!] -> 5 words; [.!?]+ runs: 2
+    // sentences; vowel groups: 1+1+1+1+1 = 5 syllables
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "   ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readabilityFrom(docs).collect()
+    assert(got.length === 1) // the all-whitespace doc is filtered
+    val r = got.head
+    assert((r.getInt(1), r.getInt(2), r.getLong(3)) === ((5, 2, 5L)))
+    assert(math.abs(r.getDouble(4) -
+      (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(5) -
+      (0.39 * 2.5 + 11.8 * 1.0 - 15.59)) < 1e-12)
+  }
+
+  test("t26 readability on the corpus: counts coherent on every row") {
+    val rows = graft.operators.TextAnalysis.readability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(2) >= 1)
+      assert(r.getLong(3) >= r.getInt(1)) // >= one syllable per word
+    }
+  }
+
   test("t25 count-min: estimates never under-count; exact when width is ample") {
     // ample width on the real corpus: estimates are one-sided
     val rows = graft.operators.TextAnalysis.countMin(spark, sfDir).collect()
