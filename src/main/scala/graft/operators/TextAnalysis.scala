@@ -1004,6 +1004,31 @@ object TextAnalysis {
       width: Int = 512, topK: Int = 20): DataFrame =
     countMinFrom(Tables.documents(s, dir), depth, width, topK)
 
+  /** The Count-Min cell for hash row `r` and token `tok` — the ONE
+    * definition the batch build, the streaming build, and the DuckDB
+    * oracle mirror all share. */
+  private def cmCell(width: Int)(r: Column, tok: Column): Column =
+    pmod(hash64(concat(lit("cm"), r.cast("string"), lit("_"), tok)),
+      lit(width)).cast("int")
+
+  /** Streaming Count-Min: the same `depth × width` sketch maintained
+    * over a live document feed. Cell values are order-independent sums,
+    * so the stream's sketch after any prefix EQUALS the batch sketch of
+    * that prefix — an exact parity the spec asserts, not a
+    * within-error bound like the streaming HLL (w8). State is the
+    * fixed 2,048-cell aggregate regardless of feed volume — the whole
+    * point of giving the monitor a sketch instead of a (tok, count)
+    * table whose state grows with the vocabulary.
+    */
+  def countMinStream(streamDocs: DataFrame, depth: Int = 4,
+      width: Int = 512): DataFrame =
+    streamDocs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cmCell(width)(col("r"), col("tok")).as("cell"))
+      .agg(count(lit(1)).as("cn"))
+
   /** The two-relation form — spec-planted corpora use a tiny `width`
     * to force collisions and exercise the over-count guarantee. */
   private[graft] def countMinFrom(docs: DataFrame, depth: Int = 4,
@@ -1012,9 +1037,7 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .persist() // vocab-sized; feeds the sketch AND the probe set
-    def cell(r: Column, tok: Column): Column =
-      pmod(hash64(concat(lit("cm"), r.cast("string"), lit("_"), tok)),
-        lit(width)).cast("int")
+    val cell = cmCell(width) _
     val sketch = counts
       .select(col("tok"), col("n"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))

@@ -215,6 +215,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotSet() === want)
   }
 
+  test("streaming count-min sketch equals the batch sketch cell-for-cell") {
+    // Cell values are order-independent sums, so the streaming sketch
+    // is EXACTLY the batch sketch — the same transformation applied to
+    // a readStream relation, with state bounded at depth × width.
+    val docs = Tables.documents(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "cmstream").toString
+    docs.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+    val out = graft.operators.TextAnalysis.countMinStream(stream)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("cm_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("cm_out")
+    assert(got.count() > 0 && got.count() <= 4 * 512)
+    val want = graft.operators.TextAnalysis.countMinStream(docs)
+    val j = got.as("g").join(want.as("b"), Seq("r", "cell"), "full_outer")
+    assert(j.filter(col("g.cn").isNull || col("b.cn").isNull ||
+      col("g.cn") =!= col("b.cn")).count() === 0)
+  }
+
   test("streaming decontamination equals batch d11 row-for-row") {
     // Static broadcast of the benchmark shingle set against a readStream
     // corpus — the continuous-ingest form of d11_decontaminate.
