@@ -265,6 +265,9 @@ object SparkEntry {
     // Flesch / Flesch–Kincaid readability: integer counts + one double
     // formula per doc — engine-identical, shuffle-free scan
     "t26_readability" -> (TextAnalysis.readability(_, _)),
+    // Sentence-aware soft-cap chunking (RAG/context prep); packing is
+    // integer arithmetic so chunks + text are engine-identical
+    "t27_sentence_chunks" -> (TextAnalysis.sentenceChunks(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1362,6 +1365,31 @@ object SparkEntry {
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
         |    - 15.59 AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // t27: sentence split + integer soft-cap packing — chunk ids,
+    // counts, and the ORDER-BY-rebuilt chunk text are all
+    // engine-identical.
+    "t27_sentence_chunks" ->
+      """WITH parts AS (SELECT doc_id,
+        |    string_split_regex(text, '[.!?]+') AS ps FROM documents),
+        |s0 AS (SELECT doc_id, i AS sidx, trim(ps[i]) AS sent
+        |  FROM parts, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i)),
+        |s1 AS (SELECT doc_id, sidx, sent,
+        |    len(list_filter(string_split_regex(lower(sent), '\s+'),
+        |      x -> x <> '')) AS ntok
+        |  FROM s0),
+        |s2 AS (SELECT doc_id, sidx, sent, ntok,
+        |    coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY sidx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM s1 WHERE ntok > 0),
+        |s3 AS (SELECT doc_id, sidx, sent, ntok,
+        |    CAST(cum // 48 AS INT) AS chunk_id FROM s2)
+        |SELECT doc_id, chunk_id,
+        |  CAST(count(*) AS INT) AS n_sentences,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  string_agg(sent, ' ' ORDER BY sidx) AS chunk_text
+        |FROM s3 GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // d25: same shingle convention as d11, reversed direction — report
     // rows for EVERY eval doc, zero-overlap included.

@@ -1056,6 +1056,49 @@ object TextAnalysis {
       .orderBy(col("exact_n").desc, col("tok"))
   }
 
+  /** t27 — sentence-aware chunking: split each document at sentence
+    * boundaries ([.!?]+ runs), then pack consecutive sentences into
+    * chunks under a SOFT `cap`-token budget — the retrieval/context
+    * preparation that t21's fixed token windows can't provide when
+    * chunks must not cut a sentence mid-way. The packing rule is
+    * chunk_id = (tokens before this sentence) div cap: deterministic
+    * integer arithmetic, so chunk membership, counts, and the joined
+    * chunk text are engine-identical (a chunk may exceed cap by at
+    * most one sentence — the documented soft-cap semantics; a hard cap
+    * would have to split sentences, which defeats the operator).
+    *
+    * Scale posture: one scan; the per-doc window for the running token
+    * total and the chunk-group aggregate both shuffle on doc_id only.
+    * Chunk text is rebuilt with sort_array over (sidx, sentence)
+    * structs — collect_list order is NOT deterministic under shuffle,
+    * the sort is what makes the output stable.
+    */
+  def sentenceChunks(s: SparkSession, dir: String, cap: Int = 48): DataFrame =
+    sentenceChunksFrom(Tables.documents(s, dir), cap)
+
+  /** The two-relation form for spec-planted corpora. */
+  private[graft] def sentenceChunksFrom(docs: DataFrame,
+      cap: Int = 48): DataFrame = {
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("sidx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), "[.!?]+")))
+      .select(col("doc_id"), col("pos").as("sidx"), trim(col("col")).as("sent"))
+      .select(col("doc_id"), col("sidx"), col("sent"),
+        size(tokens(col("sent"))).as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("cum",
+        coalesce(sum(col("ntok")).over(wCum), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum div ${cap}").cast("int"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).cast("int").as("n_sentences"),
+        sum(col("ntok")).as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("sidx"), col("sent")))),
+          x => x.getField("sent")), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** t26 — readability scoring: Flesch reading ease and Flesch–Kincaid
     * grade per document, the classic curation signal next to t3's
     * heuristic quality score (too-hard and too-degenerate documents

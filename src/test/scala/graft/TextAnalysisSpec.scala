@@ -467,6 +467,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t27 sentence chunks: planted doc packs on sentence boundaries under the soft cap") {
+    import spark.implicits._
+    // sentences of 3/3/2/4 tokens; cap 6 → cum-before 0,3,6,8 →
+    // chunk ids 0,0,1,1
+    val docs = Seq(
+      (1L, "one two three. four five six! seven eight? nine ten eleven twelve."),
+      (2L, "!!!")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.sentenceChunksFrom(docs, cap = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0, 2, 6L, "one two three four five six"),
+      (1L, 1, 2, 6L, "seven eight nine ten eleven twelve")), got.toSeq)
+  }
+
+  test("t27 on the corpus: every chunk id is the prefix token sum div cap") {
+    val rows = graft.operators.TextAnalysis.sentenceChunks(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a chunk's id is exactly floor(tokens-in-previous-chunks / cap) —
+    // the packing rule reconstructed from the output alone
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      var prefix = 0L
+      cs.sortBy(_._2).foreach { case (_, cid, ns, nt) =>
+        assert(ns >= 1 && nt >= 1)
+        assert(cid === prefix / 48, s"cid $cid prefix $prefix")
+        prefix += nt
+      }
+    }
+  }
+
   test("t25 count-min: estimates never under-count; exact when width is ample") {
     // ample width on the real corpus: estimates are one-sided
     val rows = graft.operators.TextAnalysis.countMin(spark, sfDir).collect()
