@@ -400,6 +400,9 @@ object SparkEntry {
     // deterministic greedy over distributed-computed cosines -> full
     // unrolled-CTE oracle (shortlist-side dual of d17's drop rule)
     "s15_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
+    // JL ±1 random projection 64 -> 16 dims (pre-ANN compression);
+    // left-assoc double chains -> bit-identical, full oracle
+    "s17_jl_project" -> (Similarity.jlProject(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -1341,6 +1344,10 @@ object SparkEntry {
         |  CAST(min(cn) - qc.n AS BIGINT) AS overcount
         |FROM qc JOIN cells ON qc.r = cells.r AND qc.cell = cells.cell
         |GROUP BY qc.tok, qc.n ORDER BY exact_n DESC, tok""".stripMargin,
+
+    // s17: generated from the SAME baked sign matrix as the Spark
+    // expression (see Similarity.jlOracleSql) — the sides cannot drift.
+    "s17_jl_project" -> Similarity.jlOracleSql(),
 
     // t26: the three counts are integers (tokens / [.!?]+ runs /
     // per-word [aeiouy]+ vowel groups, each floored at 1) and each

@@ -1278,4 +1278,88 @@ object Similarity {
     out.sortBy(t => (t._1, t._2))
       .toDF("query_id", "rank", "neighbor_id", "cos", "mmr")
   }
+
+  // ── s17: Johnson–Lindenstrauss random projection ───────────────────────
+
+  /** The ±1 sign matrix for the JL projection, derived from the repo's
+    * md5 hash convention (`hash64("jl<j>_<d>") mod 2`) so it is a
+    * DATA-INDEPENDENT constant both engines can agree on without
+    * evaluating any hash at query time — the signs are baked into the
+    * Spark expression and the oracle SQL as literals. No coordination,
+    * no stored projection matrix: any worker (or engine) rebuilds the
+    * same matrix from the convention — the practical point of
+    * hash-derived projections at cluster scale.
+    */
+  private[graft] def jlSigns(kDim: Int, dim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(kDim, dim) { (j, d) =>
+      val hex = md.digest(s"jl${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** s17 — JL random projection (Achlioptas 2003, database-friendly
+    * ±1 entries): project every embedding 64 → `kDim` dims,
+    * y_j = (Σ_d s_jd · x_d) / √kDim. The 4× dimension cut is the
+    * standard pre-ANN compression rung between raw vectors and the
+    * s8/s10 quantizers, with pairwise distances preserved in
+    * expectation (spec-gated on this corpus).
+    *
+    * Cross-engine exactness: each component is a LEFT-ASSOCIATIVE
+    * chain of double adds/subtracts over the casted floats — the
+    * fold order is pinned by the expression tree on the Spark side
+    * and by explicit `+`/`-` chains in the oracle, so the doubles are
+    * bit-identical (no aggregation, no merge order in play).
+    *
+    * Scale posture: map-only — one shuffle-free codegen'd projection;
+    * the output is the relation an ANN index build then consumes.
+    */
+  def jlProject(s: SparkSession, dir: String, kDim: Int = 16): DataFrame =
+    jlProjectFrom(Tables.embeddings(s, dir), kDim)
+
+  /** The two-relation form over any (vec_id, embedding) relation. */
+  private[graft] def jlProjectFrom(e: DataFrame, kDim: Int = 16): DataFrame = {
+    val dim = 64
+    val signs = jlSigns(kDim, dim)
+    val scale = math.sqrt(kDim.toDouble)
+    val comps = (0 until kDim).map { j =>
+      val terms = (0 until dim).map { d =>
+        val x = element_at(col("embedding"), d + 1).cast("double")
+        if (signs(j)(d) > 0) x else -x
+      }
+      (terms.reduceLeft(_ + _) / lit(scale)).as(s"v$j")
+    }
+    e.select(col("vec_id") +: comps: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until kDim).map(j => col(s"v$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("proj_dim"),
+        col("col").as("value"))
+      .orderBy(col("vec_id"), col("proj_dim"))
+  }
+
+  /** The oracle SQL for s17, generated from the SAME baked sign matrix
+    * so the two sides cannot drift (lives here rather than inline in
+    * SparkEntry because the sign literals are code, not prose).
+    */
+  private[graft] def jlOracleSql(kDim: Int = 16): String = {
+    val dim = 64
+    val signs = jlSigns(kDim, dim)
+    val comps = (0 until kDim).map { j =>
+      val terms = (0 until dim).map { d =>
+        val op = if (d == 0) { if (signs(j)(d) > 0) "" else "-" }
+        else { if (signs(j)(d) > 0) " + " else " - " }
+        s"${op}CAST(embedding[${d + 1}] AS DOUBLE)"
+      }.mkString
+      s"($terms) / sqrt(${kDim}.0) AS v$j"
+    }.mkString(",\n    ")
+    val list = (0 until kDim).map(j => s"v$j").mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT vec_id,
+       |    $comps
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(u.j AS INT) AS proj_dim,
+       |  $list[u.j + 1] AS value
+       |FROM c, (SELECT unnest(range($kDim)) AS j) u
+       |ORDER BY vec_id, proj_dim""".stripMargin
+  }
 }

@@ -892,4 +892,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sorted.map(_._3).distinct.length === k, s"query $q dup pick")
     }
   }
+
+  test("s17 JL projection preserves norms in expectation and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val proj = graft.operators.Similarity.jlProject(spark, sfDir)
+    val rows = proj.collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length === n * 16) // 16 components per vector, none lost
+    // E[||y||^2] = ||x||^2 for ±1/√k entries; over 64 source dims the
+    // per-vector ratio concentrates — corpus MEAN must sit tight
+    val projNorm = proj.groupBy(col("vec_id"))
+      .agg(sum(col("value") * col("value")).as("p2"))
+    val origNorm = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("x2"))
+    val ratio = projNorm.join(origNorm, Seq("vec_id"))
+      .filter(col("x2") > 0)
+      .agg(avg(col("p2") / col("x2"))).head().getDouble(0)
+    assert(ratio > 0.85 && ratio < 1.15, s"mean norm ratio $ratio")
+    // deterministic: the baked sign matrix yields identical output
+    assert(proj.collect().toSeq === rows.toSeq)
+  }
 }
