@@ -83,10 +83,13 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d22_curation_pipeline", "d23_cross_dedup", "d24_shard_manifest",
     "t24_novelty", "docs_jsonl_ingest",
     "t19_ccnet_buckets", "t20_dsir_weights",
+    "t25_countmin", "t26_readability", "t27_sentence_chunks",
+    "d25_contamination_report",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
     "m4_resize", "m5_media_dedup", "m6_audio_energy",
-    "m7_media_phash", "m8_media_phash_pairs")
+    "m7_media_phash", "m8_media_phash_pairs",
+    "m9_shot_boundaries", "m10_vad_segments")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>
@@ -107,7 +110,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
         "s5_centroids", "s6_kmeans_assign", "s7_kmeans_iter",
         "s8_quantize_int8", "s9_dequantized_topk", "s10_pq_topk",
         "s11_radius_search", "s12_kcenter_coreset", "s13_ivfpq_topk",
-        "s14_ivf_persisted_topk", "s15_mmr_rerank",
+        "s14_ivf_persisted_topk", "s15_mmr_rerank", "s16_ivf_knn_join",
+        "s17_jl_project",
         "d6_embedding_dedup", "d13_embedding_clusters", "d17_semantic_dedup")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()
