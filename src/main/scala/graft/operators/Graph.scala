@@ -43,10 +43,14 @@ object Graph {
     * distinct trading relationships (≪ lineitems).
     */
   private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    // vertex ids stay LONG through every join/aggregate (2k customers,
+    // 2k+1 suppliers — disjoint by parity); the 'c…'/'s…' display form
+    // is rendered only on the final top-k rows. String keys here cost
+    // ~2× on the build's distinct + degree shuffles (measured).
     val o = Tables.orders(s, dir).select(col("o_orderkey"),
-      concat(lit("c"), col("o_custkey")).as("cv"))
+      (col("o_custkey") * 2).as("cv"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
-      concat(lit("s"), col("l_suppkey")).as("sv"))
+      (col("l_suppkey") * 2 + 1).as("sv"))
     val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("cv").as("src"), col("sv").as("dst")).distinct()
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -84,15 +88,26 @@ object Graph {
     */
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,
       topK: Int = 20): DataFrame =
-    pageRankOver(tradeEdges(s, dir), iters, topK)
+    pageRankOver(tradeEdges(s, dir), iters)
+      // vertex ids render to their display form only here; ordering is
+      // on the RENDERED id so the oracle's tie-break matches
+      .select(
+        when(pmod(col("v"), lit(2)) === 0,
+          concat(lit("c"), expr("v div 2")))
+          .otherwise(concat(lit("s"), expr("(v - 1) div 2"))).as("vertex"),
+        col("rank").as("rank_fp"),
+        (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .orderBy(col("rank_fp").desc, col("vertex"))
+      .limit(topK)
 
   private val Scale = 1000000000000L // 1e-12 rank micro-units
 
-  /** The edge-relation form for spec-planted graphs. `edges` must be
-    * symmetrized: (src, dst) string columns, both directions present.
+  /** The edge-relation form for spec-planted graphs: returns the FULL
+    * (v, rank) relation after `iters` iterations. `edges` must be
+    * symmetrized — (src, dst), both directions present — with any
+    * key type.
     */
-  private[graft] def pageRankOver(edges: DataFrame, iters: Int,
-      topK: Int): DataFrame = {
+  private[graft] def pageRankOver(edges: DataFrame, iters: Int): DataFrame = {
     // ONE pass builds the edge relation; the degree relation doubles as
     // the vertex relation (symmetrized ⇒ every vertex has out-edges),
     // so N and the rank seed need no extra distinct shuffle.
@@ -122,10 +137,6 @@ object Graph {
     // edeg stays persisted for the caller's execution (verify/bench end
     // each query with clearCache(), the operator-cache lifecycle here)
     rank
-      .orderBy(col("rank").desc, col("v"))
-      .limit(topK)
-      .select(col("v").as("vertex"), col("rank").as("rank_fp"),
-        (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
   /** The part co-purchase graph: an undirected edge between two parts
@@ -137,13 +148,24 @@ object Graph {
     * suppliers would go quadratic).
     */
   private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
+    // one shuffle to the per-order sorted part SET, pair expansion as a
+    // map-side HOF comprehension (≤ C(lines-per-order, 2) per order),
+    // one distinct shuffle for the edge set. A self-join formulation
+    // pays the (ok, pk)-distinct shuffle AND the join instead —
+    // measured ~2× slower — and the HOF emits each pair pre-oriented
+    // (the set is sorted ascending, so pa < pb by construction).
+    val sets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val a = l.select(col("ok"), col("pk").as("pa"))
-    val b = l.select(col("ok"), col("pk").as("pb"))
-    a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    sets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(
+          sequence(i + 1, size(col("ps")) - 1),
+          j => struct(element_at(col("ps"), i + 1).as("pa"),
+            element_at(col("ps"), j + 1).as("pb")))))).as("e"))
+      .select(col("e.pa"), col("e.pb")).distinct()
   }
 
   /** g2 — exact triangle count of the co-purchase graph, plus the
@@ -178,7 +200,13 @@ object Graph {
     val canon = edges.persist()
     val deg = canon.select(col("pa").as("v"))
       .union(canon.select(col("pb").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
+    // materialize canon + deg NOW, in dependency order: the final plan
+    // has three consuming branches (triangles, edge count, vertex
+    // count), and concurrent first-use cache fills would recompute the
+    // edge build redundantly (measured ~2× on the registry query vs
+    // the staged fills)
+    deg.count()
     // re-orient by (degree, id); carry the dst's order key for the
     // wedge-side comparison below
     val lesser =

@@ -39,13 +39,12 @@ class GraphSpec extends AnyFunSuite {
       Seq(("x", "a"), ("x", "b"), ("x", "c"), ("c", "d"))
     val sym = (undirected ++ undirected.map(_.swap))
       .toDF("src", "dst")
-    val got = Graph.pageRankOver(sym, iters = 3, topK = 10).collect()
+    val got = Graph.pageRankOver(sym, iters = 3).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = referencePr(undirected, 3)
     assert(got === want, s"got $got want $want")
-    // hub dominates; pendant leaf is weakest
-    val top = Graph.pageRankOver(sym, iters = 3, topK = 1).collect()
-    assert(top.head.getString(0) === "x")
+    // hub dominates
+    assert(got.maxBy(_._2)._1 === "x")
   }
 
   test("g1 on the corpus: full rank coverage, ordered output, sane mass") {
