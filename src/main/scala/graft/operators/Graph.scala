@@ -19,9 +19,10 @@ import graft.Tables
   *     non-negative values, so three unrolled iterations stay
   *     bit-identical across engines where a double-valued PageRank
   *     would drift past the 9-digit gate on merge order alone.
-  *   - g2 triangle counting orients every edge small-id → large-id,
-  *     which makes each triangle countable exactly once with two
-  *     joins — the standard distributed formulation.
+  *   - g2 triangle counting re-orients edges by degree order and
+  *     intersects per-vertex out-neighbor arrays on each edge (the
+  *     edge-iterator algorithm), counting each triangle exactly once
+  *     with no wedge materialization.
   *
   * Spark-first shape: the graph IS a DataFrame of edges; iterations
   * are self-joins + aggregations that Catalyst plans as ordinary
@@ -32,7 +33,8 @@ object Graph {
 
   /** The customer–supplier trade graph: an UNDIRECTED edge per distinct
     * (customer, supplier) pair that ever traded (orders ⋈ lineitem).
-    * Vertex ids are disjoint by prefix ('c' / 's'); the returned
+    * Vertex ids are disjoint by parity (2k customers, 2k+1 suppliers;
+    * displayed as 'c…'/'s…' in final output only); the returned
     * relation is symmetrized (both directions materialized), so every
     * vertex has in-degree = out-degree ≥ 1 and PageRank needs no
     * dangling-mass term.
@@ -173,12 +175,9 @@ object Graph {
     * clustering numerator a basket-analysis pipeline tracks over
     * time).
     *
-    * Every edge is stored once, oriented pa < pb, so a triangle
-    * {x < y < z} is found exactly once: join edges (x,y) ⋈ (y,z) on
-    * the shared middle vertex, then semi-join the closing edge (x,z).
-    * Two shuffle joins over the oriented edge relation — the standard
-    * distributed triangle enumeration; orientation bounds the join
-    * fan-out by out-degree, which the small→large rule keeps balanced.
+    * Every edge is stored once (canonical pa < pb); counting runs on
+    * the degree-ordered re-orientation with out-neighbor-array
+    * intersections — see triangleCountOver for the full plan story.
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame =
     triangleCountOver(copurchaseEdges(s, dir))
