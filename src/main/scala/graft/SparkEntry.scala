@@ -221,6 +221,9 @@ object SparkEntry {
     // Large-volume orders (TPC-H Q18 shape): HAVING on the pre-join
     // aggregate, co-partitioned orderkey join, TakeOrdered top-100
     "q67_big_orders" -> (RelationalQueries3.bigOrders(_, _)),
+    // Dormant customers (TPC-H Q22 shape): above-average balance, no
+    // orders since the cutoff; division-free exact-decimal threshold
+    "q68_dormant_customers" -> (RelationalQueries3.lostCustomers(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1230,6 +1233,25 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // q68: no division, no double in the threshold decision — the
+    // 2-dp balances cast EXACTLY to DECIMAL(12,2) and `bal > avg` is
+    // evaluated as `bal·N > S` in decimal×bigint arithmetic, so both
+    // engines flip the same boundary customers. Only the final per-
+    // nation total casts to double.
+    "q68_dormant_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+        |st AS (SELECT sum(bal) AS s, count(*) AS n FROM c WHERE bal > 0),
+        |q AS (SELECT c.c_custkey, c.c_nationkey, c.bal FROM c, st
+        |  WHERE c.bal * st.n > st.s
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= DATE '2000-01-01'))
+        |SELECT n.n_name AS nation, count(*) AS n_custs,
+        |  CAST(sum(q.bal) AS DOUBLE) AS total_acctbal
+        |FROM q JOIN nation n ON q.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,

@@ -533,4 +533,49 @@ object RelationalQueries3 {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(topK)
   }
+
+  /** q68 — TPC-H Q22 shape: "dormant customers" — above-average
+    * positive account balance but NO orders since `cutoff`, rolled up
+    * per nation. The classic anti-join + global-threshold pattern.
+    * (Q22 proper anti-joins ALL orders; this corpus generates orders
+    * for every customer, so the faithful form returns the empty
+    * relation — the recency cutoff keeps the identical plan shape on a
+    * non-degenerate answer.)
+    *
+    * FP discipline (the q50/t19 two-branch-drift lesson, taken one
+    * step further): the threshold is an AVERAGE consumed in a filter,
+    * and avg-as-double differs between engines in the last ulp on
+    * merge order — enough to flip boundary customers. So there is no
+    * division and no double anywhere in the decision: balances cast to
+    * DECIMAL(12,2) (EXACT here — the generated balances are 2-dp
+    * money, so the cast never rounds), and `bal > S/N` is evaluated as
+    * `bal·N > S` in exact decimal×bigint arithmetic. Both engines
+    * agree bit-for-bit; only the final nation total is cast to double
+    * for the gate.
+    *
+    * Scale posture: the threshold is ONE broadcast row (sum + count);
+    * the anti-join keys on custkey (shuffle equi-join — at 100 TB the
+    * distinct-buyer side is not broadcastable); the nation dim
+    * broadcasts. One aggregation per side, nothing quadratic.
+    */
+  def lostCustomers(s: SparkSession, dir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val stats = c.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(stats))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(cutoff).cast("date"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal")).cast("double").as("total_acctbal"))
+      .orderBy(col("nation"))
+  }
 }

@@ -222,4 +222,31 @@ class Relational3Spec extends AnyFunSuite {
     // no nested-loop degradation on either join
     assert(!PlanChecks.hasBroadcastNestedLoop(df))
   }
+
+  test("q68 lost customers equals an exact BigDecimal driver reference") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.RelationalQueries3.lostCustomers(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // exact reference: BigDecimal threshold (bal·N > S), no division
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val buyers = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pos = custs.filter(_._3 > 0)
+    val s = pos.map(_._3).sum; val n = pos.length
+    val lost = custs.filter(c => c._3 * n > s && !buyers.contains(c._1))
+    val want = lost.groupBy(c => nations(c._2)).toSeq
+      .map { case (nat, cs) =>
+        (nat, cs.length.toLong, cs.map(_._3).sum.toDouble) }
+      .sortBy(_._1)
+    assert(got.toSeq === want, s"got ${got.toSeq} want $want")
+    assert(got.nonEmpty)
+  }
 }
