@@ -356,6 +356,9 @@ object SparkEntry {
     // VAD-style activity runs over integer frame energy (gaps-and-
     // islands window idiom; bit-exact oracle)
     "m10_vad_segments"      -> (Multimodal.vadSegments(_, _)),
+    // ViT-style patchify: 16×16 byte plane → 4×4 patch grid, integer
+    // per-patch stats via 2-D row-major indexing (bit-exact oracle)
+    "m11_patchify"          -> (Multimodal.patchify(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1547,6 +1550,23 @@ object SparkEntry {
         |  CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
         |  CAST(nf AS BIGINT) AS n_frames, CAST(tssq AS BIGINT) AS total_ssq
         |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
+
+    // m11: pure integer 2-D indexing — byte(r, c) = text[r·16 + c],
+    // patch (pi) covers rows pi//4·4.. and cols pi%4·4.. — identical
+    // row-major math on both engines.
+    "m11_patchify" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 256),
+        |p AS (SELECT doc_id, text, unnest(range(16)) AS pi FROM d),
+        |b AS (SELECT doc_id, pi,
+        |    ascii(substr(text,
+        |      CAST(((pi // 4) * 4 + k // 4) * 16
+        |        + ((pi % 4) * 4 + k % 4) + 1 AS INT), 1)) AS c
+        |  FROM p CROSS JOIN (SELECT unnest(range(16)) AS k))
+        |SELECT doc_id, CAST(pi AS INT) AS patch_idx,
+        |  CAST(sum(c) AS BIGINT) AS byte_sum,
+        |  CAST(min(c) AS INT) AS byte_min, CAST(max(c) AS INT) AS byte_max
+        |FROM b GROUP BY doc_id, pi ORDER BY doc_id, patch_idx""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

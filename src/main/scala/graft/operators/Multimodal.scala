@@ -488,6 +488,53 @@ object Multimodal {
       .orderBy(col("doc_id"), col("seg_idx"))
   }
 
+  /** m11 — ViT-style patchify: treat each payload's leading side²
+    * bytes as a row-major side×side image (the m1/m6 codec contract)
+    * and cut it into a (side/ps)² grid of ps×ps patches — the
+    * tokenization step a vision-transformer training pipeline runs
+    * between decode and embedding. Per patch: byte sum / min / max,
+    * all INTEGER arithmetic over 2-D row-major indexing
+    * (byte(r, c) = payload[r·side + c]), so the full relation is
+    * bit-identical across engines and the DuckDB oracle is exact.
+    *
+    * The real-image deployment swaps the byte plane for decoded pixel
+    * planes (the m1 `decodeStub` boundary); grid math, patch indexing,
+    * and the per-patch fold are exactly what ships here.
+    *
+    * Scale posture: one shuffle-free codegen'd scan; the samples array
+    * is built once per doc and each patch fold indexes into it (the
+    * m6 convention — no re-tokenization per patch).
+    */
+  def patchify(s: SparkSession, dir: String,
+      side: Int = 16, ps: Int = 4): DataFrame =
+    patchifyFrom(Tables.documents(s, dir), side, ps)
+
+  /** The two-relation form for spec-planted images. `side` must be a
+    * multiple of `ps`. */
+  private[graft] def patchifyFrom(docs: DataFrame,
+      side: Int = 16, ps: Int = 4): DataFrame = {
+    require(side % ps == 0, s"side $side not a multiple of patch $ps")
+    val grid = side / ps
+    docs
+      .filter(length(col("text")) >= side * side)
+      .select(col("doc_id"),
+        transform(split(col("text"), ""), c => ascii(c)).as("samples"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(grid * grid - 1))).as("patch_idx"),
+        col("samples"))
+      .withColumn("bytes", transform(sequence(lit(0), lit(ps * ps - 1)),
+        k => element_at(col("samples"),
+          ((expr("patch_idx div " + grid) * ps + k.divide(lit(ps)).cast("int"))
+            * side
+            + (pmod(col("patch_idx"), lit(grid)) * ps + pmod(k, lit(ps)))
+            + 1).cast("int"))))
+      .select(col("doc_id"), col("patch_idx"),
+        aggregate(col("bytes"), lit(0L), (a, x) => a + x).as("byte_sum"),
+        array_min(col("bytes")).as("byte_min"),
+        array_max(col("bytes")).as("byte_max"))
+      .orderBy(col("doc_id"), col("patch_idx"))
+  }
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */

@@ -257,6 +257,26 @@ class MultimodalSpec extends AnyFunSuite {
       (7L, 2, 3, 3, 1L, loudSsq)), got.toSeq)
   }
 
+  test("m11 patchify: planted 2-D pattern lands in the right patches") {
+    import spark.implicits._
+    // 4×4 image, 2×2 patches: rows "aaab" / "aaab" / "aaab" / "cccb" —
+    // patch 0 = all 'a' (97), patch 1 = column of 'b' (98) over 'a',
+    // patch 2 = 'a' rows then 'c' (99) row, patch 3 = mixed b/c.
+    val img = "aaab" + "aaab" + "aaab" + "cccb"
+    val got = Multimodal.patchifyFrom(Seq((1L, img)).toDF("doc_id", "text"),
+        side = 4, ps = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      (0, 4L * 97, 97, 97),                 // a a / a a
+      (1, 2L * 97 + 2L * 98, 97, 98),       // a b / a b
+      (2, 2L * 97 + 2L * 99, 97, 99),       // a a / c c
+      (3, 97 + 98L + 99 + 98, 97, 99)),     // a b / c b
+      got.toSeq)
+    // a doc shorter than the plane emits nothing
+    assert(Multimodal.patchifyFrom(Seq((2L, "abc")).toDF("doc_id", "text"),
+      side = 4, ps = 2).collect().isEmpty)
+  }
+
   test("m9 on the corpus: every emitted frame has a predecessor; flags match dists") {
     val rows = Multimodal.shotBoundaries(spark, sfDir).collect()
     assert(rows.nonEmpty)
