@@ -271,6 +271,9 @@ object SparkEntry {
     // Sentence-aware soft-cap chunking (RAG/context prep); packing is
     // integer arithmetic so chunks + text are engine-identical
     "t27_sentence_chunks" -> (TextAnalysis.sentenceChunks(_, _)),
+    // Collocation mining by lift (phrase detection): bigint counts +
+    // one exact-integer division — hash-gated, no transcendental
+    "t28_collocations" -> (TextAnalysis.collocations(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -445,6 +448,9 @@ object SparkEntry {
     // Exact triangle count of the part co-purchase graph (oriented
     // two-join enumeration)
     "g2_triangles" -> (Graph.triangleCount(_, _)),
+    // Local clustering coefficient per part (top-20), g2 refined to the
+    // per-vertex statistic — exact integer counts, one final division
+    "g3_clustering" -> (Graph.clusteringCoeff(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1422,6 +1428,29 @@ object SparkEntry {
         |  string_agg(sent, ' ' ORDER BY sidx) AS chunk_text
         |FROM s3 GROUP BY doc_id, chunk_id
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // t28: all counts bigint; N·c₂ and cₐ·c_b are exact doubles, the
+    // one division IEEE-rounds identically — full hash gate.
+    "t28_collocations" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT unnest(w) AS t FROM base),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |pairs AS (SELECT
+        |    unnest(w[1:len(w)-1]) AS wa, unnest(w[2:len(w)]) AS wb
+        |  FROM base WHERE len(w) >= 2),
+        |bcnt AS (SELECT wa, wb, count(*) AS n_pair FROM pairs
+        |  GROUP BY wa, wb HAVING count(*) >= 5)
+        |SELECT wa, wb, n_pair,
+        |  CAST(n * n_pair AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+        |FROM bcnt
+        |  JOIN cnt ca ON bcnt.wa = ca.t
+        |  JOIN cnt cb ON bcnt.wb = cb.t
+        |  CROSS JOIN tot
+        |ORDER BY lift DESC, wa, wb LIMIT 30""".stripMargin,
 
     // d25: same shingle convention as d11, reversed direction — report
     // rows for EVERY eval doc, zero-overlap included.
@@ -2744,6 +2773,30 @@ object SparkEntry {
         |ne AS (SELECT count(*) AS n_edges FROM e)
         |SELECT nv.n_vertices, ne.n_edges, t.n_triangles
         |FROM t, nv, ne""".stripMargin,
+
+    // g3: triangles enumerated once at a ≺ b ≺ c credit all three
+    // corners; counts are bigint and the single closing division of two
+    // exact integers IEEE-rounds identically on both engines.
+    "g3_clustering" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT xy.pa AS a, xy.pb AS b, yz.pb AS c
+        |  FROM e xy JOIN e yz ON xy.pb = yz.pa
+        |  JOIN e xz ON xz.pa = xy.pa AND xz.pb = yz.pb),
+        |tv AS (SELECT v, count(*) AS n_tri FROM (
+        |    SELECT a AS v FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY v),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY v)
+        |SELECT deg.v AS partkey, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_tri,
+        |  2.0 * coalesce(tv.n_tri, 0) / (deg.d * (deg.d - 1)) AS clustering
+        |FROM deg LEFT JOIN tv ON tv.v = deg.v
+        |WHERE deg.d >= 2
+        |ORDER BY clustering DESC, n_tri DESC, partkey LIMIT 20""".stripMargin,
 
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and

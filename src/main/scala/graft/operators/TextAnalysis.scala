@@ -1140,4 +1140,61 @@ object TextAnalysis {
         (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
       .orderBy(col("doc_id"))
   }
+
+  /** t28 — collocation mining by LIFT: the corpus's top adjacent word
+    * pairs ranked by lift(a,b) = N·c(a,b) / (c(a)·c(b)) — the
+    * association-strength statistic behind phrase detection
+    * (word2vec-style phrase merging, "new york" → "new_york") and the
+    * multiplicative core of PMI (PMI = ln lift). Lift over PMI is a
+    * deliberate exactness choice: every count is a bigint, N·c₂ and
+    * cₐ·c_b are exactly representable doubles (< 2⁵³ at any corpus
+    * this side of 10¹⁵ pairs per shard), so the single closing
+    * division is IEEE-identical across engines and the oracle is a
+    * full hash gate with no transcendental in sight. `minCount`
+    * suppresses the classic lift pathology (two hapaxes that co-occur
+    * once score N) — the same floor word2vec's phrase pass applies.
+    *
+    * Scale posture: t16's data flow minus the per-document re-scan —
+    * ONE tokenize pass feeds the unigram aggregate, the pair
+    * aggregate, and the 1-row total (cached token arrays, d11's
+    * lifecycle contract); both aggregates shuffle with map-side
+    * combine; the two vocabulary joins move vocab-sized relations
+    * (broadcastable by Heaps' law); the final top-k is
+    * TakeOrderedAndProject, never a sort of the pair vocabulary.
+    */
+  def collocations(s: SparkSession, dir: String,
+      minCount: Int = 5, topK: Int = 30): DataFrame =
+    collocationsFrom(Tables.documents(s, dir), minCount, topK)
+
+  /** The two-relation form for spec-planted corpora. */
+  private[graft] def collocationsFrom(docs: DataFrame,
+      minCount: Int = 5, topK: Int = 30): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val toks = d.select(explode(col("toks")).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val pairs = d
+      .select(col("toks"),
+        explode(when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(element_at(col("toks"), col("i")).as("wa"),
+        element_at(col("toks"), col("i") + 1).as("wb"))
+    val bcnt = pairs.groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    bcnt
+      .join(cnt.select(col("t").as("wa"), col("c").as("ca")), "wa")
+      .join(cnt.select(col("t").as("wb"), col("c").as("cb")), "wb")
+      .crossJoin(broadcast(tot))
+      .select(col("wa"), col("wb"), col("n_pair"),
+        ((col("n") * col("n_pair")).cast("double") /
+          (col("ca") * col("cb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("wa"), col("wb"))
+      .limit(topK)
+  }
 }

@@ -84,7 +84,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "t24_novelty", "docs_jsonl_ingest",
     "t19_ccnet_buckets", "t20_dsir_weights",
     "t25_countmin", "t26_readability", "t27_sentence_chunks",
-    "d25_contamination_report",
+    "t28_collocations", "d25_contamination_report",
     "q46_regex", "q51_stratified_sample", "q52_weighted_mix",
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
     "m4_resize", "m5_media_dedup", "m6_audio_energy",

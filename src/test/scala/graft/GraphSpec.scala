@@ -83,4 +83,47 @@ class GraphSpec extends AnyFunSuite {
     // triangles are bounded by the wedge count upper bound ne*(ne-1)/2
     assert(nt <= ne * (ne - 1) / 2)
   }
+
+  test("g3 planted: triangle + pendant gets exact per-vertex coefficients") {
+    import spark.implicits._
+    // K3 {1,2,3} plus pendant edge (3,4): cc(1)=cc(2)=1, cc(3)=1/3,
+    // vertex 4 has degree 1 and is excluded from the relation
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("pa", "pb")
+    val rows = Graph.clusteringCoeffOver(edges, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 1L, 1.0),
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("g3 planted: every K4 vertex closes all its wedges") {
+    import spark.implicits._
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = (for { a <- vs; b <- vs if a < b } yield (a, b))
+      .toDF("pa", "pb")
+    val rows = Graph.clusteringCoeffOver(edges, topK = 10).collect()
+    assert(rows.length === 4)
+    // deg 3, three triangles through each vertex, cc = 2*3/(3*2) = 1
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === ((3L, 3L, 1.0)))
+    }
+  }
+
+  test("g3 on the corpus: coefficients are in range and self-consistent") {
+    val rows = Graph.clusteringCoeff(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ccs = rows.map(_.getDouble(3))
+    assert(ccs.zip(ccs.tail).forall { case (a, b) => a >= b }, "not desc")
+    rows.foreach { r =>
+      val (d, t, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d >= 2 && t >= 0 && cc >= 0.0 && cc <= 1.0)
+      // the coefficient is exactly the documented division of the two
+      // integer columns — no hidden rounding between them
+      assert(cc === 2.0 * t / (d.toDouble * (d - 1)))
+      // T(v) cannot exceed the wedge count at v
+      assert(t <= d * (d - 1) / 2)
+    }
+  }
 }

@@ -524,4 +524,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("overcount") > 0),
       "width-2 sketch over 12 tokens produced no collision over-count")
   }
+
+  test("t28 collocations: planted phrase gets the hand-computed lift") {
+    import spark.implicits._
+    // "new york" appears 5 times; "new" and "york" never apart; filler
+    // words pad N. N = 5*2 + 10 = 20 tokens; c(new)=c(york)=5, c2=5
+    // -> lift = 20*5 / (5*5) = 4.0. Filler bigrams occur < 5 times and
+    // are suppressed by minCount.
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "new york new york"),
+      (3L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.collocationsFrom(docs, minCount = 5, topK = 10)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) ===
+      (("new", "york", 5L)))
+    assert(r.getDouble(3) === 4.0)
+  }
+
+  test("t28 collocations: pair direction matters and counts are adjacency-true") {
+    import spark.implicits._
+    // "b a" never occurs even though "a b" dominates; doc boundaries
+    // do not create pairs (the last token of doc 1 never pairs with
+    // the first of doc 2)
+    val docs = Seq(
+      (1L, "a b x a b y a b"),
+      (2L, "a b z a b"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.collocationsFrom(docs, minCount = 5, topK = 10)
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "b")))
+    // 5 adjacent (a,b) pairs across both docs, none spanning docs
+    assert(rows.head.getLong(2) === 5L)
+  }
+
+  test("t28 on the corpus: ordered, thresholded, and division-consistent") {
+    val rows = TextAnalysis.collocations(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val lifts = rows.map(_.getDouble(3))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "not desc")
+    assert(rows.forall(_.getLong(2) >= 5L))
+    assert(lifts.forall(_ > 0.0))
+  }
 }
