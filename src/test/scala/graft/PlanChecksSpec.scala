@@ -232,5 +232,30 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(gb + gs + gh >= 2, s"equi joins: $gb+$gs+$gh")
     assert(gn <= 2, s"nested-loop joins beyond the 1-row stitches: $gn")
     spark.catalog.clearCache()
+    // g3: same join discipline as g2 (all equi-keyed, no 1-row stat
+    // stitches at all), and the top-k is a distributed heap — never a
+    // full sort of the vertex relation
+    val g3 = graft.operators.Graph.clusteringCoeff(spark, sfDir)
+    val (_, _, _, g3n) = PlanChecks.joinCounts(g3)
+    assert(g3n === 0, s"g3 planned $g3n nested-loop joins")
+    assert(!PlanChecks.executedPlan(g3).contains("CartesianProduct"))
+    assert(PlanChecks.hasTakeOrdered(g3))
+    spark.catalog.clearCache()
+  }
+
+  test("t28 collocations: broadcast vocab joins, heap top-k, single corpus scan") {
+    spark.catalog.clearCache()
+    val t28 = graft.operators.TextAnalysis.collocations(spark, sfDir)
+    t28.queryExecution.executedPlan.execute().count()
+    // the pair relation joins the two vocab sides + the 1-row total —
+    // all broadcastable; the top-k is TakeOrderedAndProject
+    assert(PlanChecks.hasBroadcastJoin(t28))
+    assert(PlanChecks.hasTakeOrdered(t28))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ns = PlanChecks.allNodes(t28.queryExecution.executedPlan)
+    // token arrays are cached: every consumer reads the cache, the
+    // parquet scan happens inside the cached relation only
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 0)
+    spark.catalog.clearCache()
   }
 }
