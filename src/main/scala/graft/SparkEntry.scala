@@ -451,6 +451,9 @@ object SparkEntry {
     // Local clustering coefficient per part (top-20), g2 refined to the
     // per-vertex statistic — exact integer counts, one final division
     "g3_clustering" -> (Graph.clusteringCoeff(_, _)),
+    // Degree assortativity (Newman 2002) in exact decimal moments; the
+    // symmetric marginals collapse the closing ratio to one division
+    "g4_assortativity" -> (Graph.assortativity(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2797,6 +2800,29 @@ object SparkEntry {
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |WHERE deg.d >= 2
         |ORDER BY clustering DESC, n_tri DESC, partkey LIMIT 20""".stripMargin,
+
+    // g4: moments summed exactly (DuckDB sum(BIGINT) → HUGEINT mirrors
+    // Spark's DECIMAL(38,0)); identical marginals by symmetrization, so
+    // the Pearson ratio is one division of two exact wide integers.
+    "g4_assortativity" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY v),
+        |sym AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+        |dd AS (SELECT dx.d AS x, dy.d AS y FROM sym
+        |  JOIN deg dx ON sym.pa = dx.v JOIN deg dy ON sym.pb = dy.v),
+        |m AS (SELECT count(*) AS m2, sum(x) AS sx, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx FROM dd)
+        |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  CAST(2 * (SELECT count(*) FROM e) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM deg) AS DOUBLE) AS avg_degree,
+        |  CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM m""".stripMargin,
 
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and

@@ -317,4 +317,64 @@ object Graph {
       .orderBy(col("clustering").desc, col("n_tri").desc, col("partkey"))
       .limit(topK)
   }
+
+  /** g4 — degree assortativity of the co-purchase graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees over all directed
+    * edge instances, the one-number answer to "do popular parts
+    * co-occur with popular parts?" — positive = hub-hub baskets,
+    * negative = hub-leaf (the typical retail shape). Output is one row
+    * (n_vertices, n_edges, avg_degree, assortativity).
+    *
+    * Exactness contract: every moment (Σx, Σxy, Σx² over the 2m
+    * directed edges; by symmetrization the x and y marginals
+    * coincide) is summed in DECIMAL(38,0) — exact, associative, and
+    * wide enough that m·Σx² (~10²⁰ at sf0.1's hub degrees) cannot
+    * overflow int64's 9.2·10¹⁸ the way a bigint formulation silently
+    * would at scale. The closing r = (m·Σxy − Σx·Σy) /
+    * (m·Σx² − (Σx)²) needs no square root: with identical marginals
+    * the two denominator factors are equal, so r is ONE division of
+    * two exact wide integers (each converted to double by the same
+    * round-to-nearest rule on both engines) — hash-gated, no sqrt in
+    * sight. DuckDB mirrors the widths natively (sum(BIGINT) →
+    * HUGEINT).
+    *
+    * Scale posture: one degree aggregate, two vertex-sized degree
+    * joins onto the edge relation (broadcastable), then a single
+    * partial-aggregable moment pass — no shuffle beyond the joins, no
+    * driver state beyond the 1-row result.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOver(copurchaseEdges(s, dir))
+
+  /** The edge-relation form for spec-planted graphs. `edges` must be
+    * canonical (pa < pb) and distinct. */
+  private[graft] def assortativityOver(edges: DataFrame): DataFrame = {
+    val canon = edges.persist()
+    val deg = canon.select(col("pa").as("v"))
+      .union(canon.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
+    deg.count() // stage the cache fills (see g2)
+    // both directions: each undirected edge contributes (da,db) and
+    // (db,da), which makes the x/y marginals identical by construction
+    val sym = canon.select(col("pa"), col("pb"))
+      .union(canon.select(col("pb").as("pa"), col("pa").as("pb")))
+    val dd = sym
+      .join(deg.select(col("v").as("pa"), col("d").as("dx")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("dy")), Seq("pb"))
+      .select(col("dx").cast("decimal(38,0)").as("x"),
+        col("dy").cast("decimal(38,0)").as("y"))
+    val m = dd.agg(
+      count(lit(1)).cast("decimal(38,0)").as("m2"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    m.crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(canon.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_vertices"), col("n_edges"),
+        ((lit(2L) * col("n_edges")).cast("double") /
+          col("n_vertices").cast("double")).as("avg_degree"),
+        ((col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
 }

@@ -126,4 +126,30 @@ class GraphSpec extends AnyFunSuite {
       assert(t <= d * (d - 1) / 2)
     }
   }
+
+  test("g4 planted: path and triangle-plus-pendant get the hand-computed r") {
+    import spark.implicits._
+    // path 1-2-3: perfectly disassortative, r = -1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val rp = Graph.assortativityOver(path).collect().head
+    assert((rp.getLong(0), rp.getLong(1)) === ((3L, 2L)))
+    assert(rp.getDouble(3) === -1.0)
+    // triangle {1,2,3} + pendant (3,4): moments m2=8, sx=18, sxy=38,
+    // sxx=44 -> r = (8*38-324)/(8*44-324) = -20/28
+    val tp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val rt = Graph.assortativityOver(tp).collect().head
+    assert((rt.getLong(0), rt.getLong(1)) === ((4L, 4L)))
+    assert(rt.getDouble(2) === 2.0) // mean vertex degree 2m/n = 8/4
+    assert(rt.getDouble(3) === -20.0 / 28.0)
+  }
+
+  test("g4 on the corpus: r is a correlation and the stats line up with g2") {
+    val r = Graph.assortativity(spark, sfDir).collect().head
+    val (nv, ne, avg, a) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nv > 0 && ne > 0 && avg > 0)
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a out of range")
+    // vertex/edge counts must equal g2's over the same graph
+    val g2 = Graph.triangleCount(spark, sfDir).collect().head
+    assert((nv, ne) === ((g2.getLong(0), g2.getLong(1))))
+  }
 }

@@ -241,6 +241,12 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!PlanChecks.executedPlan(g3).contains("CartesianProduct"))
     assert(PlanChecks.hasTakeOrdered(g3))
     spark.catalog.clearCache()
+    // g4: degree joins are equi-keyed; the only nested loops are the
+    // two 1-row stat stitches
+    val g4 = graft.operators.Graph.assortativity(spark, sfDir)
+    val (_, _, _, g4n) = PlanChecks.joinCounts(g4)
+    assert(g4n <= 2, s"g4 nested-loop joins beyond the 1-row stitches: $g4n")
+    spark.catalog.clearCache()
   }
 
   test("t28 collocations: broadcast vocab joins, heap top-k, single corpus scan") {
