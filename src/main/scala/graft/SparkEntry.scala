@@ -344,6 +344,9 @@ object SparkEntry {
     // Output shard manifest: deterministic hash sharding + per-shard
     // doc/byte totals (the write-side planning step)
     "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
+    // Deterministic per-epoch training order: salted-hash permutation,
+    // per-shard rank — reproducible without any global sort
+    "d27_epoch_shuffle"     -> (CorpusOps.epochShuffle(_, _)),
     // Eval-side contamination report: per benchmark doc, the fraction
     // of its shingles found in the training corpus (zero rows kept)
     "d25_contamination_report" -> (CorpusOps.contaminationReport(_, _)),
@@ -2120,6 +2123,20 @@ object SparkEntry {
         |SELECT shard_id, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM h GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // d27: the hash key is the shared md5 convention, the rank is a
+    // total order (key, doc_id) — positions identical on both engines.
+    "d27_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5('epoch1_' || doc_id), 1, 15)
+        |      AS BIGINT) AS k
+        |  FROM documents),
+        |s AS (SELECT doc_id, k,
+        |    CAST(k % 64 AS INT) AS shard_id FROM h)
+        |SELECT doc_id, shard_id,
+        |  CAST(row_number() OVER (PARTITION BY shard_id
+        |    ORDER BY k, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard_id, pos""".stripMargin,
 
     "d20_domain_cap" ->
       """SELECT doc_id, source, rk FROM (

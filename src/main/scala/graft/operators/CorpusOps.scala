@@ -590,6 +590,42 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("shard_id"))
 
+  /** d27 — deterministic epoch shuffle: the READ-side companion to
+    * d24's write-side manifest. Training runs need a different
+    * document order every epoch, and the same order every RERUN of
+    * that epoch (crash recovery, ablations, multi-host loaders that
+    * must agree on the permutation without talking to each other) —
+    * so the permutation is pure arithmetic, not state: each doc's
+    * place for epoch E is (shard, position) derived from the salted
+    * 60-bit `hash64("epoch<E>_" || doc_id)`. Same epoch → same
+    * permutation on any engine or host; different epoch → a fresh
+    * effectively-independent permutation (the salt swaps every hash
+    * bit). Output: (doc_id, shard_id, pos).
+    *
+    * Scale posture: the ONLY pattern that gives a global-feeling
+    * shuffle without a global sort — one hash-partition shuffle on
+    * shard_id, then each shard sorts its own slice by hash key (the
+    * per-shard rank window); no stage ever orders the full corpus.
+    * Shard count scales with corpus size to keep per-shard sorts
+    * in-memory; the hash key tie-breaks by doc_id, so the rank is a
+    * total order and positions are reproducible bit-for-bit.
+    */
+  def epochShuffle(s: SparkSession, dir: String,
+      epoch: Int = 1, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("k"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        hash64(concat(lit(s"epoch${epoch}_"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("shard_id",
+        pmod(col("k"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+      .orderBy(col("shard_id"), col("pos"))
+  }
+
   /** d25 — eval-side contamination REPORT: for every benchmark document
     * (the same doc_id % benchMod == 0 slice d11 uses), what fraction of
     * its distinct word-3-gram shingles appears ANYWHERE in the training

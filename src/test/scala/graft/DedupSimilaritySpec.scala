@@ -859,6 +859,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m.map(_._2).max <= math.max(5L, nDocs / 5))
   }
 
+  test("d27 epoch shuffle: exact permutation per epoch, reproducible, epoch-independent") {
+    def run(epoch: Int) = graft.operators.CorpusOps
+      .epochShuffle(spark, sfDir, epoch = epoch).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val e1 = run(1)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // every doc exactly once
+    assert(e1.length === nDocs)
+    assert(e1.map(_._1).distinct.length === nDocs)
+    // positions are contiguous 1..n within every shard — a loader can
+    // seek by (shard, pos) with no gaps
+    e1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // reruns of the SAME epoch agree exactly (crash recovery contract)
+    assert(run(1).toSeq === e1.toSeq)
+    // a different epoch is a genuinely different permutation of the
+    // same doc set (salted hash: some doc must move shard or position)
+    val e2 = run(2)
+    assert(e2.map(_._1).sorted.toSeq === e1.map(_._1).sorted.toSeq)
+    assert(e2.toSeq !== e1.toSeq)
+  }
+
   test("s15 MMR: rank 1 = exact top-1, picks from the shortlist, scores non-increasing") {
     import org.apache.spark.sql.functions._
     val k = 5; val nCand = 20; val nQ = 3

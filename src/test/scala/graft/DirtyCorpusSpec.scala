@@ -81,6 +81,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d15_ngram_spans", "d16_ngram_span_removal", "d18_quality_dedup",
     "d19_split_assign", "d20_domain_cap", "d21_soft_dedup",
     "d22_curation_pipeline", "d23_cross_dedup", "d24_shard_manifest",
+    "d27_epoch_shuffle",
     "t24_novelty", "docs_jsonl_ingest",
     "t19_ccnet_buckets", "t20_dsir_weights",
     "t25_countmin", "t26_readability", "t27_sentence_chunks",
