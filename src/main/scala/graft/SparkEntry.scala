@@ -365,6 +365,9 @@ object SparkEntry {
     // ViT-style patchify: 16×16 byte plane → 4×4 patch grid, integer
     // per-patch stats via 2-D row-major indexing (bit-exact oracle)
     "m11_patchify"          -> (Multimodal.patchify(_, _)),
+    // DCT perceptual hash (the published pHash rule) in fixed-point
+    // integer arithmetic — bit-identical across engines, full oracle
+    "m12_dct_phash"         -> (Multimodal.mediaDctHash(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1602,6 +1605,39 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS byte_sum,
         |  CAST(min(c) AS INT) AS byte_min, CAST(max(c) AS INT) AS byte_max
         |FROM b GROUP BY doc_id, pi ORDER BY doc_id, patch_idx""".stripMargin,
+
+    // m12: the SAME fixed-point DCT matrix is baked into this SQL and
+    // the Spark expression (generated by one call in one process), so
+    // both sides run identical integer arithmetic end to end.
+    "m12_dct_phash" -> {
+      val mList = operators.Multimodal.dctMatrix(16, 8).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 256),
+        |mm AS (SELECT CAST(i.i // 16 AS INT) AS u, CAST(i.i % 16 AS INT) AS r,
+        |    ml.mv[CAST(i.i + 1 AS INT)] AS mv
+        |  FROM (SELECT $mList AS mv) ml,
+        |       (SELECT unnest(range(128)) AS i) i),
+        |px AS (SELECT doc_id, CAST(i.i // 16 AS INT) AS r,
+        |    CAST(i.i % 16 AS INT) AS c,
+        |    ascii(substr(text, CAST(i.i + 1 AS INT), 1)) AS val
+        |  FROM d, (SELECT unnest(range(256)) AS i) i),
+        |a AS (SELECT doc_id, mm.u AS u, px.c AS c, sum(mm.mv * px.val) AS av
+        |  FROM px JOIN mm ON px.r = mm.r GROUP BY doc_id, mm.u, px.c),
+        |cc AS (SELECT doc_id, a.u AS u, m2.u AS v, sum(a.av * m2.mv) AS coef
+        |  FROM a JOIN mm m2 ON a.c = m2.r GROUP BY doc_id, a.u, m2.u),
+        |nd AS (SELECT doc_id, u, v, coef,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY coef, u, v) AS rk
+        |  FROM cc WHERE NOT (u = 0 AND v = 0)),
+        |med AS (SELECT doc_id, coef AS med FROM nd WHERE rk = 32)
+        |SELECT cc.doc_id AS doc_id,
+        |  CAST(sum(CASE WHEN cc.coef > med.med
+        |    THEN (1::BIGINT << CAST(cc.u * 8 + cc.v - 1 AS INT))
+        |    ELSE 0 END) AS BIGINT) AS phash
+        |FROM cc JOIN med ON cc.doc_id = med.doc_id
+        |WHERE NOT (cc.u = 0 AND cc.v = 0)
+        |GROUP BY cc.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "d8_containment_pairs" ->
       s"""$shingleSets

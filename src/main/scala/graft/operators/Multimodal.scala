@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -533,6 +533,104 @@ object Multimodal {
         array_min(col("bytes")).as("byte_min"),
         array_max(col("bytes")).as("byte_max"))
       .orderBy(col("doc_id"), col("patch_idx"))
+  }
+
+  /** The fixed-point DCT-II coefficient matrix for m12, flat u·side+x:
+    * M[u][x] = round(α(u)·cos(π(2x+1)u/(2·side))·2¹⁴) with the
+    * orthonormal α. Generated ONCE per process and baked as literals
+    * into BOTH the Spark expression tree and the DuckDB oracle SQL
+    * (the same numbers by construction — the s17 sign-matrix strategy
+    * applied to trig), so every downstream operation is pure integer
+    * arithmetic and the hash is bit-identical across engines.
+    */
+  private[graft] def dctMatrix(side: Int, block: Int): Seq[Long] =
+    (for (u <- 0 until block; x <- 0 until side) yield {
+      val alpha =
+        if (u == 0) math.sqrt(1.0 / side) else math.sqrt(2.0 / side)
+      math.round(
+        alpha * math.cos(math.Pi * (2 * x + 1) * u / (2.0 * side)) * 16384L)
+    }).toVector
+
+  /** m12 — DCT perceptual hash: the published pHash algorithm (2-D
+    * DCT-II over the pixel plane, keep the low-frequency block,
+    * threshold each coefficient against the block median) over the
+    * m1/m6 byte-plane codec contract — the frequency-domain upgrade of
+    * m7's mean-threshold aHash: aHash sees only local brightness, the
+    * DCT hash sees the SHAPE of the image's energy spectrum, which is
+    * what survives resizing/re-encoding in real near-dup detection.
+    *
+    * Exactness: the separable DCT is two integer matrix passes against
+    * the fixed-point matrix above (A = M·P, C = A·Mᵀ — every entry a
+    * bigint, max ~10¹², no overflow); the median of the 63 non-DC
+    * coefficients is an exact order statistic (33rd smallest need not
+    * be — the 32nd IS the element with 31 on each side); bit k−1 is
+    * set iff coefficient k exceeds it (DC excluded, the classic pHash
+    * rule — DC is raw brightness, not structure). 63 bits, always a
+    * non-negative BIGINT, full DuckDB hash oracle.
+    *
+    * Scale posture: one shuffle-free scan; per doc the two passes are
+    * side·block·(side+block) multiply-adds over materialized arrays
+    * (the m6/m11 convention — samples built once, never
+    * re-tokenized).
+    */
+  def mediaDctHash(s: SparkSession, dir: String): DataFrame =
+    dctHashFrom(Tables.documents(s, dir))
+
+  /** A pure-expression LET binding: `transform(array(x), v => body)`
+    * evaluates `x` exactly once and binds it to the lambda variable —
+    * the only way to share an expensive intermediate between many
+    * consumers INSIDE one projection. Chained `withColumn`s do not
+    * survive here: Catalyst's projection collapse re-inlines the alias
+    * into every consumer, so the m12 pipeline below would re-split and
+    * re-DCT the text at each of its ~1 000 inner references (measured:
+    * the sf0.01 query went from hours to ~2 s when the stages became
+    * lambda-bound).
+    */
+  private def bind(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
+  /** The two-relation form for spec-planted corpora. Uses the leading
+    * side² bytes as a row-major side×side plane (m11's contract). */
+  private[graft] def dctHashFrom(docs: DataFrame,
+      side: Int = 16, block: Int = 8): DataFrame = {
+    val m = typedlit(dctMatrix(side, block))
+    val pow2 = typedlit((0 until block * block - 1).map(1L << _))
+    val pE = transform(split(col("text"), ""), c => ascii(c))
+    // row pass: a[u·side + c] = Σ_r M[u][r] · p(r, c)
+    def aOf(p: Column): Column = transform(
+      sequence(lit(0), lit(block * side - 1)), j => {
+        val u = j.divide(lit(side)).cast("int")
+        val c = pmod(j, lit(side))
+        aggregate(sequence(lit(0), lit(side - 1)), lit(0L),
+          (acc, r) => acc
+            + element_at(m, (u * side + r + 1).cast("int"))
+            * element_at(p, (r * side + c + 1).cast("int")))
+      })
+    // column pass: coefs[u·block + v] = Σ_c a[u·side + c] · M[v][c]
+    def coefsOf(a: Column): Column = transform(
+      sequence(lit(0), lit(block * block - 1)), k => {
+        val u = k.divide(lit(block)).cast("int")
+        val v = pmod(k, lit(block))
+        aggregate(sequence(lit(0), lit(side - 1)), lit(0L),
+          (acc, c) => acc
+            + element_at(a, (u * side + c + 1).cast("int"))
+            * element_at(m, (v * side + c + 1).cast("int")))
+      })
+    // exact median of the 63 non-DC coefficients (32nd smallest), then
+    // bit k−1 per coefficient strictly above it
+    def bitsOf(cf: Column): Column =
+      bind(element_at(array_sort(slice(cf, 2, block * block - 1)),
+          block * block / 2)) { med =>
+        aggregate(sequence(lit(1), lit(block * block - 1)), lit(0L),
+          (acc, k) => acc + when(element_at(cf, k + 1) > med,
+            element_at(pow2, k)).otherwise(lit(0L)))
+      }
+    val phash =
+      bind(pE)(p => bind(aOf(p))(a => bind(coefsOf(a))(cf => bitsOf(cf))))
+    docs
+      .filter(length(col("text")) >= side * side)
+      .select(col("doc_id"), phash.as("phash"))
+      .orderBy(col("doc_id"))
   }
 
   /** Pure-SQL binary ops over the payload column (no decode): byte

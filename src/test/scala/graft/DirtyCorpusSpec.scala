@@ -90,7 +90,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "m1_media_meta", "m2_media_fingerprint", "m3_frame_sample",
     "m4_resize", "m5_media_dedup", "m6_audio_energy",
     "m7_media_phash", "m8_media_phash_pairs",
-    "m9_shot_boundaries", "m10_vad_segments", "m11_patchify")
+    "m9_shot_boundaries", "m10_vad_segments", "m11_patchify",
+    "m12_dct_phash")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>

@@ -277,6 +277,71 @@ class MultimodalSpec extends AnyFunSuite {
       side = 4, ps = 2).collect().isEmpty)
   }
 
+  /** Sequential reference of m12's fixed-point DCT hash — same matrix,
+    * plain Scala Long arithmetic, so the distributed expression tree is
+    * what the comparison exercises.
+    */
+  private def refDctHash(text: String): Long = {
+    val m = Multimodal.dctMatrix(16, 8)
+    val p = text.take(256).map(_.toInt)
+    val a = Array.tabulate(8, 16)((u, c) =>
+      (0 until 16).map(r => m(u * 16 + r) * p(r * 16 + c)).sum)
+    val cf = (for (u <- 0 until 8; v <- 0 until 8)
+      yield (0 until 16).map(c => a(u)(c) * m(v * 16 + c)).sum).toVector
+    val med = cf.drop(1).sorted.apply(31)
+    (1 until 64).map(k => if (cf(k) > med) 1L << (k - 1) else 0L).sum
+  }
+
+  test("m12 DCT hash matches the sequential fixed-point reference") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val texts = (1L to 4L).map(i =>
+      i -> (0 until 256).map(_ => (32 + r.nextInt(95)).toChar).mkString)
+    val got = Multimodal.dctHashFrom(texts.toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === refDctHash(t), s"doc $id hash mismatch")
+    }
+    // hashes are 63-bit non-negative with at most 31 bits set (strictly
+    // above the median of 63)
+    got.values.foreach { h =>
+      assert(h >= 0L)
+      assert(java.lang.Long.bitCount(h) <= 31)
+    }
+  }
+
+  test("m12 is brightness-shift stable and structure-sensitive") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val base = (0 until 256).map(_ => (40 + r.nextInt(60)).toChar).mkString
+    val brighter = base.map(c => (c + 5).toChar) // uniform +5 on every byte
+    val scrambled =
+      new scala.util.Random(13).shuffle(base.toSeq).mkString
+    val rows = Multimodal.dctHashFrom(
+        Seq((1L, base), (2L, brighter), (3L, scrambled))
+          .toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // a uniform brightness shift moves (almost) only the DC
+    // coefficient, which m12 excludes: the hash stays within a couple
+    // of rounding-residual bit flips
+    assert(java.lang.Long.bitCount(rows(1) ^ rows(2)) <= 2,
+      s"brightness shift flipped ${java.lang.Long.bitCount(rows(1) ^ rows(2))} bits")
+    // destroying the spatial structure rewrites the spectrum
+    assert(java.lang.Long.bitCount(rows(1) ^ rows(3)) >= 8,
+      s"scramble flipped only ${java.lang.Long.bitCount(rows(1) ^ rows(3))} bits")
+  }
+
+  test("m12 on the corpus: deterministic, short docs excluded") {
+    val a = Multimodal.mediaDctHash(spark, sfDir).collect()
+    val b = Multimodal.mediaDctHash(spark, sfDir).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val nLong = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 256).count()
+    assert(a.length === nLong)
+  }
+
   test("m9 on the corpus: every emitted frame has a predecessor; flags match dists") {
     val rows = Multimodal.shotBoundaries(spark, sfDir).collect()
     assert(rows.nonEmpty)
