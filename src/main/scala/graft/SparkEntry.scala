@@ -368,6 +368,9 @@ object SparkEntry {
     // DCT perceptual hash (the published pHash rule) in fixed-point
     // integer arithmetic — bit-identical across engines, full oracle
     "m12_dct_phash"         -> (Multimodal.mediaDctHash(_, _)),
+    // Near-dup pairs on the DCT hash: lossless multi-probe pigeonhole
+    // join (m8's shape over 63 bits), exact all-pairs oracle
+    "m13_dct_phash_pairs"   -> (Multimodal.mediaDctHashPairs(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1609,35 +1612,20 @@ object SparkEntry {
     // m12: the SAME fixed-point DCT matrix is baked into this SQL and
     // the Spark expression (generated by one call in one process), so
     // both sides run identical integer arithmetic end to end.
-    "m12_dct_phash" -> {
-      val mList = operators.Multimodal.dctMatrix(16, 8).mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, text FROM documents
-        |  WHERE length(text) >= 256),
-        |mm AS (SELECT CAST(i.i // 16 AS INT) AS u, CAST(i.i % 16 AS INT) AS r,
-        |    ml.mv[CAST(i.i + 1 AS INT)] AS mv
-        |  FROM (SELECT $mList AS mv) ml,
-        |       (SELECT unnest(range(128)) AS i) i),
-        |px AS (SELECT doc_id, CAST(i.i // 16 AS INT) AS r,
-        |    CAST(i.i % 16 AS INT) AS c,
-        |    ascii(substr(text, CAST(i.i + 1 AS INT), 1)) AS val
-        |  FROM d, (SELECT unnest(range(256)) AS i) i),
-        |a AS (SELECT doc_id, mm.u AS u, px.c AS c, sum(mm.mv * px.val) AS av
-        |  FROM px JOIN mm ON px.r = mm.r GROUP BY doc_id, mm.u, px.c),
-        |cc AS (SELECT doc_id, a.u AS u, m2.u AS v, sum(a.av * m2.mv) AS coef
-        |  FROM a JOIN mm m2 ON a.c = m2.r GROUP BY doc_id, a.u, m2.u),
-        |nd AS (SELECT doc_id, u, v, coef,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY coef, u, v) AS rk
-        |  FROM cc WHERE NOT (u = 0 AND v = 0)),
-        |med AS (SELECT doc_id, coef AS med FROM nd WHERE rk = 32)
-        |SELECT cc.doc_id AS doc_id,
-        |  CAST(sum(CASE WHEN cc.coef > med.med
-        |    THEN (1::BIGINT << CAST(cc.u * 8 + cc.v - 1 AS INT))
-        |    ELSE 0 END) AS BIGINT) AS phash
-        |FROM cc JOIN med ON cc.doc_id = med.doc_id
-        |WHERE NOT (cc.u = 0 AND cc.v = 0)
-        |GROUP BY cc.doc_id ORDER BY doc_id""".stripMargin
-    },
+    "m12_dct_phash" ->
+      s"""$dctPhashCte
+        |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin,
+
+    // m13: exact all-pairs hamming in the oracle; the Spark side's
+    // 7×9-bit multi-probe blocking is lossless for radius 12, so the
+    // two must agree exactly (m8's contract on the DCT hash).
+    "m13_dct_phash_pairs" ->
+      s"""$dctPhashCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets
@@ -2900,6 +2888,42 @@ object SparkEntry {
     //   is asserted in IndexStoreSpec, and s3's recall is published in
     //   the bench artifact (s3_recall_at5).
   )
+
+  /** Shared DuckDB CTE computing m12's DCT perceptual hash relation
+    * `ph(doc_id, phash)` — the fixed-point matrix literal is generated
+    * by the same in-process call that feeds the Spark expression, so
+    * both engines run identical integer arithmetic (m12's contract);
+    * m13 reuses the CTE for its exact all-pairs mirror.
+    */
+  private def dctPhashCte: String = {
+    val mList = operators.Multimodal.dctMatrix(16, 8).mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= 256),
+      |mm AS (SELECT CAST(i.i // 16 AS INT) AS u, CAST(i.i % 16 AS INT) AS r,
+      |    ml.mv[CAST(i.i + 1 AS INT)] AS mv
+      |  FROM (SELECT $mList AS mv) ml,
+      |       (SELECT unnest(range(128)) AS i) i),
+      |px AS (SELECT doc_id, CAST(i.i // 16 AS INT) AS r,
+      |    CAST(i.i % 16 AS INT) AS c,
+      |    ascii(substr(text, CAST(i.i + 1 AS INT), 1)) AS val
+      |  FROM d, (SELECT unnest(range(256)) AS i) i),
+      |a AS (SELECT doc_id, mm.u AS u, px.c AS c, sum(mm.mv * px.val) AS av
+      |  FROM px JOIN mm ON px.r = mm.r GROUP BY doc_id, mm.u, px.c),
+      |cc AS (SELECT doc_id, a.u AS u, m2.u AS v, sum(a.av * m2.mv) AS coef
+      |  FROM a JOIN mm m2 ON a.c = m2.r GROUP BY doc_id, a.u, m2.u),
+      |nd AS (SELECT doc_id, u, v, coef,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY coef, u, v) AS rk
+      |  FROM cc WHERE NOT (u = 0 AND v = 0)),
+      |med AS (SELECT doc_id, coef AS med FROM nd WHERE rk = 32),
+      |ph AS (SELECT cc.doc_id AS doc_id,
+      |  CAST(sum(CASE WHEN cc.coef > med.med
+      |    THEN (1::BIGINT << CAST(cc.u * 8 + cc.v - 1 AS INT))
+      |    ELSE 0 END) AS BIGINT) AS phash
+      |FROM cc JOIN med ON cc.doc_id = med.doc_id
+      |WHERE NOT (cc.u = 0 AND cc.v = 0)
+      |GROUP BY cc.doc_id)""".stripMargin
+  }
 
   /** Shared DuckDB prelude for the taxi oracles: raw CSV bytes → lines →
     * the reference's accept rule (17 fields + int probe) → typed trips →

@@ -633,6 +633,19 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m13 — near-duplicate pairs on the m12 DCT hash: the frequency-
+    * domain upgrade of m8's aHash pairs, same lossless single-error
+    * multi-probe pigeonhole join (radius 12 over 63 bits → 7 bands of
+    * 9; a ≤12-bit difference leaves some band with ≤1 error, so every
+    * qualifying pair collides on an exact-or-probed band key — no
+    * recall loss, no all-pairs join).
+    */
+  def mediaDctHashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 12): DataFrame =
+    Dedup.hammingPairsMultiProbe(
+      mediaDctHash(s, dir).select(col("doc_id"), col("phash").as("sig0")),
+      "sig0", maxHamming, bits = 63)
+
   /** Pure-SQL binary ops over the payload column (no decode): byte
     * length + content digest, staying entirely in codegen'd built-ins.
     */

@@ -342,6 +342,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length === nLong)
   }
 
+  test("m13 planted: exact + brightness-shifted dups pair, unrelated docs don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = new scala.util.Random(7)
+    def rand() = (0 until 256).map(_ => (40 + r.nextInt(60)).toChar).mkString
+    val base = rand(); val other = rand()
+    val docs = Seq((1L, base), (2L, base),
+      (3L, base.map(c => (c + 5).toChar)), (4L, other))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.hammingPairsMultiProbe(
+        graft.operators.Multimodal.dctHashFrom(docs)
+          .select(col("doc_id"), col("phash").as("sig0")),
+        "sig0", maxHamming = 12, bits = 63)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)               // exact duplicate
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2) // brightness
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("m13 on the corpus equals a driver-side exact all-pairs recompute") {
+    val sigs = Multimodal.mediaDctHash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 12
+    } yield (a, b, h)).sortBy(x => (x._1, x._2)).toSeq
+    val got = Multimodal.mediaDctHashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === want, s"got ${got.length} want ${want.length} pairs")
+  }
+
   test("m9 on the corpus: every emitted frame has a predecessor; flags match dists") {
     val rows = Multimodal.shotBoundaries(spark, sfDir).collect()
     assert(rows.nonEmpty)
