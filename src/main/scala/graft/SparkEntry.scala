@@ -274,6 +274,10 @@ object SparkEntry {
     // Collocation mining by lift (phrase detection): bigint counts +
     // one exact-integer division — hash-gated, no transcendental
     "t28_collocations" -> (TextAnalysis.collocations(_, _)),
+    // BPE merge learning (Sennrich 2016): the tokenizer-training
+    // primitive — integer pair counts + deterministic argmax + an
+    // exact boundary-wrapped replace, unrolled-CTE hash oracle
+    "t29_bpe_merges" -> (TextAnalysis.bpeMerges(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1463,6 +1467,11 @@ object SparkEntry {
         |  JOIN cnt cb ON bcnt.wb = cb.t
         |  CROSS JOIN tot
         |ORDER BY lift DESC, wa, wb LIMIT 30""".stripMargin,
+
+    // t29: pure integer counts, deterministic (pc desc, l, r) argmax,
+    // and the SAME boundary-wrapped replace as Spark's — unrolled CTE
+    // per merge step, full hash gate.
+    "t29_bpe_merges" -> bpeOracle(steps = 6),
 
     // d25: same shingle convention as d11, reversed direction — report
     // rows for EVERY eval doc, zero-overlap included.
@@ -3059,6 +3068,44 @@ object SparkEntry {
     for (r <- 2 to k)
       sb ++= s"\nUNION ALL SELECT $r, id, mind FROM p$r"
     sb ++= "\nORDER BY rank"
+    sb.toString
+  }
+
+  /** t29's unrolled oracle: per step k, pair counts over w{k-1}, the
+    * (count desc, left, right) argmax, and the boundary-wrapped
+    * replace producing w{k}. chr(1)/chr(2) mirror the Spark side's
+    * u0001/u0002 symbol markers; DuckDB's replace shares Java's
+    * non-overlapping left-to-right scan (prototype-verified).
+    */
+  private def bpeOracle(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS w FROM documents) GROUP BY w),
+      |w0 AS (SELECT chr(1) || array_to_string(string_split(w, ''),
+      |    chr(2) || chr(1)) || chr(2) AS wrapped, cnt FROM wc)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+        |p$k AS (SELECT l, r, sum(cnt) AS pc FROM (
+        |    SELECT cnt, unnest(syms[1:len(syms) - 1]) AS l,
+        |      unnest(syms[2:len(syms)]) AS r
+        |    FROM (SELECT cnt, string_split(
+        |        substr(wrapped, 2, length(wrapped) - 2),
+        |        chr(2) || chr(1)) AS syms FROM w${k - 1})
+        |    WHERE len(syms) >= 2)
+        |  GROUP BY l, r),
+        |t$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+        |w$k AS (SELECT replace(w.wrapped,
+        |    chr(1) || t.l || chr(2) || chr(1) || t.r || chr(2),
+        |    chr(1) || t.l || t.r || chr(2)) AS wrapped, w.cnt
+        |  FROM w${k - 1} w CROSS JOIN t$k t)""".stripMargin
+    }
+    sb ++= (1 to steps).map(k =>
+      s"""
+      |SELECT $k AS step, l AS left_sym, r AS right_sym,
+      |  CAST(pc AS BIGINT) AS pair_count
+      |FROM t$k""".stripMargin).mkString("", " UNION ALL", "")
+    sb ++= "\nORDER BY step"
     sb.toString
   }
 

@@ -1197,4 +1197,80 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("wa"), col("wb"))
       .limit(topK)
   }
+
+  /** t29 — BPE merge learning (Sennrich et al. 2016): the first `steps`
+    * byte-pair-encoding merges over the corpus, each row one learned
+    * merge (step, left_sym, right_sym, pair_count). THE tokenizer-
+    * training primitive of an LLM data pipeline — t22/t23 consume a
+    * vocabulary; this is the op that builds one.
+    *
+    * Exactness contract: counts are integers, the argmax tie-breaks on
+    * (count desc, left, right), and the greedy within-word merge is a
+    * single `replace` over a delimiter-wrapped symbol string — every
+    * symbol spelled u0001+sym+u0002, so the merge pattern
+    * u0001+l+u0002+u0001+r+u0002 matches exactly at symbol boundaries
+    * (markers delimit BOTH sides of every symbol, so consecutive
+    * matches never share a character)
+    * and non-overlapping left-to-right replacement (the same scan rule
+    * in Java and DuckDB, prototype-verified on consecutive runs:
+    * "aaaa" + merge(a,a) → "aa aa") IS the BPE merge rule. No floats
+    * anywhere → full hash oracle, unrolled CTE per step.
+    *
+    * Scale posture: the corpus is tokenized ONCE into a (word, count)
+    * relation — the working set for every iteration is vocabulary-
+    * sized (Heaps' law: ≪ corpus), not corpus-sized, which is what
+    * makes BPE training tractable at 100 TB. Per step: one pair-count
+    * aggregate (map-side combined) over the word relation, a
+    * TakeOrdered(1) argmax, and a broadcast-1-row map-side rewrite;
+    * each round is pinned with a stats-honest localCheckpoint so the
+    * K-step plan/lineage stays constant-size (the d9 fixpoint lesson).
+    */
+  def bpeMerges(s: SparkSession, dir: String, steps: Int = 6): DataFrame =
+    bpeMergesFrom(Tables.documents(s, dir), steps)
+
+  /** The relation form for spec-planted corpora. */
+  private[graft] def bpeMergesFrom(docs: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Shims
+    val A = "\u0001"; val B = "\u0002" // per-symbol open/close markers
+    val words0 = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(A),
+          array_join(filter(split(col("w"), ""), c => c =!= ""), B + A),
+          lit(B)).as("wrapped"),
+        col("cnt"))
+    var words = words0.persist()
+    val nWords = words.count()
+    val wordBytes = math.max(64L, nWords * 64L)
+    var merges: Seq[DataFrame] = Nil
+    for (k <- 1 to steps) {
+      val pairs = words
+        .select(col("cnt"), split(
+          expr("substring(wrapped, 2, length(wrapped) - 2)"), B + A)
+          .as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+      val top = pairs.orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        .persist() // two consumers: the merge row and the rewrite join
+      merges :+= top.select(lit(k).as("step"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("pc").as("pair_count"))
+      // the rewrite is a broadcast of ONE row onto a map-side replace;
+      // the checkpoint truncates lineage so step k+1's plan does not
+      // re-reference every prior round (2^k growth otherwise)
+      words = Shims.localCheckpointWithStats(
+        words.crossJoin(broadcast(
+          top.select(col("l").as("ml"), col("r").as("mr"))))
+          .select(replace(col("wrapped"),
+            concat(lit(A), col("ml"), lit(B + A), col("mr"), lit(B)),
+            concat(lit(A), col("ml"), col("mr"), lit(B))).as("wrapped"),
+          col("cnt")),
+        wordBytes)
+    }
+    merges.reduce(_ unionAll _).orderBy(col("step"))
+  }
 }

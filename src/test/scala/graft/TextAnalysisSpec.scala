@@ -570,4 +570,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 5L))
     assert(lifts.forall(_ > 0.0))
   }
+
+  test("t29 BPE: planted corpus learns the hand-computed merges in order") {
+    import spark.implicits._
+    // word counts: "aaab"×4, "aab"×3, "cd"×5. Step 1 pairs:
+    // (a,a): 2·4+1·3 = 11, (a,b): 4+3 = 7, (c,d): 5 -> merge (a,a).
+    // Greedy left-to-right: "aaab" -> [aa, a, b] (the middle 'a' does
+    // NOT re-pair with the first — the overlap rule), "aab" -> [aa, b].
+    // Step 2: (c,d)=5 beats (aa,a)=4 and (a,b)=4 -> merge (c,d).
+    // Step 3: tie (aa,a)=4 vs (a,b)=4 breaks lexicographically on the
+    // LEFT symbol: "a" < "aa" -> merge (a,b); "aaab" -> [aa, ab].
+    // Step 4: (aa,ab)=4 beats (aa,b)=3 -> merge (aa,ab).
+    val docs = (
+      Seq.fill(4)("aaab") ++ Seq.fill(3)("aab") ++ Seq.fill(5)("cd"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeMergesFrom(docs, steps = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1, "a", "a", 11L),
+      (2, "c", "d", 5L),
+      (3, "a", "b", 4L),
+      (4, "aa", "ab", 4L)))
+  }
+
+  test("t29 on the corpus: counts non-increasing, merges distinct, symbols grow") {
+    val rows = TextAnalysis.bpeMerges(spark, sfDir, steps = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1 to 6))
+    // each merge consumes its pair, so a LATER step can never count
+    // higher than an earlier one (new pairs are substrings merged over)
+    val counts = rows.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"pair counts increased: ${counts.toSeq}")
+    assert(rows.map(t => (t._2, t._3)).distinct.length === rows.length)
+  }
 }
