@@ -377,4 +377,63 @@ object Graph {
           (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("assortativity"))
   }
+
+  /** g5 — core decomposition of the trade graph via h-index iteration
+    * (Lü et al. 2016, "The H-index of a network node"): start from
+    * H₀(v) = deg(v) and repeatedly set H_{k+1}(v) to the h-index of
+    * v's neighbors' H_k values; the fixpoint IS the core number
+    * (k-core membership for every k at once — the full decomposition,
+    * not one fixed-k slice). Output: every vertex with (degree,
+    * coreness), the "how deep in the mutually-dense region does this
+    * account sit" ranking a risk/recommendation pipeline reads.
+    *
+    * Exactness contract: all integers (degrees, h-indexes, round
+    * count), and BOTH engines run exactly `rounds` unrolled updates —
+    * equal by construction even before convergence; GraphSpec pins
+    * convergence (round R = round R+1) at the test scales, and the
+    * h-index update needs no ordered scan: with the neighbor H list
+    * sorted descending the predicate H[i] ≥ i+1 is a monotone prefix,
+    * so the h-index is just the count of satisfied positions.
+    *
+    * Scale posture: the H relation is vertex-sized (two ints) and
+    * BROADCASTS onto the cached symmetrized edge relation each round
+    * (the g1 rank-join shape — no per-round edge shuffle); the only
+    * per-round shuffle is the neighbor-list aggregate on src. At
+    * billion-vertex scale drop the broadcast hint (edges are already
+    * hash-partitioned by dst) and replace collect_list with a
+    * two-pass counting form if max-degree lists outgrow a task.
+    * Convergence on real graphs is a handful of rounds (observed: 5
+    * at sf0.1, matching the paper's small-world claim); `rounds` is a
+    * fixed budget like g1's, not a data-dependent loop.
+    */
+  def coreness(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    corenessOver(tradeEdges(s, dir), rounds)
+      .select(
+        when(pmod(col("v"), lit(2)) === 0,
+          concat(lit("c"), expr("v div 2")))
+          .otherwise(concat(lit("s"), expr("(v - 1) div 2"))).as("vertex"),
+        col("deg").as("degree"),
+        col("h").cast("int").as("coreness"))
+      .orderBy(col("coreness").desc, col("degree").desc, col("vertex"))
+
+  /** The edge-relation form for spec-planted graphs. `edges` must be
+    * symmetrized (both directions present). */
+  private[graft] def corenessOver(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    deg.count() // stage the cache fills in dependency order (see g2)
+    var h: DataFrame = deg.select(col("src").as("v"),
+      col("deg").cast("int").as("h"))
+    for (_ <- 1 to rounds) {
+      // neighbor H values gathered per vertex; the h-index closes as a
+      // prefix count over the descending sort (no window, no explode)
+      h = e.join(broadcast(h), e("dst") === h("v"))
+        .groupBy(e("src"))
+        .agg(sort_array(collect_list(col("h")), asc = false).as("hs"))
+        .select(col("src").as("v"),
+          size(filter(col("hs"), (x, i) => x >= i + 1)).as("h"))
+    }
+    deg.join(h, deg("src") === h("v"))
+      .select(deg("src").as("v"), col("deg"), col("h"))
+  }
 }

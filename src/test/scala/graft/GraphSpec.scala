@@ -152,4 +152,32 @@ class GraphSpec extends AnyFunSuite {
     val g2 = Graph.triangleCount(spark, sfDir).collect().head
     assert((nv, ne) === ((g2.getLong(0), g2.getLong(1))))
   }
+
+  test("g5 planted: clique-plus-tail gets the textbook core numbers") {
+    import spark.implicits._
+    // K4 {a,b,c,d} with a tail d-e-f: the clique is the 3-core, the
+    // tail peels at k=2 — core numbers 3,3,3,3,1,1 (e.g. Batagelj-
+    // Zaversnik peeling). The h-index fixpoint must equal them.
+    val undirected = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f"))
+    val sym = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val got = Graph.corenessOver(sym, rounds = 6).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 3)), "b" -> ((3L, 3)), "c" -> ((3L, 3)),
+      "d" -> ((4L, 3)), "e" -> ((2L, 1)), "f" -> ((1L, 1))))
+  }
+
+  test("g5 on the corpus: the fixed round budget reaches the fixpoint") {
+    def run(rounds: Int) = Graph.coreness(spark, sfDir, rounds).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val at6 = run(6)
+    assert(at6 === run(7), "round 7 changed a coreness — budget too small")
+    assert(at6.nonEmpty)
+    // coreness can never exceed degree, and the max coreness is the
+    // graph's degeneracy (> 0 on any graph with an edge)
+    assert(at6.forall { case (_, d, c) => c <= d && c >= 0 })
+    assert(at6.map(_._3).max > 0)
+  }
 }
