@@ -662,4 +662,53 @@ object CorpusOps {
             / col("n_shingles").cast("double")).as("contamination"))
       .orderBy(col("doc_id"))
   }
+
+  /** d26 — temperature-sampled domain mixture (α = 1/2): per-document
+    * REPEAT factors that flatten the LANGUAGE distribution toward the
+    * published multilingual/multi-domain temperature-sampling rule
+    * p_d ∝ n_d^α (Devlin et al. 2019 mBERT; Conneau-Lample XLM use the
+    * same exponent family). q52 applies GIVEN per-stratum rates; this
+    * op DERIVES them from corpus counts — the "upsample the tail
+    * domains, don't starve them" knob a pretraining mix is tuned with —
+    * and emits epochs-per-document (head domains < 1 epoch via the
+    * fractional gate, tail domains > 1).
+    *
+    * Exactness contract: integer arithmetic end to end. w_d =
+    * floor(sqrt(n_d)) (IEEE sqrt is correctly rounded and n_d < 2⁵²,
+    * so the floor is the exact integer square root on both engines);
+    * the per-language target T_d = (N·w_d) div Σw is exact integer
+    * math; a document's extra repeat beyond the base T_d div n_d
+    * epochs is gated by the corpus-standard salted md5 hash —
+    * h mod n_d < T_d mod n_d — deterministic, engine-identical, and
+    * in expectation exactly the remainder. The EXACT-remainder
+    * alternative (rank docs per source, give the first T_d mod n_d
+    * the extra copy) needs a per-source sort of the whole corpus;
+    * the hash gate is shuffle-free and is what production mixers do.
+    *
+    * Scale posture: one count aggregate to a domain-sized relation
+    * (~#sources rows), all derived stats computed on that tiny
+    * relation and BROADCAST back onto a single corpus scan — no
+    * shuffle of documents at all, no window, no sort before the
+    * presentation ORDER BY.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("w_lang", floor(sqrt(col("n_lang"))).cast("long"))
+    val tot = cnts.agg(sum(col("w_lang")).as("tw"),
+      sum(col("n_lang")).as("tn"))
+    val stats = cnts.crossJoin(tot)
+      .select(col("lang"), col("n_lang"), col("w_lang"),
+        expr("tn * w_lang div tw").as("target_docs"))
+    Tables.documents(s, dir)
+      .join(broadcast(stats), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_lang"),
+        col("w_lang"), col("target_docs"),
+        expr("target_docs div n_lang").as("base_epochs"),
+        (expr("target_docs div n_lang") +
+          when(pmod(hash64(concat(lit("tmix_"), col("doc_id").cast("string"))),
+            col("n_lang")) < expr("target_docs % n_lang"), lit(1L))
+            .otherwise(lit(0L))).as("repeats"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -883,6 +883,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e2.toSeq !== e1.toSeq)
   }
 
+  test("d26 temperature mix flattens the language distribution toward sqrt") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.CorpusOps.temperatureMix(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length === nDocs) // every doc gets a repeat factor
+    // per-language invariants: target = (N * isqrt(n)) div sum(isqrt),
+    // base epochs = target div n, repeats in {base, base+1}
+    val langs = rows.groupBy(_._2)
+    val tw = langs.values.map(_.head._4).sum
+    langs.foreach { case (lang, rs) =>
+      val (n, w, target, base) = (rs.head._3, rs.head._4, rs.head._5, rs.head._6)
+      assert(rs.length === n)
+      assert(w === math.sqrt(n.toDouble).floor.toLong)
+      assert(target === nDocs * w / tw, s"$lang target")
+      assert(base === target / n)
+      assert(rs.forall(r => r._7 == base || r._7 == base + 1))
+    }
+    // the temperature actually flattens: the majority language's
+    // target share sits strictly below its corpus share, a minority's
+    // strictly above (sqrt concavity; holds unless already uniform)
+    val shares = langs.values.map(rs =>
+      (rs.head._3.toDouble / nDocs, rs.head._5.toDouble / nDocs)).toSeq
+    val top = shares.maxBy(_._1); val bottom = shares.minBy(_._1)
+    assert(top._2 < top._1, s"head language not downsampled: $top")
+    assert(bottom._2 > bottom._1, s"tail language not upsampled: $bottom")
+  }
+
   test("s15 MMR: rank 1 = exact top-1, picks from the shortlist, scores non-increasing") {
     import org.apache.spark.sql.functions._
     val k = 5; val nCand = 20; val nQ = 3
