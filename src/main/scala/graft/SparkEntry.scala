@@ -224,6 +224,9 @@ object SparkEntry {
     // Dormant customers (TPC-H Q22 shape): above-average balance, no
     // orders since the cutoff; division-free exact-decimal threshold
     "q68_dormant_customers" -> (RelationalQueries3.lostCustomers(_, _)),
+    // TPC-H Q16 shape: distinct-supplier counts per surviving part
+    // spec, NOT-IN supplier blacklist as a broadcast anti join
+    "q69_supplier_counts" -> (RelationalQueries3.supplierCounts(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -354,6 +357,9 @@ object SparkEntry {
     // Eval-side contamination report: per benchmark doc, the fraction
     // of its shingles found in the training corpus (zero rows kept)
     "d25_contamination_report" -> (CorpusOps.contaminationReport(_, _)),
+    // Temperature-sampled domain mixture (p_d ∝ √n_d): integer-exact
+    // per-doc repeat factors, hash-gated fractional epochs
+    "d26_temperature_mix"   -> (CorpusOps.temperatureMix(_, _)),
     // Perceptual (average-hash) payload signature — integer-exact
     // mean-threshold bits, full DuckDB oracle (m6's positional style)
     "m7_media_phash"        -> (Multimodal.mediaPHash(_, _)),
@@ -467,6 +473,9 @@ object SparkEntry {
     // Degree assortativity (Newman 2002) in exact decimal moments; the
     // symmetric marginals collapse the closing ratio to one division
     "g4_assortativity" -> (Graph.assortativity(_, _)),
+    // Full core decomposition via h-index iteration (Lü 2016): fixed
+    // unrolled rounds, all-integer updates, fixpoint spec-pinned
+    "g5_coreness" -> (Graph.coreness(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1278,6 +1287,21 @@ object SparkEntry {
         |FROM q JOIN nation n ON q.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q69: integer count per group; NOT IN is safe here (s_suppkey is
+    // the non-null key), mirrored as the same anti-membership filter.
+    "q69_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#45'
+        |  AND p.p_type NOT LIKE 'PROMO%'
+        |  AND p.p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
         |  count(*) AS n_copies
@@ -1497,6 +1521,28 @@ object SparkEntry {
         |FROM sh e LEFT JOIN hits h USING (doc_id)
         |WHERE e.doc_id % 20 = 0
         |ORDER BY e.doc_id""".stripMargin,
+
+    // d26: floor(sqrt) is the exact integer square root for bigint
+    // counts (IEEE sqrt correctly rounded, n < 2^52); // and % on
+    // non-negatives truncate identically to Spark's div/%; the extra-
+    // epoch gate rides the corpus-standard salted md5 hash.
+    "d26_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents
+        |  GROUP BY lang),
+        |w AS (SELECT lang, n_lang,
+        |    CAST(floor(sqrt(n_lang)) AS BIGINT) AS w_lang FROM c),
+        |t AS (SELECT CAST(sum(w_lang) AS BIGINT) AS tw,
+        |    CAST(sum(n_lang) AS BIGINT) AS tn FROM w),
+        |s AS (SELECT lang, n_lang, w_lang,
+        |    (tn * w_lang) // tw AS target_docs FROM w, t)
+        |SELECT d.doc_id, d.lang, s.n_lang, s.w_lang, s.target_docs,
+        |  s.target_docs // s.n_lang AS base_epochs,
+        |  s.target_docs // s.n_lang + CASE WHEN
+        |      CAST('0x' || substr(md5('tmix_' || d.doc_id), 1, 15) AS BIGINT)
+        |        % s.n_lang < s.target_docs % s.n_lang
+        |    THEN 1 ELSE 0 END AS repeats
+        |FROM documents d JOIN s USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     // m7: every bit decision is integer arithmetic (sb·ct > st·cb), so
     // the DuckDB mirror is bit-identical by construction — the same
@@ -2874,6 +2920,12 @@ object SparkEntry {
         |    / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
         |FROM m""".stripMargin,
 
+    // g5: all-integer h-index updates, SAME fixed round count as the
+    // Spark side (equal by construction even before the fixpoint); the
+    // window form of the h-index (count of ranks rn with H ≥ rn) is
+    // order-tie-insensitive, so row_number ties cannot diverge it.
+    "g5_coreness" -> corenessOracle(rounds = 6),
+
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and
     //   DuckDB's approx_count_distinct disagree within their error bounds,
@@ -3106,6 +3158,37 @@ object SparkEntry {
       |  CAST(pc AS BIGINT) AS pair_count
       |FROM t$k""".stripMargin).mkString("", " UNION ALL", "")
     sb ++= "\nORDER BY step"
+    sb.toString
+  }
+
+  /** g5's unrolled oracle: h-index iteration over the trade graph with
+    * the same fixed round budget as the Spark side. Per round, the
+    * h-index of each vertex's neighbor H multiset is computed as
+    * max{rn : H_(rn) ≥ rn} over the descending row_number ranking —
+    * tie order between equal H values cannot change the count.
+    */
+  private def corenessOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src,
+      |    's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |h0 AS (SELECT src AS v, deg AS h FROM deg)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |h$k AS (SELECT v, coalesce(max(CASE WHEN hv >= rn THEN rn END), 0) AS h
+        |  FROM (SELECT e.src AS v, p.h AS hv,
+        |      row_number() OVER (PARTITION BY e.src ORDER BY p.h DESC) AS rn
+        |    FROM e JOIN h${k - 1} p ON e.dst = p.v)
+        |  GROUP BY v)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT deg.src AS vertex, deg.deg AS degree,
+      |  CAST(h$rounds.h AS INT) AS coreness
+      |FROM deg JOIN h$rounds ON deg.src = h$rounds.v
+      |ORDER BY coreness DESC, degree DESC, vertex""".stripMargin
     sb.toString
   }
 

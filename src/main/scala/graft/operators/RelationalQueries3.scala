@@ -578,4 +578,44 @@ object RelationalQueries3 {
         sum(col("bal")).cast("double").as("total_acctbal"))
       .orderBy(col("nation"))
   }
+
+  /** q69 — supplier diversity per part spec (the TPC-H Q16 shape:
+    * "how many DISTINCT suppliers can deliver each surviving
+    * brand/type/size combination, excluding blacklisted suppliers"):
+    * the part⋈junction distinct-count with a NOT-IN supplier
+    * exclusion. The junction derives from lineitem like q59's (the
+    * schema has no partsupp table); the Q16 complaint filter maps to
+    * the negative-balance suppliers this schema can express.
+    *
+    * Scale posture: the part dim filters FIRST (brand/type/size
+    * predicates prune most parts) and BROADCASTS onto the fact scan —
+    * lineitem never shuffles for the join; the excluded-supplier set
+    * is a handful of keys, broadcast as a left_anti probe (NOT IN on
+    * a non-null key column = anti join, no null trap here since
+    * s_suppkey is the primary key). The only shuffle is the final
+    * distinct-count aggregate, keyed by the group columns — and the
+    * pre-aggregate relation was already cut to distinct
+    * (partkey, suppkey) pairs map-side by the same aggregate.
+    */
+  def supplierCounts(s: SparkSession, dir: String,
+      exclBrand: String = "Brand#45", exclTypePrefix: String = "PROMO",
+      sizes: Seq[Int] = Seq(49, 14, 23, 45, 19, 3, 36, 9)): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= exclBrand &&
+        !col("p_type").startsWith(exclTypePrefix) &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+        col("p_type"), col("p_size"))
+    val blacklisted = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), "l_partkey")
+      .join(broadcast(blacklisted), Seq("l_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
 }

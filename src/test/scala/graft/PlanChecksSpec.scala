@@ -150,6 +150,9 @@ class PlanChecksSpec extends AnyFunSuite {
     // is a TakeOrdered heap
     pin("q59", bestSupplierPerPart(spark, sfDir), 2, 0)
     assert(PlanChecks.hasTakeOrdered(bestSupplierPerPart(spark, sfDir)))
+    // q69: filtered part dim + supplier blacklist both broadcast;
+    // lineitem never shuffle-joins (the only shuffle is the aggregate)
+    pin("q69", supplierCounts(spark, sfDir), 2, 0)
     // d20: per-source cap rewrites to WindowGroupLimit partial top-k
     assert(PlanChecks.hasWindowGroupLimit(
       graft.operators.CorpusOps.domainCap(spark, sfDir)))

@@ -249,4 +249,31 @@ class Relational3Spec extends AnyFunSuite {
     assert(got.toSeq === want, s"got ${got.toSeq} want $want")
     assert(got.nonEmpty)
   }
+
+  test("q69 supplier counts equal a driver recompute; blacklist and filters hold") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.RelationalQueries3.supplierCounts(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val sizes = Set(49, 14, 23, 45, 19, 3, 36, 9)
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .filter { case (_, (b, t, sz)) =>
+        b != "Brand#45" && !t.startsWith("PROMO") && sizes(sz) }
+      .toMap
+    val bad = Tables.supplier(spark, sfDir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (pk, sk) => parts.contains(pk) && !bad(sk) }
+    val want = pairs.groupBy(p => parts(p._1))
+      .map { case ((b, t, sz), ps) =>
+        (b, t, sz, ps.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy(x => (-x._4, x._1, x._2, x._3))
+    assert(got.toSeq === want)
+    assert(got.nonEmpty && got.forall(_._4 > 0))
+  }
 }
