@@ -381,6 +381,9 @@ object SparkEntry {
     // Near-dup pairs on the DCT hash: lossless multi-probe pigeonhole
     // join (m8's shape over 63 bits), exact all-pairs oracle
     "m13_dct_phash_pairs"   -> (Multimodal.mediaDctHashPairs(_, _)),
+    // Byte-distribution triage (entropy bits/byte, mode, distinct):
+    // the no-decode corrupt/encrypted-blob gate before any decode
+    "m14_byte_entropy"      -> (Multimodal.byteEntropy(_, _)),
 
     // ── Similarity search (north-star extension ops) ─────────────────────
     "s1_cosine_topk" -> (Similarity.bruteForceTopK(_, _)),
@@ -1681,6 +1684,23 @@ object SparkEntry {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // m14: integer histogram; the entropy is the SAME expression tree
+    // (ln(n) - sum(c·ln c)/n) / ln 2 — ulp-level ln agreement only.
+    "m14_byte_entropy" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text
+        |  FROM documents WHERE length(text) > 0),
+        |b AS (SELECT doc_id, n,
+        |    unnest([ascii(c) for c in string_split(text, '')]) AS b
+        |  FROM d),
+        |h AS (SELECT doc_id, n, b, count(*) AS c FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, n AS n_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+        |  CAST(max(c) AS BIGINT) AS mode_count,
+        |  (ln(n) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(n AS DOUBLE))
+        |    / ln(2.0) AS entropy_bits
+        |FROM h GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
 
     "d8_containment_pairs" ->
       s"""$shingleSets

@@ -673,4 +673,47 @@ object Multimodal {
         count(lit(1)).as("n_copies"))
       .select(col("keep_doc_id"), col("payload_md5"), col("n_copies"))
       .orderBy(col("keep_doc_id"))
+
+  /** m14 — byte-distribution stats per payload: distinct-byte count,
+    * modal byte frequency, and Shannon entropy in bits/byte — the
+    * cheap no-decode triage a multimodal ingest runs before spending a
+    * decode cycle: near-8-bit entropy flags encrypted/compressed blobs
+    * (undecodable, skip), near-zero entropy flags padding/corruption,
+    * and the mode count catches constant-fill payloads. Payload
+    * codepoints stand in for bytes (the m6/m7 convention).
+    *
+    * Exactness: counts are integers; the entropy is spelled as the
+    * SAME expression tree on both engines —
+    * (ln(n) − Σ c·ln(c) / n) / ln(2) — so the only float ops are ln
+    * and one fused divide/subtract sequence whose ulp-level agreement
+    * is far inside the 9-digit gate (the t10 ln precedent; ~100 terms
+    * of ≤1-ulp divergence ≈ 1e-15 relative).
+    *
+    * Scale posture: one explode shuffled on (doc, byte) with map-side
+    * combine — the histogram is ≤ alphabet-size rows per doc before
+    * the exchange — then a per-doc rollup; no joins, no sort besides
+    * the presentation ORDER BY.
+    */
+  def byteEntropy(s: SparkSession, dir: String): DataFrame =
+    byteEntropyFrom(Tables.documents(s, dir))
+
+  /** The relation form for spec-planted payloads. */
+  private[graft] def byteEntropyFrom(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(transform(
+          filter(split(col("text"), ""), c => c =!= ""),
+          c => ascii(c))).as("b"))
+      .groupBy(col("doc_id"), col("n"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_distinct_bytes"),
+        max(col("c")).as("mode_count"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_bytes"),
+        col("n_distinct_bytes"), col("mode_count"),
+        ((log(col("n").cast("double")) - col("s") / col("n").cast("double"))
+          / log(lit(2.0))).as("entropy_bits"))
+      .orderBy(col("doc_id"))
 }

@@ -374,6 +374,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === want, s"got ${got.length} want ${want.length} pairs")
   }
 
+  test("m14 planted: constant, two-symbol, and all-distinct payloads get textbook entropy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aaaaaaaa"),            // constant: H = 0, mode = n
+      (2L, "abababab"),            // uniform 2 symbols: H = 1 bit
+      (3L, "abcdefgh"),            // 8 distinct: H = 3 bits
+      (4L, ""))                    // empty: excluded
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Multimodal.byteEntropyFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    assert(rows(1L) === ((8L, 1L, 8L, 0.0)))
+    val (n2, d2, m2, h2) = rows(2L)
+    assert((n2, d2, m2) === ((8L, 2L, 4L)) && math.abs(h2 - 1.0) < 1e-12)
+    val (n3, d3, m3, h3) = rows(3L)
+    assert((n3, d3, m3) === ((8L, 8L, 1L)) && math.abs(h3 - 3.0) < 1e-12)
+  }
+
+  test("m14 on the corpus: entropy bounded by distinct-count log and 8 bits") {
+    val rows = Multimodal.byteEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, mode, h) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(d >= 1 && d <= n && mode >= 1 && mode <= n)
+      assert(h >= -1e-12 && h <= math.log(d.toDouble) / math.log(2.0) + 1e-12,
+        s"entropy $h outside [0, log2($d)]")
+    }
+  }
+
   test("m9 on the corpus: every emitted frame has a predecessor; flags match dists") {
     val rows = Multimodal.shotBoundaries(spark, sfDir).collect()
     assert(rows.nonEmpty)
