@@ -618,4 +618,53 @@ object RelationalQueries3 {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
+
+  /** q70 — excess-stock suppliers (the TPC-H Q20 shape: the nested
+    * semi-join chain part-filter → per-(part, supplier) availability
+    * vs. windowed demand → supplier membership). The schema has no
+    * partsupp, so availability derives from the junction itself (one
+    * stock unit per historical line — q59's derived-junction
+    * convention) and demand is the year's shipped quantity; Q20's rule
+    * availqty > ½·demand is kept verbatim as 2·avail > demand. Output
+    * is per-supplier: how many of their red parts sit in excess — on
+    * the uniform synthetic data every supplier carries SOME excess
+    * part (as in Q20's forest-parts run on uniform TPC-H), so the
+    * per-supplier counts are where the variance lives.
+    *
+    * Exactness contract: avail is a bigint count; demand sums
+    * DECIMAL(12,2)-cast quantities (exact, associative — the q58
+    * lesson; a double sum here would straddle the 9-digit gate on
+    * merge order) and the threshold compare 2·avail > demand is exact
+    * integer-vs-decimal comparison on both engines.
+    *
+    * Scale posture: the name-filtered part set broadcasts onto ONE
+    * lineitem scan; the pair aggregate is the only fact shuffle
+    * (map-side combined); the supplier dim broadcasts onto the
+    * pair-aggregated (already tiny) relation. Nothing quadratic, no
+    * correlated re-scan of lineitem — the Q20 subquery chain is
+    * flattened into one pass.
+    */
+  def excessStockSuppliers(s: SparkSession, dir: String,
+      namePrefix: String = "red", year: Int = 1998): DataFrame = {
+    val rp = Tables.part(s, dir)
+      .filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey").as("l_partkey"))
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_shipdate"))
+      .join(broadcast(rp), "l_partkey")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("avail"),
+        sum(when(org.apache.spark.sql.functions.year(col("l_shipdate")) === year,
+          col("l_quantity").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("demand"))
+    pairs.filter(lit(2) * col("avail") > col("demand"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
+      .orderBy(col("s_name"))
+  }
 }

@@ -153,6 +153,9 @@ class PlanChecksSpec extends AnyFunSuite {
     // q69: filtered part dim + supplier blacklist both broadcast;
     // lineitem never shuffle-joins (the only shuffle is the aggregate)
     pin("q69", supplierCounts(spark, sfDir), 2, 0)
+    // q70: part filter + supplier dim broadcast; the Q20 subquery
+    // chain is flattened — lineitem scanned ONCE, no shuffle join
+    pin("q70", excessStockSuppliers(spark, sfDir), 2, 0)
     // d20: per-source cap rewrites to WindowGroupLimit partial top-k
     assert(PlanChecks.hasWindowGroupLimit(
       graft.operators.CorpusOps.domainCap(spark, sfDir)))

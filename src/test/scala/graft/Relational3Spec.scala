@@ -276,4 +276,36 @@ class Relational3Spec extends AnyFunSuite {
     assert(got.toSeq === want)
     assert(got.nonEmpty && got.forall(_._4 > 0))
   }
+
+  test("q70 excess stock equals an exact BigDecimal driver reference") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.RelationalQueries3
+      .excessStockSuppliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val red = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        year(col("l_shipdate")).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .filter(l => red(l._1))
+    val bySupp = lines.groupBy(l => (l._1, l._2)).toSeq
+      .filter { case (_, ls) =>
+        val avail = ls.length
+        val demand = ls.filter(_._4 == 1998)
+          .map(l => BigDecimal(l._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        BigDecimal(2 * avail) > demand
+      }
+      .groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val names = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = bySupp.toSeq.map { case (sk, n) => (sk, names(sk), n) }
+      .sortBy(_._2)
+    assert(got.toSeq === want)
+    assert(got.nonEmpty)
+  }
 }
