@@ -227,6 +227,9 @@ object SparkEntry {
     // TPC-H Q16 shape: distinct-supplier counts per surviving part
     // spec, NOT-IN supplier blacklist as a broadcast anti join
     "q69_supplier_counts" -> (RelationalQueries3.supplierCounts(_, _)),
+    // TPC-H Q20 shape: excess-stock suppliers via the flattened
+    // part-filter -> pair availability-vs-demand -> membership chain
+    "q70_excess_stock" -> (RelationalQueries3.excessStockSuppliers(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -281,6 +284,9 @@ object SparkEntry {
     // primitive — integer pair counts + deterministic argmax + an
     // exact boundary-wrapped replace, unrolled-CTE hash oracle
     "t29_bpe_merges" -> (TextAnalysis.bpeMerges(_, _)),
+    // Per-language token-budget report: tokenizer fertility + packing
+    // efficiency at a fixed sequence length (pre-run cost estimate)
+    "t30_token_budget" -> (TextAnalysis.tokenBudgetReport(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1305,6 +1311,22 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
+    // q70: avail is a bigint count, demand an exact DECIMAL(12,2) sum
+    // (q58's merge-order lesson), the threshold compare exact on both.
+    "q70_excess_stock" ->
+      """WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |ps AS (SELECT l_partkey, l_suppkey, count(*) AS avail,
+        |    sum(CASE WHEN year(l_shipdate) = 1998
+        |      THEN CAST(l_quantity AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS demand
+        |  FROM lineitem JOIN rp ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |q AS (SELECT l_suppkey, count(*) AS n_excess_parts
+        |  FROM ps WHERE 2 * avail > demand GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, q.n_excess_parts
+        |FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+        |ORDER BY s_name""".stripMargin,
+
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
         |  count(*) AS n_copies
@@ -1499,6 +1521,32 @@ object SparkEntry {
     // and the SAME boundary-wrapped replace as Spark's — unrolled CTE
     // per merge step, full hash gate.
     "t29_bpe_merges" -> bpeOracle(steps = 6),
+
+    // t30: bigint masses + integer ceils; fertility and padding are
+    // each ONE division of exact integers (IEEE-identical).
+    "t30_token_budget" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS np
+        |  FROM documents),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(nw) AS BIGINT) AS n_words,
+        |    CAST(sum(np) AS BIGINT) AS n_wordpieces,
+        |    CAST(sum((np + 511) // 512) AS BIGINT) AS n_seqs_doc_packed
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_wordpieces,
+        |  CASE WHEN n_words > 0
+        |    THEN CAST(n_wordpieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |  END AS fertility,
+        |  n_seqs_doc_packed,
+        |  (n_wordpieces + 511) // 512 AS n_seqs_ideal,
+        |  CASE WHEN n_seqs_doc_packed > 0
+        |    THEN CAST(n_seqs_doc_packed * 512 - n_wordpieces AS DOUBLE)
+        |      / CAST(n_seqs_doc_packed * 512 AS DOUBLE)
+        |  END AS padding_frac
+        |FROM a ORDER BY lang""".stripMargin,
 
     // d25: same shingle convention as d11, reversed direction — report
     // rows for EVERY eval doc, zero-overlap included.

@@ -1273,4 +1273,51 @@ object TextAnalysis {
     }
     merges.reduce(_ unionAll _).orderBy(col("step"))
   }
+
+  /** t30 — token-budget report per language: document/word/wordpiece
+    * mass, tokenizer FERTILITY (wordpieces per word — the tokenizer-
+    * efficiency number multilingual pipelines track per language,
+    * since a high-fertility language burns sequence budget faster),
+    * and packing efficiency at a fixed sequence length: sequences
+    * needed when each document packs alone (per-doc ceil) vs. the
+    * contiguous ideal, and the padding fraction the gap implies —
+    * t12 packs sequences; this reports what the packing will cost
+    * BEFORE the run, per language.
+    *
+    * Exactness contract: every mass is a bigint sum; ceils are integer
+    * arithmetic ((x + L−1) div L); fertility and padding are single
+    * divisions of exactly-representable integers — IEEE-identical on
+    * both engines, full hash oracle. Languages whose scoreable mass is
+    * zero report NULL ratios rather than ±Inf (the dirty-corpus
+    * contract).
+    *
+    * Scale posture: one scan, one language-keyed aggregate with
+    * map-side combine; no joins, no windows, nothing corpus-sized
+    * after the aggregate.
+    */
+  def tokenBudgetReport(s: SparkSession, dir: String,
+      seqLen: Int = 512): DataFrame = {
+    val L = lit(seqLen.toLong)
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("nw"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("np"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("np")).as("n_wordpieces"),
+        sum(expr(s"(np + ${seqLen - 1}) div $seqLen")).as("n_seqs_doc_packed"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_wordpieces"),
+        when(col("n_words") > 0, col("n_wordpieces").cast("double")
+          / col("n_words").cast("double")).as("fertility"),
+        col("n_seqs_doc_packed"),
+        expr(s"(n_wordpieces + ${seqLen - 1}) div $seqLen").as("n_seqs_ideal"),
+        when(col("n_seqs_doc_packed") > 0,
+          (col("n_seqs_doc_packed") * L - col("n_wordpieces")).cast("double")
+            / (col("n_seqs_doc_packed") * L).cast("double"))
+          .as("padding_frac"))
+      .orderBy(col("lang"))
+  }
 }

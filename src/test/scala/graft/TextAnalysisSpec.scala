@@ -605,4 +605,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"pair counts increased: ${counts.toSeq}")
     assert(rows.map(t => (t._2, t._3)).distinct.length === rows.length)
   }
+
+  test("t30 token budget: masses reconcile with t1 and packing bounds hold") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = TextAnalysis.tokenBudgetReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totWp = rows.map(_.getLong(3)).sum
+    // cross-check against t1's per-doc wordpiece counts
+    val t1Wp = TextAnalysis.tokenStats(spark, sfDir)
+      .agg(sum(col("n_wordpieces"))).head().getLong(0)
+    assert(totWp === t1Wp, s"wordpiece mass $totWp != t1's $t1Wp")
+    rows.foreach { r =>
+      val (docs, words, wp, fert, packed, ideal, pad) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))
+      assert(fert === wp.toDouble / words)
+      // per-doc packing can never beat contiguous, and never needs
+      // more than one extra sequence per document
+      assert(ideal <= packed && packed <= ideal + docs)
+      assert(pad >= 0.0 && pad < 1.0)
+      assert(packed * 512 >= wp)
+    }
+  }
 }
