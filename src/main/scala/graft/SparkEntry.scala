@@ -354,6 +354,9 @@ object SparkEntry {
     // Incremental ingest: dedup the incoming batch against itself,
     // then anti-join the existing corpus's fingerprints
     "d23_cross_dedup"       -> (Dedup.crossDedup(_, _)),
+    // d23 answered from a PERSISTED fingerprint index (parquet +
+    // manifest round trip) — equal output, full d23 oracle
+    "d28_persisted_cross_dedup" -> (IndexStore.persistedCrossDedup(_, _)),
     // Output shard manifest: deterministic hash sharding + per-shard
     // doc/byte totals (the write-side planning step)
     "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
@@ -2246,6 +2249,22 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "d23_cross_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |inc AS (SELECT doc_id, fp FROM (
+        |  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY fp
+        |      ORDER BY doc_id) AS rn
+        |  FROM f WHERE doc_id % 3 = 0) WHERE rn = 1),
+        |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, fp FROM inc
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = inc.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d28: identical semantics to d23 — the existing-corpus side just
+    // routes through the persisted parquet+manifest index, which the
+    // round-trip spec proves equal to the direct build. Same oracle.
+    "d28_persisted_cross_dedup" ->
       """WITH f AS (SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),

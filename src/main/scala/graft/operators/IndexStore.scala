@@ -156,21 +156,24 @@ object IndexStore {
     * the same corpus+params (indexes are immutable once written —
     * rebuilding per call would defeat the point of persistence).
     */
+  /** The corpus FINGERPRINT is part of an index identity: an index is
+    * valid for one corpus snapshot, and the test corpora are
+    * regenerated in place — a path keyed on dir+params alone would
+    * happily serve an index built from superseded bytes.
+    */
+  private def corpusTag(dir: String, table: String): String = {
+    val files = Option(new java.io.File(s"$dir/$table"))
+      .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
+      .getOrElse(Seq.empty)
+    java.lang.Long.toHexString(files.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+      .hashCode.toLong & 0xFFFFFFFFL)
+  }
+
   def ivfPersistedTopK(s: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
       dim: Int = 64, lloydIters: Int = 2): DataFrame = {
-    // the corpus FINGERPRINT is part of the identity: an index is valid
-    // for one corpus snapshot, and the test corpora are regenerated in
-    // place — a path keyed on dir+params alone would happily serve an
-    // index built from superseded bytes
-    val fp = {
-      val files = Option(new java.io.File(s"$dir/embeddings.parquet"))
-        .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
-        .getOrElse(Seq.empty)
-      java.lang.Long.toHexString(files.map(f =>
-        s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
-        .hashCode.toLong & 0xFFFFFFFFL)
-    }
+    val fp = corpusTag(dir, "embeddings.parquet")
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_c${nCells}_d${dim}_l${lloydIters}_$fp"
     val path = s"target/graft_index/ivf/$tag"
     if (!new java.io.File(s"$path/manifest").isDirectory) {
@@ -185,5 +188,63 @@ object IndexStore {
       .select(col("neighbor_id").as("query_id"), col("n_emb").as("q_emb"),
         col("n_nrm").as("q_nrm"))
     Similarity.ivfQuery(index, queries, k, nProbe)
+  }
+
+  // ── Exact-dedup fingerprint index (d23's persisted corpus state) ─────
+
+  /** Save the existing-corpus fingerprint relation (doc_id, fp). The
+    * manifest pins the fingerprint convention so a loader can refuse
+    * an index hashed differently.
+    */
+  def saveFingerprints(fps: DataFrame, path: String,
+      params: Map[String, String]): Unit = {
+    fps.write.mode("overwrite").parquet(s"$path/fps")
+    writeManifest(fps.sparkSession, path, "fpindex",
+      params + ("convention" -> "md5(normalized)"))
+  }
+
+  def loadFingerprints(s: SparkSession, path: String): DataFrame = {
+    readManifest(s, path, "fpindex")
+    s.read.parquet(s"$path/fps")
+  }
+
+  /** Incremental maintenance: append a new batch's fingerprints to the
+    * persisted relation — the write an ingest job performs after its
+    * d23 anti-join admits the batch, so the NEXT batch dedups against
+    * it. Disjointness of doc_ids is the caller's contract, as in
+    * [[appendIvf]].
+    */
+  def appendFingerprints(path: String, newFps: DataFrame): Unit =
+    newFps.write.mode("append").parquet(s"$path/fps")
+
+  /** d28 — d23's incremental cross-corpus dedup answered from a
+    * PERSISTED fingerprint index: build-or-reuse the existing-corpus
+    * fingerprint table on disk (parquet + manifest), load it back, and
+    * anti-join the incoming batch against the LOADED relation. Output
+    * is provably identical to d23 (same incoming slice, same
+    * fingerprint set — IndexStoreSpec asserts the equality), so unlike
+    * s14 this persisted path carries d23's FULL hash oracle in the
+    * driver gate.
+    *
+    * Scale posture: the persisted index is a plain parquet table — the
+    * loaded side of the anti join ships one pruned fp column, and at
+    * 100 TB the table is bucketed by fp so each ingest micro-batch
+    * prunes to the buckets it touches. No session state survives; the
+    * index IS the table, which is how a cluster shares it.
+    */
+  def persistedCrossDedup(s: SparkSession, dir: String,
+      mod: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_" +
+      corpusTag(dir, "documents.parquet")
+    val path = s"target/graft_index/fp/$tag"
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    if (!new java.io.File(s"$path/manifest").isDirectory)
+      saveFingerprints(docs.filter(pmod(col("doc_id"), lit(mod)) =!= 0),
+        path, Map("mod" -> mod.toString))
+    Dedup.crossDedupFrom(
+      docs.filter(pmod(col("doc_id"), lit(mod)) === 0),
+      loadFingerprints(s, path))
   }
 }

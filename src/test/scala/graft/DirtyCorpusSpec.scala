@@ -92,7 +92,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "m7_media_phash", "m8_media_phash_pairs",
     "m9_shot_boundaries", "m10_vad_segments", "m11_patchify",
     "m12_dct_phash", "m13_dct_phash_pairs", "t29_bpe_merges",
-    "d26_temperature_mix", "m14_byte_entropy", "t30_token_budget")
+    "d26_temperature_mix", "m14_byte_entropy", "t30_token_budget",
+    "d28_persisted_cross_dedup")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>

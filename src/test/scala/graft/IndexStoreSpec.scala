@@ -114,4 +114,28 @@ class IndexStoreSpec extends AnyFunSuite {
     // second call answers from the already-written index (no rebuild)
     assert(rows(IndexStore.ivfPersistedTopK(spark, sfDir)) === s3)
   }
+
+  test("d28: persisted-fingerprint cross dedup equals direct d23; append extends it") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.fingerprint
+    val d23 = rows(graft.operators.Dedup.crossDedup(spark, sfDir))
+    val d28 = rows(IndexStore.persistedCrossDedup(spark, sfDir))
+    assert(d28 === d23)
+    // idempotent: second call reuses the written index
+    assert(rows(IndexStore.persistedCrossDedup(spark, sfDir)) === d23)
+    // append: an index saved from HALF the existing corpus, extended
+    // with the other half, answers exactly like the full build
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val existing = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val path = tmp("fpidx")
+    IndexStore.saveFingerprints(
+      existing.filter(col("doc_id") % 2 === 0), path, Map("mod" -> "3"))
+    IndexStore.appendFingerprints(path,
+      existing.filter(col("doc_id") % 2 =!= 0))
+    val appended = rows(graft.operators.Dedup.crossDedupFrom(
+      incoming, IndexStore.loadFingerprints(spark, path)))
+    assert(appended === d23)
+  }
 }
