@@ -230,6 +230,9 @@ object SparkEntry {
     // TPC-H Q20 shape: excess-stock suppliers via the flattened
     // part-filter -> pair availability-vs-demand -> membership chain
     "q70_excess_stock" -> (RelationalQueries3.excessStockSuppliers(_, _)),
+    // Customer-value deciles via the DISTRIBUTED global rank (range
+    // partition + per-partition offsets — no single-partition window)
+    "q71_value_tiles" -> (RelationalQueries3.customerValueTiles(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1329,6 +1332,25 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, q.n_excess_parts
         |FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
         |ORDER BY s_name""".stripMargin,
+
+    // q71: the oracle states the SEMANTICS as a plain global
+    // row_number; the Spark side computes the identical rank via the
+    // distributed offset formulation. Decimal spend sums are exact, so
+    // ranks and tile cuts are engine-identical integers.
+    "q71_value_tiles" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend,
+        |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+        |    (SELECT count(*) FROM c) AS n FROM c)
+        |SELECT CAST((rk - 1) * 10 // n AS INT) AS tile,
+        |  count(*) AS n_customers,
+        |  CAST(sum(spend) AS DOUBLE) AS total_spend,
+        |  CAST(min(spend) AS DOUBLE) AS min_spend,
+        |  CAST(max(spend) AS DOUBLE) AS max_spend
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,

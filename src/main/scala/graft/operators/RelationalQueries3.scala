@@ -667,4 +667,65 @@ object RelationalQueries3 {
       .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
       .orderBy(col("s_name"))
   }
+
+  /** q71 — customer lifetime-value deciles: every customer globally
+    * ranked by exact total spend, cut into `tiles` equal-population
+    * tiles, reported as per-tile (population, total/min/max spend) —
+    * the segmentation table a marketing/finance pipeline refreshes
+    * nightly.
+    *
+    * THE point of this operator is the ranking's scale posture: a
+    * global rank is usually written as an UNPARTITIONED window, which
+    * moves every row to one task — the classic scale-killer this
+    * library bans. Instead the aggregated customer relation is
+    * range-partitioned and sorted on the rank key, per-partition row
+    * counts (one long per partition — bounded driver state) become
+    * per-partition OFFSETS, and the global rank is offset +
+    * row_number over the PARTITION-LOCAL window. Every shuffle is the
+    * range exchange; no single-partition stage exists at any scale.
+    * The relation is persisted before branching so the two consumers
+    * (counts, ranked rows) see the SAME range partitioning.
+    *
+    * Exactness contract: spend sums DECIMAL(18,2) (exact,
+    * associative); (spend desc, custkey) is a total order, so ranks —
+    * and therefore tile boundaries tile = (rank−1)·tiles div N — are
+    * integers identical to the oracle's row_number formulation; the
+    * per-tile aggregates cast to double only at presentation.
+    */
+  def customerValueTiles(s: SparkSession, dir: String,
+      tiles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("spend"))
+    val sorted = cust
+      .repartitionByRange(32, col("spend").desc, col("o_custkey"))
+      .sortWithinPartitions(col("spend").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val n = sorted.count() // materializes the ONE range exchange
+    // per-partition offsets: ≤ numPartitions longs through the driver —
+    // the bounded-collect class (IVF centroids, s12 rounds), not a data
+    // collect. Offsets are the exclusive prefix sums in pid order.
+    val counts = sorted.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c) }.init.zip(counts)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+    sorted
+      .join(broadcast(offDf), "pid")
+      .withColumn("rk", col("off") + row_number().over(w))
+      .select(col("spend"),
+        expr(s"CAST((rk - 1) * $tiles div $n AS INT)").as("tile"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("total_spend"),
+        min(col("spend")).cast("double").as("min_spend"),
+        max(col("spend")).cast("double").as("max_spend"))
+      .orderBy(col("tile"))
+  }
 }

@@ -103,6 +103,19 @@ object PlanChecks {
         n.isInstanceOf[CartesianProductExec]))
   }
 
+  /** Window nodes whose partition spec is EMPTY — the move-everything-
+    * to-one-task shape that turns a global rank into a scale incident.
+    * Operators that claim a distributed ranking assert this is 0.
+    */
+  def singlePartitionWindows(df: DataFrame): Int =
+    allNodes(df.queryExecution.executedPlan).count {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }
+
   /** Every physical node reachable from `p`, descending through the AQE
     * wrappers that hide their subtree from a plain `collect`:
     * AdaptiveSparkPlanExec and the QueryStageExec leaves the FINAL

@@ -156,6 +156,13 @@ class PlanChecksSpec extends AnyFunSuite {
     // q70: part filter + supplier dim broadcast; the Q20 subquery
     // chain is flattened — lineitem scanned ONCE, no shuffle join
     pin("q70", excessStockSuppliers(spark, sfDir), 2, 0)
+    // q71: the global rank must NEVER plan an unpartitioned window —
+    // the whole point of the offset formulation (oracle uses one; the
+    // Spark side must not)
+    val q71 = customerValueTiles(spark, sfDir)
+    assert(PlanChecks.singlePartitionWindows(q71) === 0,
+      "q71 planned a single-partition window — the distributed rank regressed")
+    assert(q71.collect().nonEmpty)
     // d20: per-source cap rewrites to WindowGroupLimit partial top-k
     assert(PlanChecks.hasWindowGroupLimit(
       graft.operators.CorpusOps.domainCap(spark, sfDir)))

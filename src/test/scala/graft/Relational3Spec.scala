@@ -308,4 +308,25 @@ class Relational3Spec extends AnyFunSuite {
     assert(got.toSeq === want)
     assert(got.nonEmpty)
   }
+
+  test("q71 value tiles: equal-population cut, ordered spend bands, mass conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.RelationalQueries3
+      .customerValueTiles(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val nCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._1).toSeq === (0 until 10))
+    assert(rows.map(_._2).sum === nCust)
+    // ntile balance: populations differ by at most one
+    val pops = rows.map(_._2)
+    assert(pops.max - pops.min <= 1, s"unbalanced tiles: ${pops.toSeq}")
+    // spend bands are descending and non-overlapping: each tile's max
+    // is at most the previous tile's min
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo._5 <= hi._4 + 1e-9,
+        s"tile ${lo._1} max ${lo._5} overlaps tile ${hi._1} min ${hi._4}")
+    }
+  }
 }

@@ -328,6 +328,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.join(members, Seq("doc_id", "fp")).count() === got.count())
   }
 
+  test("streaming ingest against the PERSISTED fingerprint index (d28 topology)") {
+    // the full production wiring: the static side of the stream-static
+    // anti join is the parquet+manifest fingerprint index on disk, not
+    // an in-session relation — load, stream, compare to batch d23
+    import graft.functions.TextFunctions.fingerprint
+    val docs = Tables.documents(spark, sfDir)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val idx = Files.createTempDirectory(base, "fpidx_stream").toString
+    graft.operators.IndexStore.saveFingerprints(
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      idx, Map("mod" -> "3"))
+    val d = Files.createTempDirectory(base, "fpidx_in").toString
+    incoming.repartition(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val out = graft.operators.Dedup.crossDedupStream(stream,
+      graft.operators.IndexStore.loadFingerprints(spark, idx))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fpidx_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("fpidx_out")
+    val want = graft.operators.Dedup.crossDedup(spark, sfDir)
+    assert(got.count() === want.count())
+    assert(got.as("g").join(want.as("b"), Seq("fp"), "full_outer")
+      .filter(col("g.doc_id").isNull || col("b.doc_id").isNull)
+      .count() === 0)
+  }
+
   test("streaming windowed top-k equals batch w6") {
     // The incremental half (watermarked windowed counts) runs as a
     // genuine stream; the rank-k filter is applied over the closed
