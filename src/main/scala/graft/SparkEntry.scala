@@ -474,6 +474,9 @@ object SparkEntry {
     // Windowed unique visitors: exact batch truth; the streaming mirror
     // is the HLL sketch form, error-gated vs this in StreamingSpec
     "w8_window_uniques" -> (graft.streaming.EventsWindows.windowUniques(_, _)),
+    // Inactivity report (churn triage): batch mirror of the streaming
+    // timeout-timer alerts — integer epoch-hour silence arithmetic
+    "w9_inactive_users" -> (Behavior.inactiveUsers(_, _)),
 
     // ── Graph analytics over warehouse relations ─────────────────────────
     // PageRank on the customer–supplier trade graph, 3 unrolled
@@ -2933,6 +2936,20 @@ object SparkEntry {
         |    AS win_start,
         |  count(DISTINCT user_id) AS uniques
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // w9: silence measured in integer epoch-ms arithmetic; the verdict
+    // derives from the SAME integer on both engines.
+    "w9_inactive_users" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT max(ts) AS cutoff FROM e),
+        |u AS (SELECT user_id, max(ts) AS last_seen FROM e GROUP BY 1)
+        |SELECT user_id, last_seen,
+        |  (epoch_ms(c.cutoff) - epoch_ms(u.last_seen)) // 3600000
+        |    AS silent_hours,
+        |  ((epoch_ms(c.cutoff) - epoch_ms(u.last_seen)) // 3600000) >= 24
+        |    AS is_inactive
+        |FROM u, c ORDER BY user_id""".stripMargin,
 
     // g1: the fixed-point design makes three PageRank iterations pure
     // bigint arithmetic — `div`/`//` truncate identically on the

@@ -161,4 +161,36 @@ object Behavior {
           .as("stickiness"))
       .orderBy(col("day"))
   }
+
+  /** w9 (batch form) — inactivity report: every user's last-seen time,
+    * hours of silence against the corpus cutoff (the feed's max event
+    * time), and the inactive verdict at `gapHours` — churn-risk
+    * triage, and the batch mirror of the streaming timeout-timer
+    * alerts ([[graft.streaming.InactivityStream]]): the stream raises
+    * an alert the moment the watermark passes a user's last event +
+    * gap; this report is the same verdict computed retrospectively.
+    *
+    * Exactness: silence is measured in integer epoch-millisecond
+    * arithmetic ((cutoff_ms − last_ms) div 3 600 000) and the verdict
+    * derives from THAT integer, so both engines cut the boundary on
+    * the same value — no interval arithmetic, no double durations.
+    *
+    * Scale posture: one user-keyed max aggregate (map-side combined)
+    * plus a broadcast 1-row cutoff; no window, no join against the
+    * fact stream.
+    */
+  def inactiveUsers(s: SparkSession, dir: String,
+      gapHours: Int = 24): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"))
+    val cutoff = e.agg(max(col("ts")).as("cutoff"))
+    e.groupBy(col("user_id")).agg(max(col("ts")).as("last_seen"))
+      .crossJoin(broadcast(cutoff))
+      .select(col("user_id"), col("last_seen"),
+        expr("(unix_millis(cutoff) - unix_millis(last_seen)) div 3600000")
+          .as("silent_hours"))
+      .withColumn("is_inactive", col("silent_hours") >= gapHours)
+      .orderBy(col("user_id"))
+  }
 }

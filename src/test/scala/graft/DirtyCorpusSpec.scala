@@ -132,7 +132,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
         "w4_first_event", "w5_funnel_join", "w6_window_topk",
         "w7_click_attribution", "w8_window_uniques", "q60_gap_fill",
         "q61_ewma", "q62_anomaly", "q63_retention", "q64_funnel",
-        "q65_conversion_lag", "q66_stickiness",
+        "q65_conversion_lag", "q66_stickiness", "w9_inactive_users",
         "events_speed_faithful", "events_speed_weighted")
       .foreach { name =>
         val rows = try SparkEntry.queries(name)(spark, dir).collect()

@@ -432,6 +432,112 @@ class StreamingStateSpec extends AnyFunSuite {
     }
   }
 
+  test("inactivity alerts: every user's final silence alerts with the true last_seen") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "inactive").toString
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      // one time-sorted data batch: only each user's FINAL silence can
+      // alert (intra-batch maxima re-arm before any timer fires), then
+      // a far sentinel advances the watermark past every last+gap
+      ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(d)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      Thread.sleep(1100)
+      ev.limit(1)
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
+        .withColumn("user_id", lit(-1L))
+        .write.mode("append").parquet(d)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      val out = graft.streaming.InactivityStream.inactivityAlerts(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("inactive_out").start()
+      try {
+        q.processAllAvailable()
+        val wantN = ev.select(col("user_id")).distinct().count()
+        var tries = 0 // timer emissions can land in the cleanup batch
+        while (tries < 40 &&
+            spark.table("inactive_out").count() < wantN) {
+          Thread.sleep(250); tries += 1
+        }
+      } finally q.stop()
+      val got = spark.table("inactive_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ev.groupBy(col("user_id"))
+        .agg(max(unix_millis(col("ts"))).as("last_ms")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        s"alert mismatch: missing ${want.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- want.keySet}")
+      // every alert is armed exactly gap after the last event
+      spark.table("inactive_out").collect().foreach { r =>
+        assert(r.getLong(2) === r.getLong(1) + 24L * 3600000L)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
+  test("inactivity alerts: planted multi-batch silence fires mid-stream, re-arms delete") {
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Paths.get("target", "test-tmp")
+      Files.createDirectories(base)
+      val d = Files.createTempDirectory(base, "inactive-planted").toString
+      val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      def ts(h: Long) = new java.sql.Timestamp(t0 + h * 3600000L)
+      // batch 1: user 1 stops at t0; user 2's same-batch pair must arm
+      // ONLY its max (no (2, t0) alert ever). wm after = t0+25.5h.
+      val f1 = Seq((1L, ts(0)), (2L, ts(0)), (2L, ts(26)))
+      // batch 2: user 1's t0+24h timer is EXPIRED at batch start and
+      // user 1 has no rows here -> the (1, t0) alert fires mid-stream;
+      // user 2 re-arms (the t0+50h timer is deleted, t0+52h armed)
+      val f2 = Seq((2L, ts(28)))
+      // batch 3: sentinel advances the watermark past t0+52h
+      val f3 = Seq((99L, ts(24 * 30)))
+      Seq(f1, f2, f3).foreach { rows =>
+        rows.toDF("user_id", "ts").coalesce(1)
+          .write.mode("append").parquet(d)
+        Thread.sleep(1100) // distinct mtimes: maxFilesPerTrigger orders
+      }
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      val out = graft.streaming.InactivityStream.inactivityAlerts(stream)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("inactive_planted").start()
+      try {
+        q.processAllAvailable()
+        var tries = 0
+        while (tries < 40 && spark.table("inactive_planted")
+            .filter(col("user_id") < 99L).count() < 2) {
+          Thread.sleep(250); tries += 1
+        }
+      } finally q.stop()
+      val got = spark.table("inactive_planted")
+        .filter(col("user_id") < 99L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set(
+        (1L, t0),                    // mid-stream silence alert
+        (2L, t0 + 28 * 3600000L)),   // final silence; t0/t0+26h deleted
+        s"got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
+
   test("streaming EWMA equals the batch fold over each user's closed prefix") {
     val provider = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provider)
