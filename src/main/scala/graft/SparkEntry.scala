@@ -494,6 +494,9 @@ object SparkEntry {
     // Full core decomposition via h-index iteration (Lü 2016): fixed
     // unrolled rounds, all-integer updates, fixpoint spec-pinned
     "g5_coreness" -> (Graph.coreness(_, _)),
+    // Bipartite projection: supplier pairs ranked by shared-customer
+    // Jaccard (d2's set-similarity mathematics on a relation)
+    "g6_supplier_overlap" -> (Graph.supplierOverlap(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3051,6 +3054,22 @@ object SparkEntry {
     // window form of the h-index (count of ranks rn with H ≥ rn) is
     // order-tie-insensitive, so row_number ties cannot diverge it.
     "g5_coreness" -> corenessOracle(rounds = 6),
+
+    // g6: bigint intersection/degree counts; the Jaccard is one
+    // division of exact integers, spelled identically on both sides.
+    "g6_supplier_overlap" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sv
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT sv, count(*) AS d FROM cs GROUP BY sv),
+        |pr AS (SELECT a.sv AS sa, b.sv AS sb, count(*) AS inter
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sv < b.sv
+        |  GROUP BY 1, 2)
+        |SELECT pr.sa, pr.sb, pr.inter, da.d AS na, db.d AS nb,
+        |  CAST(pr.inter AS DOUBLE)
+        |    / CAST(da.d + db.d - pr.inter AS DOUBLE) AS jaccard
+        |FROM pr JOIN deg da ON pr.sa = da.sv
+        |  JOIN deg db ON pr.sb = db.sv
+        |ORDER BY jaccard DESC, sa, sb LIMIT 50""".stripMargin,
 
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and

@@ -436,4 +436,67 @@ object Graph {
     deg.join(h, deg("src") === h("v"))
       .select(deg("src").as("v"), col("deg"), col("h"))
   }
+
+  /** g6 — supplier similarity by shared-customer Jaccard: project the
+    * bipartite trade graph onto suppliers and rank pairs by
+    * |customers(a) ∩ customers(b)| / |customers(a) ∪ customers(b)| —
+    * the "who could substitute for whom" relation a procurement/risk
+    * pipeline reads, and the graph-side twin of d2's set-similarity
+    * join (same mathematics, the sets come from a relation instead of
+    * text).
+    *
+    * Exactness contract: intersection counts and degrees are bigint;
+    * the Jaccard is ONE division of two exactly-representable
+    * integers (|A∩B| and |A|+|B|−|A∩B|) — IEEE-identical, full hash
+    * oracle; the (jaccard, sa, sb) presentation order is total.
+    *
+    * Scale posture: pair generation expands per-customer supplier
+    * SETS map-side (the copurchaseEdges HOF shape) — quadratic only
+    * in suppliers-per-customer, which is bounded by purchasing
+    * behavior, not corpus size; a hub customer (thousands of
+    * suppliers) is the d2 skew case and takes the same mitigation
+    * (cap or prefix-filter the per-key set before expansion). One
+    * count shuffle on the pair key, two vertex-sized degree joins,
+    * and a TakeOrdered heap — never a full sort.
+    */
+  def supplierOverlap(s: SparkSession, dir: String,
+      topK: Int = 50): DataFrame =
+    supplierOverlapFrom(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"))
+        .distinct(),
+      topK)
+
+  /** The membership-relation form for spec-planted graphs: `cs` is a
+    * distinct (c, sv) bipartite membership relation. */
+  private[graft] def supplierOverlapFrom(csIn: DataFrame,
+      topK: Int): DataFrame = {
+    val cs = csIn.persist()
+    val deg = cs.groupBy(col("sv")).agg(count(lit(1)).as("d")).persist()
+    deg.count() // stage the cache fills in dependency order (see g2)
+    val pairs = cs
+      .groupBy(col("c")).agg(sort_array(collect_set(col("sv"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ss")) - 2),
+        i => transform(
+          sequence(i + 1, size(col("ss")) - 1),
+          j => struct(element_at(col("ss"), i + 1).as("sa"),
+            element_at(col("ss"), j + 1).as("sb")))))).as("e"))
+      .groupBy(col("e.sa").as("sa"), col("e.sb").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(deg.select(col("sv").as("sa"), col("d").as("na")), Seq("sa"))
+      .join(deg.select(col("sv").as("sb"), col("d").as("nb")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("sa"), col("sb"))
+      .limit(topK)
+  }
 }

@@ -169,6 +169,36 @@ class GraphSpec extends AnyFunSuite {
       "d" -> ((4L, 3)), "e" -> ((2L, 1)), "f" -> ((1L, 1))))
   }
 
+  test("g6 planted: hand-computed Jaccard, absent pairs absent, ties break on keys") {
+    import spark.implicits._
+    // customers -> suppliers: c1 {1,2,3}, c2 {1,2}, c3 {2,3}, c4 {4}
+    // degrees: d1=2, d2=3, d3=2, d4=1
+    // inter: (1,2)=2, (1,3)=1, (2,3)=2 -> jaccard (1,2)=2/3,
+    // (2,3)=2/3, (1,3)=1/3; supplier 4 shares nobody -> no pair
+    val cs = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 4L)).toDF("c", "sv")
+    val got = Graph.supplierOverlapFrom(cs, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 2L, 3L, 2.0 / 3.0),
+      (2L, 3L, 2L, 3L, 2L, 2.0 / 3.0),
+      (1L, 3L, 1L, 2L, 2L, 1.0 / 3.0)))
+  }
+
+  test("g6 on the corpus: top-k ordered, jaccard consistent with its own counts") {
+    val rows = Graph.supplierOverlap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    val js = rows.map(_._6)
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b }, "not desc")
+    rows.foreach { case (sa, sb, inter, na, nb, j) =>
+      assert(sa < sb && inter >= 1 && inter <= math.min(na, nb))
+      assert(j === inter.toDouble / (na + nb - inter))
+    }
+  }
+
   test("g5 on the corpus: the fixed round budget reaches the fixpoint") {
     def run(rounds: Int) = Graph.coreness(spark, sfDir, rounds).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
