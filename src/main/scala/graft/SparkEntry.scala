@@ -233,6 +233,9 @@ object SparkEntry {
     // Customer-value deciles via the DISTRIBUTED global rank (range
     // partition + per-partition offsets — no single-partition window)
     "q71_value_tiles" -> (RelationalQueries3.customerValueTiles(_, _)),
+    // TPC-H Q4 shape: EXISTS-per-order late-line check as a residual-
+    // predicate LEFT SEMI join on the natural key
+    "q72_late_priority" -> (RelationalQueries3.latePriorityOrders(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -317,6 +320,9 @@ object SparkEntry {
     "d6_embedding_dedup" -> (Dedup.embeddingNearDupPairs(_, _)),
     // Overlap-coefficient (sub-document) dedup, lossless prefix blocking
     "d8_containment_pairs" -> (Dedup.containmentPairs(_, _)),
+    // Edit-distance pairs: Ed-Join constant-length prefix filter +
+    // banded short-doc block + threshold-bandwidth levenshtein verify
+    "d29_edit_distance_pairs" -> (Dedup.editDistancePairs(_, _)),
     // Pair graph → canonical keeper per cluster (iterative min-label CC)
     "d9_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     // The deduplicated corpus: one representative per cluster + size
@@ -1358,6 +1364,18 @@ object SparkEntry {
         |  CAST(max(spend) AS DOUBLE) AS max_spend
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q72: timestamp-vs-timestamp interval compare — integer
+    // microsecond arithmetic in both engines, no float in the decision
+    "q72_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
         |  count(*) AS n_copies
@@ -2304,6 +2322,20 @@ object SparkEntry {
         |SELECT doc_id, fp FROM inc
         |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = inc.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    // d29: exact integer edit distance — the engines' levenshtein DPs
+    // agree exactly; the oracle brute-forces with the lossless length
+    // filter standing in for the Spark side's prefix blocking
+    "d29_edit_distance_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.t) - length(b.t)) <= 10
+        |WHERE levenshtein(a.t, b.t) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // d24: the d19 hash rule ('0x' + 15 md5 hex chars → 60-bit
     // nonnegative BIGINT, so plain % equals pmod) on the salted doc

@@ -384,6 +384,77 @@ object Dedup {
       .distinct()
   }
 
+  /** d29 — edit-distance near-dup pairs (the Ed-Join shape, Xiao et
+    * al., VLDB'08): every unordered doc pair whose whitespace-
+    * normalized texts are within Levenshtein distance `k`, found
+    * WITHOUT the quadratic all-pairs compare. Unlike the set-based
+    * families (d2/d7/d8), this is an ORDER-SENSITIVE measure — the
+    * dedup signal for templated boilerplate where a few character
+    * edits separate copies that shingle-Jaccard scores identically.
+    *
+    * Lossless candidate generation by q-gram prefix filtering: one
+    * edit destroys at most q of a doc's distinct q-gram types, so
+    * ed(a,b) <= k implies |B \ A| <= k·q gram types, i.e. overlap
+    * >= max(|A|,|B|) − k·q. By the prefix-filter lemma the pair then
+    * shares a gram among the first k·q+1 of each doc's global-(df, g)
+    * ranking — the same rankedPostings machinery as d2/d8, with a
+    * CONSTANT prefix length instead of a size-proportional one. The
+    * pigeonhole is vacuous only when BOTH docs have <= k·q distinct
+    * grams (short docs); that bounded-length class (< ~(k+1)·q chars
+    * normalized) is covered by a separate length-band equi-join —
+    * quadratic only within a fixed band of an O(1)-length class, so
+    * the block stays bounded per band at any corpus size. Candidates
+    * then pass the |len| difference <= k filter (free, lossless) and
+    * the exact `levenshtein(a, b, k)` verify — the threshold form
+    * early-exits the DP at bandwidth k, O(k·len) per pair instead of
+    * O(len²).
+    *
+    * Scale posture: the prefix self-join keys on the gram hash (an
+    * equi shuffle, df=1 grams dropped before it); the short-doc block
+    * keys on the length band (equi); the verify joins key on doc_id.
+    * No cartesian, no nested loop; driver state is nil.
+    */
+  def editDistancePairs(s: SparkSession, dir: String,
+      k: Int = 10, q: Int = 5): DataFrame = {
+    val prefixLen = k * q + 1
+    val norm = Tables.documents(s, dir)
+      .select(col("doc_id"), normalized(col("text")).as("t"))
+      .transform(Tables.spread(_, col("doc_id")))
+      .withColumn("len", length(col("t")))
+      .cache()
+    val shingled = docCharShingles(s, dir, q)
+    val prefixes = rankedPostings(shingled)
+      .filter(col("rk") <= prefixLen)
+      .select(col("g"), col("doc_id"))
+    val candLarge = prefixes.as("x").join(prefixes.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Short-doc block: both sides <= k·q distinct grams. Length bands
+    // of width k: a pair within ed k differs by <= k chars, so its
+    // bands are equal or adjacent — probe side emits {band, band+1},
+    // build side keeps {band}, then canonicalize to unordered pairs.
+    val short = shingled.filter(col("sz") <= k * q)
+      .join(norm.select(col("doc_id"), col("len")), "doc_id")
+      .select(col("doc_id"), floor(col("len") / k).as("band"))
+    val probe = short.select(col("doc_id"),
+      explode(array(col("band"), col("band") + 1)).as("band"))
+    val candShort = probe.as("x").join(short.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val a = norm.select(col("doc_id").as("doc_a"), col("t").as("t_a"),
+      col("len").as("len_a"))
+    val b = norm.select(col("doc_id").as("doc_b"), col("t").as("t_b"),
+      col("len").as("len_b"))
+    candLarge.union(candShort).distinct()
+      .join(a, "doc_a").join(b, "doc_b")
+      .filter(abs(col("len_a") - col("len_b")) <= k)
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), k))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Join candidate (doc_a, doc_b) pairs back to shingle arrays and keep
     * those whose exact `measure` (Jaccard by default; containment for
     * containmentPairs) reaches t.

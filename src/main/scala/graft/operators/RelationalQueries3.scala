@@ -728,4 +728,42 @@ object RelationalQueries3 {
         max(col("spend")).cast("double").as("max_spend"))
       .orderBy(col("tile"))
   }
+
+  /** q72 — order-priority checking (the TPC-H Q4 shape): how many
+    * orders of each priority, placed in a one-year window, had at
+    * least one SLOW line — shipped more than `graceDays` after the
+    * order date. (Q4 proper compares l_commitdate to l_receiptdate;
+    * this schema carries neither, so the same EXISTS-per-order
+    * semantics run on the shipdate-vs-orderdate lag, the only
+    * fulfilment-latency signal the corpus has.)
+    *
+    * Scale posture: the EXISTS is a LEFT SEMI join on orderkey — the
+    * probe side collapses each order to "has a slow line" without
+    * materializing match multiplicity, so a 7-line order costs one
+    * output row, not seven. The slow predicate references BOTH sides
+    * (l_shipdate vs o_orderdate), so it rides the semi join as a
+    * residual condition on the equi-key — one shuffle per side on
+    * orderkey, no cartesian anywhere. The date filter prunes orders
+    * BEFORE the join, and the final aggregate is five groups wide —
+    * map-side combine makes it free. At 100 TB neither side is
+    * broadcastable (the window keeps a constant fraction of orders);
+    * the shuffle semi join on the natural key is the plan you'd want,
+    * and at test SF AQE downgrades it to broadcast on its own.
+    */
+  def latePriorityOrders(s: SparkSession, dir: String,
+      from: String = "1997-01-01", until: String = "1998-01-01",
+      graceDays: Int = 30): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("date") &&
+        col("o_orderdate") < lit(until).cast("date"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -967,4 +967,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // deterministic: the baked sign matrix yields identical output
     assert(proj.collect().toSeq === rows.toSeq)
   }
+
+  test("d29 edit-distance pairs equal the naive quadratic; no nested loop") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val norm = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+    val a = norm.select(col("doc_id").as("doc_a"), col("t").as("t_a"))
+    val b = norm.select(col("doc_id").as("doc_b"), col("t").as("t_b"))
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("ed", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("ed") <= k)
+      .select("doc_a", "doc_b", "ed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val df = Dedup.editDistancePairs(spark, sfDir, k)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naive, "prefix + short-band blocking must be lossless")
+    assert(got.nonEmpty, "corpus plants ed<=10 near-dups")
+    // the candidate path is equi-joins only — a cartesian would BNLJ
+    assert(!graft.plans.PlanChecks.hasBroadcastNestedLoop(df))
+  }
 }

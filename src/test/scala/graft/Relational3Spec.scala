@@ -329,4 +329,24 @@ class Relational3Spec extends AnyFunSuite {
         s"tile ${lo._1} max ${lo._5} overlaps tile ${hi._1} min ${hi._4}")
     }
   }
+
+  test("q72 late priorities: semi join with residual date predicate, exact recount") {
+    val df = RelationalQueries3.latePriorityOrders(spark, sfDir)
+    val plan = PlanChecks.executedPlan(df)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!PlanChecks.hasBroadcastNestedLoop(df))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recount: max per-order ship lag via one aggregate
+    val lag = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
+    val expect = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .join(lag, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.values.sum > 0, "window/grace chosen so the answer is non-degenerate")
+  }
 }
