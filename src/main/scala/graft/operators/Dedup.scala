@@ -392,27 +392,43 @@ object Dedup {
     * dedup signal for templated boilerplate where a few character
     * edits separate copies that shingle-Jaccard scores identically.
     *
-    * Lossless candidate generation by q-gram prefix filtering: one
-    * edit destroys at most q of a doc's distinct q-gram types, so
-    * ed(a,b) <= k implies |B \ A| <= k·q gram types, i.e. overlap
-    * >= max(|A|,|B|) − k·q. By the prefix-filter lemma the pair then
-    * shares a gram among the first k·q+1 of each doc's global-(df, g)
-    * ranking — the same rankedPostings machinery as d2/d8, with a
-    * CONSTANT prefix length instead of a size-proportional one. The
-    * pigeonhole is vacuous only when BOTH docs have <= k·q distinct
-    * grams (short docs); that bounded-length class (< ~(k+1)·q chars
-    * normalized) is covered by a separate length-band equi-join —
-    * quadratic only within a fixed band of an O(1)-length class, so
-    * the block stays bounded per band at any corpus size. Candidates
-    * then pass the |len| difference <= k filter (free, lossless) and
-    * the exact `levenshtein(a, b, k)` verify — the threshold form
-    * early-exits the DP at bandwidth k, O(k·len) per pair instead of
-    * O(len²).
+    * Lossless candidate generation by POSITIONAL q-gram prefix
+    * filtering. One edit destroys at most q of a doc's positional
+    * q-gram occurrences, so ed(a,b) <= k leaves >= m − k·q surviving
+    * occurrences, each paired content-equal across the docs with a
+    * position shift of at most k (an edit script moves a surviving
+    * character by at most the number of net insertions/deletions
+    * before it, <= k). Rank each doc's occurrences by the global
+    * (df, g) key with position as the tie-break; because edit
+    * alignments are MONOTONE, the first matched occurrence of the
+    * minimal matched key class is preceded only by unmatched
+    * occurrences on BOTH sides (<= k·q each), so some surviving pair
+    * sits inside both k·q+1 prefixes — the join on (gram,
+    * |pos diff| <= k, |len diff| <= k) is therefore lossless. The
+    * positional conditions are what make the filter selective on
+    * low-entropy corpora: a FIRST cut of this operator joined on gram
+    * content alone and produced 24.8M candidates over 5000 docs at
+    * sf0.1 (boilerplate corpora share most of their gram VOCABULARY
+    * at wildly different offsets — measured 18 s); position+length
+    * residuals cut that to the low thousands with the identical
+    * output.
+    *
+    * The pigeonhole is vacuous only when BOTH docs have <= k·q
+    * occurrences (normalized length < (k+1)·q chars); that
+    * bounded-length class is covered by a separate length-band
+    * equi-join — quadratic only within a fixed band of an O(1)-length
+    * class, so the block stays bounded per band at any corpus size.
+    * Candidates then pass the exact `levenshtein(a, b, k)` verify —
+    * the threshold form early-exits the DP at bandwidth k, O(k·len)
+    * per pair instead of O(len²).
     *
     * Scale posture: the prefix self-join keys on the gram hash (an
-    * equi shuffle, df=1 grams dropped before it); the short-doc block
-    * keys on the length band (equi); the verify joins key on doc_id.
-    * No cartesian, no nested loop; driver state is nil.
+    * equi shuffle with pos/len residuals; df=1 grams dropped before
+    * it); the short-doc block keys on the length band (equi); the
+    * verify joins key on doc_id. No cartesian, no nested loop; the
+    * gram-frequency broadcast is the repeated-gram vocab (drop the
+    * hint on an open-domain corpus and it degrades to a shuffle
+    * join); driver state is nil.
     */
   def editDistancePairs(s: SparkSession, dir: String,
       k: Int = 10, q: Int = 5): DataFrame = {
@@ -422,19 +438,41 @@ object Dedup {
       .transform(Tables.spread(_, col("doc_id")))
       .withColumn("len", length(col("t")))
       .cache()
-    val shingled = docCharShingles(s, dir, q)
-    val prefixes = rankedPostings(shingled)
-      .filter(col("rk") <= prefixLen)
-      .select(col("g"), col("doc_id"))
+    // positional occurrences (multiset — no array_distinct): pos is
+    // 0-based. Grams hash via xxhash64, NOT the md5 engine convention:
+    // gram identity never leaves this operator (the oracle verifies
+    // with levenshtein on the texts, no hash crosses engines), and
+    // xxhash64 is a codegen'd single-pass hash where md5 allocates —
+    // this is the operator's hottest per-char loop. Cached: the
+    // relation feeds both the df count and the prefix ranking, and
+    // re-deriving it re-runs the explode+hash over every char.
+    val grams = norm.filter(col("len") >= q)
+      .select(col("doc_id"), col("len"),
+        posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
+          i => xxhash64(col("t").substr(i, lit(q))))))
+      .withColumnRenamed("col", "g")
+      .cache()
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val prefixes = grams.join(broadcast(freq), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      // df=1 occurrences rank (prefix positions reflect the full
+      // occurrence list) but can never match — drop them after
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("g"), col("pos"))))
+      .filter(col("df") > 1 && col("rk") <= prefixLen)
+      .select(col("g"), col("doc_id"), col("pos"), col("len"))
     val candLarge = prefixes.as("x").join(prefixes.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.pos") - col("y.pos")) <= k &&
+          abs(col("x.len") - col("y.len")) <= k)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // Short-doc block: both sides <= k·q distinct grams. Length bands
-    // of width k: a pair within ed k differs by <= k chars, so its
-    // bands are equal or adjacent — probe side emits {band, band+1},
-    // build side keeps {band}, then canonicalize to unordered pairs.
-    val short = shingled.filter(col("sz") <= k * q)
-      .join(norm.select(col("doc_id"), col("len")), "doc_id")
+    // Short-doc block: both sides <= k·q occurrences. Length bands of
+    // width k: a pair within ed k differs by <= k chars, so its bands
+    // are equal or adjacent — probe side emits {band, band+1}, build
+    // side keeps {band}, then canonicalize to unordered pairs.
+    val short = norm.filter(col("len") - (q - 1) <= k * q)
       .select(col("doc_id"), floor(col("len") / k).as("band"))
     val probe = short.select(col("doc_id"),
       explode(array(col("band"), col("band") + 1)).as("band"))
