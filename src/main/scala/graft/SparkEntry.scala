@@ -293,6 +293,9 @@ object SparkEntry {
     // Per-language token-budget report: tokenizer fertility + packing
     // efficiency at a fixed sequence length (pre-run cost estimate)
     "t30_token_budget" -> (TextAnalysis.tokenBudgetReport(_, _)),
+    // fastText-shape linear classifier inference: feature-hash +
+    // integer-milli weight fold, decision and logit engine-exact
+    "t31_classifier_filter" -> (TextAnalysis.classifierFilter(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1596,6 +1599,30 @@ object SparkEntry {
         |      / CAST(n_seqs_doc_packed * 512 AS DOUBLE)
         |  END AS padding_frac
         |FROM a ORDER BY lang""".stripMargin,
+
+    // t31: integer-milli weights from the shared md5 hash convention
+    // (hash64 is in [0, 2^60), so plain % equals pmod); the logit is
+    // an exact BIGINT sum, mean_logit ONE bigint/double divide, and
+    // the keep decision a pure integer compare — nothing drifts.
+    "t31_classifier_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''), []) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(toks, x ->
+        |      CAST('0x' || substr(md5('cfw_' ||
+        |        CAST(CAST('0x' || substr(md5('cf_' || x), 1, 15) AS BIGINT)
+        |          % 4096 AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)),
+        |      0) AS BIGINT) AS logit_milli
+        |  FROM t)
+        |SELECT doc_id, n_tokens, logit_milli,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(logit_milli AS DOUBLE) / (1000.0 * CAST(n_tokens AS DOUBLE))
+        |  END AS mean_logit,
+        |  logit_milli > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // d25: same shingle convention as d11, reversed direction — report
     // rows for EVERY eval doc, zero-overlap included.

@@ -1295,6 +1295,55 @@ object TextAnalysis {
     * map-side combine; no joins, no windows, nothing corpus-sized
     * after the aggregate.
     */
+  /** t31 — hashed-n-gram linear classifier inference (the fastText
+    * shape: Joulin et al. 2016, the filter family behind CCNet/GPT-3
+    * style "model-based quality" gates): every token feature-hashes
+    * into a fixed `dims`-bucket space, each bucket carries a baked
+    * integer weight (millis), and the doc's logit is the weight sum —
+    * linear-model inference expressed as a pure projection, no UDF, no
+    * model server. Here the weight table is a deterministic hash of
+    * the bucket index (a stand-in with the exact compute shape of
+    * trained weights — a real deployment swaps in a broadcast lookup
+    * table and nothing else changes); both engines derive the same
+    * weights by construction, so the gate is a full hash oracle.
+    *
+    * FP discipline (the q58 lesson, applied up front): weights are
+    * INTEGER millis and the logit is an exact BIGINT sum — no
+    * merge-order drift, no exp/sigmoid (libm exp differs across
+    * engines in the last ulp; the DECISION `logit > 0` and the one
+    * presentation division are the only consumers and both are
+    * engine-identical). mean_logit is one bigint/bigint IEEE divide.
+    *
+    * Scale posture: shuffle-free codegen scan — tokenize, fold, project;
+    * the only wide op is the presentation sort. At 100 TB this is the
+    * cheapest operator class in the engine (t1's class); with a real
+    * weight table the lookup is one broadcast join against a
+    * `dims`-row relation.
+    */
+  def classifierFilter(s: SparkSession, dir: String,
+      dims: Int = 4096): DataFrame =
+    Tables.documents(s, dir)
+      // two-phase projection (the shinglesFromTokens rule): toks
+      // materializes BEFORE the fold so the lambda doesn't re-tokenize;
+      // null text normalizes to the empty list (n_tokens 0, logit 0 —
+      // mirrored by the oracle's coalesce) so the keep decision is a
+      // real boolean on every row, not a null
+      .select(col("doc_id"),
+        coalesce(tokens(col("text")), array()).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc + (pmod(hash64(concat(lit("cfw_"),
+            pmod(hash64(concat(lit("cf_"), t)), lit(dims.toLong))
+              .cast("string"))), lit(2001L)) - lit(1000L)))
+          .as("logit_milli"))
+      .select(col("doc_id"), col("n_tokens"), col("logit_milli"),
+        when(col("n_tokens") > 0, col("logit_milli").cast("double")
+          / (lit(1000.0) * col("n_tokens").cast("double")))
+          .as("mean_logit"),
+        (col("logit_milli") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+
   def tokenBudgetReport(s: SparkSession, dir: String,
       seqLen: Int = 512): DataFrame = {
     val L = lit(seqLen.toLong)

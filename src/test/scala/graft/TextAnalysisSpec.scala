@@ -627,4 +627,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(packed * 512 >= wp)
     }
   }
+
+  test("t31 classifier filter: exact driver-side replay, integer decision, full coverage") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.classifierFilter(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got.length === docs.size, "one verdict per document, no drops")
+    // exact integer replay of the weight fold on the driver
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    got.foreach { r =>
+      val (id, n, logit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val toks = docs(id).toSeq.flatMap(
+        _.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      assert(n === toks.length)
+      val expect = toks.map(t =>
+        h64("cfw_" + (h64("cf_" + t) % 4096L).toString) % 2001L - 1000L).sum
+      assert(logit === expect, s"doc $id")
+      assert(r.getBoolean(4) === (logit > 0))
+      if (n > 0) assert(r.getDouble(3) === logit.toDouble / (1000.0 * n))
+      else assert(r.isNullAt(3))
+    }
+    // the baked pseudo-weights are balanced enough that the gate
+    // actually separates: both verdicts occur on this corpus
+    assert(got.exists(_.getBoolean(4)) && got.exists(!_.getBoolean(4)))
+  }
 }
