@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_hash64"),
       info("graft_hash64", "graft_hash64(s) - md5-derived 60-bit hash"),
       hash64Builder))
+    // optimizer extension: derive the implied length guard for
+    // levenshtein-threshold filters (see the rule's scaladoc)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPrune)
   }
 }
 

@@ -277,4 +277,35 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 0)
     spark.catalog.clearCache()
   }
+
+  test("LevenshteinLengthPrune injects the implied length guard, results unchanged") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    // un-guarded threshold filter: the rule must add the length compare
+    val filtered = docs.filter(levenshtein(col("t"), lit("the fast key")) <= 30)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs(") && opt.contains("length("),
+      s"guard not injected:\n$opt")
+    // idempotent: exactly ONE guard even though the batch is fixed-point
+    assert("abs\\(\\(length\\(".r.findAllIn(opt).size === 1, opt)
+    // semantics: identical rows to the same predicate evaluated as a
+    // projected column (no Filter node -> the rule never fires there)
+    val expect = docs
+      .withColumn("ed", levenshtein(col("t"), lit("the fast key")))
+      .collect().filter(r => !r.isNullAt(2) && r.getInt(2) <= 30)
+      .map(_.getLong(0)).toSet
+    assert(filtered.collect().map(_.getLong(0)).toSet === expect)
+    // the threshold form (levenshtein(a, b, k) >= 0) is covered too
+    val thr = docs.filter(levenshtein(col("t"), lit("the fast key"), 30) >= 0)
+    val optThr = thr.queryExecution.optimizedPlan.toString
+    assert(optThr.contains("abs(") && optThr.contains("length("), optThr)
+    assert(thr.collect().map(_.getLong(0)).toSet === expect)
+    // a hand-guarded filter is NOT double-guarded (semantic dedupe)
+    val manual = docs.filter(
+      abs(length(col("t")) - length(lit("the fast key"))) <= 30 &&
+        levenshtein(col("t"), lit("the fast key")) <= 30)
+    assert("abs\\(\\(length\\(".r
+      .findAllIn(manual.queryExecution.optimizedPlan.toString).size === 1)
+  }
 }

@@ -11,6 +11,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the library's own extensions ride along in every spec — the
+      // injected optimizer rule is integration-exercised by the whole
+      // suite, not just its targeted plan test
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
