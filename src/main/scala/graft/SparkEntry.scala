@@ -369,6 +369,9 @@ object SparkEntry {
     // d23 answered from a PERSISTED fingerprint index (parquet +
     // manifest round trip) — equal output, full d23 oracle
     "d28_persisted_cross_dedup" -> (IndexStore.persistedCrossDedup(_, _)),
+    // LSH near-dup admission from a persisted banding index (save +
+    // incremental append + load in the query path; exact verify)
+    "d30_persisted_lsh_dedup" -> (IndexStore.persistedLshPairs(_, _)),
     // Output shard manifest: deterministic hash sharding + per-shard
     // doc/byte totals (the write-side planning step)
     "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
@@ -2363,6 +2366,21 @@ object SparkEntry {
         |  AND abs(length(a.t) - length(b.t)) <= 10
         |WHERE levenshtein(a.t, b.t) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d30: same word-3-gram Jaccard truth as d2/d3, restricted to
+    // (increment × existing-corpus) pairs — the banding only PRUNES
+    // (exact verify after), so the persisted-index path answers the
+    // plain cross-pairs relation exactly.
+    "d30_persisted_lsh_dedup" ->
+      s"""$shingleSets
+        |SELECT a.doc_id AS doc_id, b.doc_id AS corpus_doc_id,
+        |  len(list_intersect(a.t, b.t)) * 1.0
+        |    / (a.n + b.n - len(list_intersect(a.t, b.t))) AS jaccard
+        |FROM sz a JOIN sz b
+        |  ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |WHERE len(list_intersect(a.t, b.t)) * 1.0
+        |    / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.5
+        |ORDER BY doc_id, corpus_doc_id""".stripMargin,
 
     // d24: the d19 hash rule ('0x' + 15 md5 hex chars → 60-bit
     // nonnegative BIGINT, so plain % equals pmod) on the salted doc

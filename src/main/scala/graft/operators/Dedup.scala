@@ -605,6 +605,25 @@ object Dedup {
     * lifecycle belongs to the caller (unpersist when the index is
     * superseded).
     */
+  /** Index relations from an arbitrary (doc_id, text) relation —
+    * UNCACHED: the persistence path ([[IndexStore.saveMinhash]]) owns
+    * materialization (parquet), the in-session path (minhashIndex
+    * below) adds cache(); building uncached here avoids double
+    * residency when the relations go straight to disk.
+    */
+  private[graft] def minhashIndexFrom(docs: DataFrame): MinhashIndex = {
+    val shingled = shingleProject(
+      docs.select(col("doc_id"), col("text"))
+        .transform(Tables.spread(_, col("doc_id"))),
+      tokens, w => shinglesFromTokens(w, 3))
+    val sigs = minhashSignatures(shingled)
+    MinhashIndex(
+      sigs.select(col("doc_id"),
+          explode(array(bandKeyCols(col("sig"), BandRows): _*)))
+        .select(col("doc_id"), col("col").as("band_key")),
+      shingled)
+  }
+
   def minhashIndex(s: SparkSession, dir: String): MinhashIndex = {
     val docs = docShingles(s, dir).cache()
     val sigs = minhashSignatures(docs)

@@ -232,6 +232,87 @@ object IndexStore {
     * prunes to the buckets it touches. No session state survives; the
     * index IS the table, which is how a cluster shares it.
     */
+  // ── MinHash-LSH banding index (d3's persisted corpus state) ──────────
+
+  /** Save the band-bucket and shingle relations of a
+    * [[Dedup.MinhashIndex]]. The manifest pins the signature scheme
+    * (hash count, band width, shingle convention) — a loader must
+    * refuse an index whose band keys were derived differently, since
+    * a probe signed under another scheme would silently miss every
+    * bucket.
+    */
+  def saveMinhash(index: Dedup.MinhashIndex, path: String,
+      params: Map[String, String]): Unit = {
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.shingles.select("doc_id", "sh", "sz")
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    writeManifest(index.bands.sparkSession, path, "minhash-lsh",
+      params ++ Map("numHashes" -> "128", "bandRows" -> "2",
+        "shingle" -> "word3-hash64"))
+  }
+
+  def loadMinhash(s: SparkSession, path: String): Dedup.MinhashIndex = {
+    val m = readManifest(s, path, "minhash-lsh")
+    require(m.get("numHashes").contains("128") &&
+      m.get("bandRows").contains("2") &&
+      m.get("shingle").contains("word3-hash64"),
+      s"minhash index at $path was built under a different signature " +
+        s"scheme: $m")
+    Dedup.MinhashIndex(
+      s.read.parquet(s"$path/bands"),
+      s.read.parquet(s"$path/shingles"))
+  }
+
+  /** Incremental maintenance: append a new batch's bands and shingles.
+    * Disjointness of doc_ids is the caller's contract (as in
+    * [[appendIvf]]/[[appendFingerprints]]); the scheme is fixed by the
+    * manifest, so an appended batch MUST be signed by the same
+    * convention — which [[Dedup.minhashIndexFrom]] guarantees.
+    */
+  def appendMinhash(path: String, delta: Dedup.MinhashIndex): Unit = {
+    delta.bands.write.mode("append").parquet(s"$path/bands")
+    delta.shingles.select("doc_id", "sh", "sz")
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** d30 — near-dup admission control from a PERSISTED LSH index: the
+    * d3-streaming shape (incoming docs checked against a corpus index
+    * before admission) answered across sessions. The registered query
+    * derives three slices from one table (the d23/d28 id-split
+    * convention): the index is BUILT from the `%mod == 1` slice,
+    * EXTENDED by appending the remaining existing slices — so the
+    * registered path itself proves incremental maintenance — then the
+    * `%mod == 0` increment queries the LOADED relations. Exact Jaccard
+    * verification follows candidate banding, so the output equals the
+    * plain cross-pairs truth and carries a FULL hash oracle (d3's
+    * equivalence argument, cross-restricted).
+    *
+    * Scale posture: the persisted index is two parquet tables — at
+    * 100 TB `bands` is bucketed by band_key so a micro-batch's probe
+    * join prunes to touched buckets, and `shingles` bucketed by doc_id
+    * feeds the verify join; appends are per-batch file adds, never a
+    * rewrite of corpus history. No session state survives; the index
+    * IS the table pair.
+    */
+  def persistedLshPairs(s: SparkSession, dir: String,
+      mod: Int = 3, t: Double = 0.5): DataFrame = {
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_" +
+      corpusTag(dir, "documents.parquet")
+    val path = s"target/graft_index/lsh/$tag"
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    val slice = pmod(col("doc_id"), lit(mod))
+    if (!new java.io.File(s"$path/manifest").isDirectory) {
+      saveMinhash(Dedup.minhashIndexFrom(docs.filter(slice === 1)),
+        path, Map("mod" -> mod.toString))
+      appendMinhash(path,
+        Dedup.minhashIndexFrom(docs.filter(slice =!= 0 && slice =!= 1)))
+    }
+    Dedup.minhashCandidatesStream(docs.filter(slice === 0),
+        loadMinhash(s, path), t)
+      .orderBy(col("doc_id"), col("corpus_doc_id"))
+  }
+
   def persistedCrossDedup(s: SparkSession, dir: String,
       mod: Int = 3): DataFrame = {
     import graft.functions.TextFunctions.fingerprint

@@ -138,4 +138,37 @@ class IndexStoreSpec extends AnyFunSuite {
       incoming, IndexStore.loadFingerprints(spark, path)))
     assert(appended === d23)
   }
+
+  test("d30: persisted LSH pairs equal the direct index; save+append+load round-trips") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val slice = pmod(col("doc_id"), lit(3))
+    // direct truth: increment queried against the full in-memory index
+    val direct = rows(graft.operators.Dedup.minhashCandidatesStream(
+      docs.filter(slice === 0),
+      graft.operators.Dedup.minhashIndexFrom(docs.filter(slice =!= 0)))
+      .orderBy(col("doc_id"), col("corpus_doc_id")))
+    assert(direct.nonEmpty, "corpus plants cross-slice near-dups")
+    // registered path (save slice-1, append slice-2, load, query)
+    val d30 = rows(IndexStore.persistedLshPairs(spark, sfDir))
+    assert(d30 === direct)
+    // idempotent: second call answers from the written index
+    assert(rows(IndexStore.persistedLshPairs(spark, sfDir)) === direct)
+    // a foreign-scheme manifest is refused
+    val bad = tmp("lshbad")
+    IndexStore.saveMinhash(
+      graft.operators.Dedup.minhashIndexFrom(docs.limit(5)), bad, Map())
+    spark.read.parquet(s"$bad/manifest")
+      .withColumn("value",
+        when(col("key") === "bandRows", lit("8")).otherwise(col("value")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$bad/manifest2")
+    // overwrite manifest with the tampered copy
+    val fs = new java.io.File(s"$bad/manifest")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    new java.io.File(s"$bad/manifest2").renameTo(fs)
+    intercept[IllegalArgumentException] {
+      IndexStore.loadMinhash(spark, bad)
+    }
+  }
 }
