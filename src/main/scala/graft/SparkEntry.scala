@@ -458,6 +458,9 @@ object SparkEntry {
     // JL ±1 random projection 64 -> 16 dims (pre-ANN compression);
     // left-assoc double chains -> bit-identical, full oracle
     "s17_jl_project" -> (Similarity.jlProject(_, _)),
+    // Hybrid retrieval: reciprocal-rank fusion of the dense cosine
+    // list (query vector 0) with t15's BM25 list — rank-only fusion
+    "s18_hybrid_rrf" -> (Similarity.hybridRrf(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -1499,6 +1502,52 @@ object SparkEntry {
     // s17: generated from the SAME baked sign matrix as the Spark
     // expression (see Similarity.jlOracleSql) — the sides cannot drift.
     "s17_jl_project" -> Similarity.jlOracleSql(),
+
+    // s18: dense ranks = s1's hash-green cosine ordering (query 0,
+    // top 50); lex ranks = t15's hash-green BM25 chain (top 20); the
+    // fusion is two fixed-order IEEE divides + one add — no drift.
+    "s18_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 1),
+        |cs AS (SELECT vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) AS cos
+        |  FROM q, embeddings WHERE query_id <> vec_id),
+        |drk AS (SELECT neighbor_id AS doc_id, CAST(row_number() OVER (
+        |    ORDER BY cos DESC, neighbor_id) AS INT) AS dense_rank
+        |  FROM cs WHERE cos IS NOT NULL),
+        |dr AS (SELECT * FROM drk WHERE dense_rank <= 50),
+        |toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |tfw AS (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |st AS (SELECT sum(cnt) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM tf),
+        |hits AS (SELECT *, count(*) OVER (PARTITION BY term) AS dfr
+        |  FROM tfw WHERE term IN ('table', 'scan', 'join')),
+        |wv AS (SELECT doc_id, term,
+        |    (ln(1.0 + (nd - dfr + 0.5) / (dfr + 0.5)) * (cnt * (1.2 + 1.0)))
+        |      / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * n_tok / avgdl)) AS w
+        |  FROM hits CROSS JOIN n CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'table' THEN w END), 0.0)
+        |      + coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0)
+        |      + coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS bm25
+        |  FROM wv GROUP BY doc_id),
+        |lrk AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM sc),
+        |lr AS (SELECT * FROM lrk WHERE lex_rank <= 20),
+        |f AS (SELECT coalesce(dr.doc_id, lr.doc_id) AS doc_id,
+        |    dense_rank, lex_rank,
+        |    coalesce(1.0 / (60 + dense_rank), 0.0)
+        |      + coalesce(1.0 / (60 + lex_rank), 0.0) AS rrf_score
+        |  FROM dr FULL OUTER JOIN lr ON dr.doc_id = lr.doc_id),
+        |frk AS (SELECT CAST(row_number() OVER (
+        |    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank, *
+        |  FROM f)
+        |SELECT rank, doc_id, dense_rank, lex_rank, rrf_score
+        |FROM frk WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // t26: the three counts are integers (tokens / [.!?]+ runs /
     // per-word [aeiouy]+ vowel groups, each floored at 1) and each

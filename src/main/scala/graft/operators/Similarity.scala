@@ -1362,4 +1362,48 @@ object Similarity {
        |FROM c, (SELECT unnest(range($kDim)) AS j) u
        |ORDER BY vec_id, proj_dim""".stripMargin
   }
+
+  /** s18 — hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    * 2009, the fusion every production search stack runs): ONE search
+    * expressed twice — dense (cosine ranks of query vector 0 against
+    * the corpus, top `kDense`) and lexical (t15's BM25 ranks for the
+    * fixed term set, top 20) — fused per doc as
+    * Σ 1/(c + rank), missing-from-a-list contributing 0. RRF needs
+    * only the RANKS, never the incomparable raw scores, which is
+    * exactly why it fuses a cosine in [-1,1] with an unbounded BM25
+    * soundly.
+    *
+    * FP discipline: ranks are ints from hash-green rankings (s1's
+    * sequential-double cosine order, t15's BM25 order); the fused
+    * score is two IEEE divisions and one add in fixed literal order —
+    * engine-identical, no accumulation. Ties break on doc_id.
+    *
+    * Scale posture: each list is top-K bounded BEFORE the fusion join
+    * (the rankings themselves are s1's WindowGroupLimit scan and
+    * t15's broadcast-stats aggregate); the full-outer fusion joins two
+    * <= K-row relations — driver-free, shuffle-trivial. At 100 TB the
+    * dense list swaps to the IVF/PQ index path (s3/s13) without
+    * touching the fusion.
+    */
+  def hybridRrf(s: SparkSession, dir: String, kDense: Int = 50,
+      c: Int = 60, topK: Int = 10): DataFrame = {
+    val dense = bruteForceTopK(s, dir, kDense, nQueries = 1)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val lex = TextAnalysis.bm25Rank(s, dir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val fused = dense.join(lex, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(c) + col("dense_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(topK)
+    // rank window AFTER the limit: <= topK rows (the adjudicated
+    // t15/t17 post-limit pattern — bounded by construction)
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("dense_rank"),
+        col("lex_rank"), col("rrf_score"))
+      .orderBy(col("rank"))
+  }
 }

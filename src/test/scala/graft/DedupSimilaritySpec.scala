@@ -968,6 +968,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(proj.collect().toSeq === rows.toSeq)
   }
 
+  test("s18 hybrid RRF: fusion matches a driver-side recompute from its two lists") {
+    import org.apache.spark.sql.functions._
+    val dense = Similarity.bruteForceTopK(spark, sfDir, 50, 1)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    val lex = graft.operators.TextAnalysis.bm25Rank(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = (dense.keySet ++ lex.keySet).toSeq
+      .map { id =>
+        val s = dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Similarity.hybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(got === expect)
+    // the fusion genuinely mixes: top-10 draws from BOTH lists
+    val ids = got.map(_._1).toSet
+    assert(ids.exists(dense.contains) && ids.exists(lex.contains))
+  }
+
   test("d29 edit-distance pairs equal the naive quadratic; no nested loop") {
     import org.apache.spark.sql.functions._
     val k = 10
