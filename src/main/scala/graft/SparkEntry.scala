@@ -236,6 +236,9 @@ object SparkEntry {
     // TPC-H Q4 shape: EXISTS-per-order late-line check as a residual-
     // predicate LEFT SEMI join on the natural key
     "q72_late_priority" -> (RelationalQueries3.latePriorityOrders(_, _)),
+    // Z-order clustering stats: per-z-bucket min/max of BOTH dims —
+    // the write-side multi-dimensional data-skipping layout
+    "q73_zorder_stats" -> (TimeSeries.zorderStats(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -372,6 +375,9 @@ object SparkEntry {
     // LSH near-dup admission from a persisted banding index (save +
     // incremental append + load in the query path; exact verify)
     "d30_persisted_lsh_dedup" -> (IndexStore.persistedLshPairs(_, _)),
+    // Snapshot diff: added/removed/changed/unchanged audit between two
+    // corpus versions via one co-partitioned full-outer fp join
+    "d31_snapshot_diff" -> (CorpusOps.snapshotDiff(_, _)),
     // Output shard manifest: deterministic hash sharding + per-shard
     // doc/byte totals (the write-side planning step)
     "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
@@ -1372,6 +1378,30 @@ object SparkEntry {
         |  CAST(min(spend) AS DOUBLE) AS min_spend,
         |  CAST(max(spend) AS DOUBLE) AS max_spend
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q73: exact integer affine to 16-bit coordinates, unrolled bigint
+    // bit interleave — the Spark expression's literal twin
+    "q73_zorder_stats" -> {
+      val z = (0 until 16).map { i =>
+        s"((u16 // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+          s" + ((h16 // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS epoch_hour
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+        |    min(epoch_hour) AS min_h, max(epoch_hour) AS max_h FROM ev),
+        |n AS (SELECT user_id, epoch_hour,
+        |    (user_id - min_u) * 65535 // greatest(max_u - min_u, 1) AS u16,
+        |    (epoch_hour - min_h) * 65535 // greatest(max_h - min_h, 1) AS h16
+        |  FROM ev CROSS JOIN b),
+        |zz AS (SELECT user_id, epoch_hour, ($z) AS z FROM n)
+        |SELECT CAST(z // ${1L << 27} AS INT) AS bucket,
+        |  count(*) AS n_rows,
+        |  min(user_id) AS min_user, max(user_id) AS max_user,
+        |  min(epoch_hour) AS min_hour, max(epoch_hour) AS max_hour
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // q72: timestamp-vs-timestamp interval compare — integer
     // microsecond arithmetic in both engines, no float in the decision
@@ -2430,6 +2460,27 @@ object SparkEntry {
         |WHERE len(list_intersect(a.t, b.t)) * 1.0
         |    / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.5
         |ORDER BY doc_id, corpus_doc_id""".stripMargin,
+
+    // d31: both snapshots and the revision are the same deterministic
+    // construction; fingerprints share the md5(normalized) convention
+    // with a 'null' sentinel for null texts on BOTH engines.
+    "d31_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |    coalesce(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |      'null') AS fp_old
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |neu AS (SELECT doc_id,
+        |    coalesce(md5(trim(regexp_replace(lower(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END),
+        |      '\s+', ' ', 'g'))), 'null') AS fp_new
+        |  FROM documents WHERE doc_id % 9 <> 8)
+        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |    WHEN fp_new IS NULL THEN 'removed'
+        |    WHEN fp_old <> fp_new THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // d24: the d19 hash rule ('0x' + 15 md5 hex chars → 60-bit
     // nonnegative BIGINT, so plain % equals pmod) on the salted doc

@@ -711,4 +711,44 @@ object CorpusOps {
             .otherwise(lit(0L))).as("repeats"))
       .orderBy(col("doc_id"))
   }
+
+  /** d31 — corpus snapshot diff: classify every doc_id across two
+    * corpus snapshots as added / removed / changed / unchanged by
+    * content fingerprint — the audit a versioned-dataset build runs
+    * between releases (what exactly moved between corpus v1 and v2,
+    * and does the delta match the changelog). The registered query
+    * derives both snapshots from the one table deterministically:
+    * "old" drops the `%4 == 3` slice, "new" drops the `%9 == 8` slice
+    * and revises the text of the `%5 == 0` slice — so all four
+    * statuses occur and the oracle can mirror the construction
+    * exactly.
+    *
+    * Null-text docs fingerprint to a sentinel (a null fp would
+    * misclassify a doc present on both sides as added/removed — the
+    * full-outer join's presence test must never read absence from a
+    * null VALUE).
+    *
+    * Scale posture: one full-outer equi-join on doc_id — at 100 TB
+    * both snapshot manifests are bucketed by doc_id, so the diff is
+    * co-partitioned with no shuffle of either corpus body (fps ride
+    * the manifest; text never moves). No windows, no driver state.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def fp(c: Column): Column = coalesce(fingerprint(c), lit("null"))
+    val old = docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+      .select(col("doc_id"), fp(col("text")).as("fp_old"))
+    val neu = docs.filter(pmod(col("doc_id"), lit(9)) =!= 8)
+      .select(col("doc_id"), fp(
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .as("fp_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -111,4 +111,59 @@ object TimeSeries {
         col("zscore"))
       .orderBy(col("user_id"), col("hour"))
   }
+
+  /** q73 — Z-order (Morton) clustering statistics: normalize user_id
+    * and the event's epoch hour each to a 16-bit coordinate by an
+    * exact integer affine over the observed domain
+    * ((x − min)·65535 div (max − min) — the standard recipe; raw low
+    * bits would put this corpus's 11-bit user range and 10-bit hour
+    * window entirely inside bucket 0), interleave the bits, cut the
+    * 32-bit z range into 32 equal buckets (top 5 bits), and report
+    * each bucket's row count and min/max of BOTH dimensions. This is
+    * the write-side layout decision for 100 TB event data: a table
+    * file-split by z keeps per-file min/max ranges tight on user_id
+    * AND time simultaneously, so parquet zone-map skipping prunes
+    * point-user queries and time-range queries from the same layout —
+    * a single-column sort prunes only its own dimension
+    * (TemporalJoinsSpec quantifies both spans on this corpus). d27 is
+    * the read-side ordering counterpart; this is the storage-
+    * clustering one.
+    *
+    * Exactness: the affine and the interleave are pure bigint
+    * div/mod/multiply with literal powers of two — identical in
+    * DuckDB, so the gate is a full hash oracle.
+    *
+    * Scale posture: one 2-value global aggregate broadcasts the
+    * domain bounds; then a shuffle-free projection + a 32-group
+    * aggregate with map-side combine. Writing the layout is
+    * `repartitionByRange(z)` + `sortWithinPartitions(z)` — the q71
+    * range-exchange shape, no single-partition stage.
+    */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    val zTerms = (0 until 16).map { i =>
+      s"((u16 div ${1L << i}) % 2) * ${1L << (2 * i + 1)}L" +
+        s" + ((h16 div ${1L << i}) % 2) * ${1L << (2 * i)}L"
+    }.mkString(" + ")
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 3600000").as("epoch_hour"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      min(col("epoch_hour")).as("min_h"), max(col("epoch_hour")).as("max_h"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("u16", expr(
+        "(user_id - min_u) * 65535L div greatest(max_u - min_u, 1L)"))
+      .withColumn("h16", expr(
+        "(epoch_hour - min_h) * 65535L div greatest(max_h - min_h, 1L)"))
+      .withColumn("z", expr(zTerms))
+      .withColumn("bucket", expr(s"CAST(z div ${1L << 27}L AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
+        min(col("epoch_hour")).as("min_hour"),
+        max(col("epoch_hour")).as("max_hour"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -968,6 +968,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(proj.collect().toSeq === rows.toSeq)
   }
 
+  test("d31 snapshot diff: statuses partition the id union and match the construction") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.CorpusOps.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val inOld = id % 4 != 3
+      val inNew = id % 9 != 8
+      val expect =
+        if (!inOld && !inNew) None
+        else if (!inOld) Some("added")
+        else if (!inNew) Some("removed")
+        // a null text revises to null -> same sentinel fp -> unchanged
+        else if (id % 5 == 0 && text.isDefined) Some("changed")
+        else Some("unchanged")
+      assert(got.get(id) === expect, s"doc $id")
+    }
+    assert(got.size === docs.count { case (id, _) => id % 4 != 3 || id % 9 != 8 })
+    // all four verdicts occur on this corpus
+    assert(got.values.toSet === Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("s18 hybrid RRF: fusion matches a driver-side recompute from its two lists") {
     import org.apache.spark.sql.functions._
     val dense = Similarity.bruteForceTopK(spark, sfDir, 50, 1)

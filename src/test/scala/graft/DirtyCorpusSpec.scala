@@ -94,7 +94,8 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "m12_dct_phash", "m13_dct_phash_pairs", "t29_bpe_merges",
     "d26_temperature_mix", "m14_byte_entropy", "t30_token_budget",
     "d28_persisted_cross_dedup", "d29_edit_distance_pairs",
-    "t31_classifier_filter", "d30_persisted_lsh_dedup")
+    "t31_classifier_filter", "d30_persisted_lsh_dedup",
+    "d31_snapshot_diff")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>

@@ -119,4 +119,34 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty, "no anomalies flagged on this corpus")
   }
+
+  test("q73 z-order buckets bound BOTH dimensions; an hour-sorted layout bounds only one") {
+    import org.apache.spark.sql.functions._
+    val buckets = graft.operators.TimeSeries.zorderStats(spark, sfDir).collect()
+    assert(buckets.length > 8, "normalized interleave must spread buckets")
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 3600000").as("h"))
+    val (minU, maxU, minH, maxH) = ev
+      .agg(min("user_id"), max("user_id"), min("h"), max("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // counts partition the corpus
+    assert(buckets.map(_.getLong(1)).sum === ev.count())
+    // every z-bucket's span is a strict fraction of the global span in
+    // BOTH dims (top-5-bit cut fixes >= 3 leading bits of one dim and
+    // >= 2 of the other)
+    val uSpans = buckets.map(r => r.getLong(3) - r.getLong(2))
+    val hSpans = buckets.map(r => r.getLong(5) - r.getLong(4))
+    assert(uSpans.forall(_ <= (maxU - minU) / 4 + 1), uSpans.mkString(","))
+    assert(hSpans.forall(_ <= (maxH - minH) / 2 + 1), hSpans.mkString(","))
+    // contrast: cut an HOUR-SORTED layout into 32 equal-width hour
+    // slices — time is bounded but the user span stays ~global
+    val hourSliced = ev
+      .withColumn("b", expr(s"(h - $minH) * 32 div greatest(${maxH - minH} + 1, 1)"))
+      .groupBy("b").agg((max("user_id") - min("user_id")).as("us"))
+      .collect().map(_.getLong(1))
+    assert(hourSliced.max > (maxU - minU) * 9 / 10,
+      "hour-sorted slices should NOT bound the user dimension")
+  }
 }
