@@ -239,6 +239,9 @@ object SparkEntry {
     // Z-order clustering stats: per-z-bucket min/max of BOTH dims —
     // the write-side multi-dimensional data-skipping layout
     "q73_zorder_stats" -> (TimeSeries.zorderStats(_, _)),
+    // Incremental aggregate maintenance: answer computed THROUGH the
+    // base⊕delta partial merge; the full-recompute oracle proves it
+    "q74_incremental_agg" -> (RelationalQueries3.incrementalAgg(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1402,6 +1405,22 @@ object SparkEntry {
         |  min(epoch_hour) AS min_hour, max(epoch_hour) AS max_hour
         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // q74: the oracle is the FULL recompute — hash equality against
+    // the Spark side's base⊕delta merge path is the mergeability
+    // proof; decimal partials make both exact.
+    "q74_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // q72: timestamp-vs-timestamp interval compare — integer
     // microsecond arithmetic in both engines, no float in the decision

@@ -766,4 +766,51 @@ object RelationalQueries3 {
       .agg(count(lit(1)).as("n_late_orders"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** q74 — incremental aggregate maintenance (materialized-view
+    * refresh): the per-(returnflag, linestatus) totals are kept as
+    * MERGEABLE PARTIALS (decimal sums + count), and a refresh merges
+    * the base state with the new batch's partials instead of
+    * rescanning history — `agg(base) ⊕ agg(delta) = agg(base ∪
+    * delta)`, the property every 100 TB nightly-refresh pipeline
+    * stands on. The registered query computes the answer THROUGH the
+    * merge path (base partials ∪ delta partials → re-aggregate) while
+    * the oracle recomputes from the full table — the hash equality IS
+    * the mergeability proof, and it holds exactly because the partial
+    * sums are DECIMAL (associative; a double partial would drift
+    * against the full recompute at exactly the q58 boundary).
+    * Derived averages divide the merged exact sums once at
+    * presentation.
+    *
+    * Scale posture: the delta scan touches ONLY the new batch; the
+    * base state is group-cardinality-sized (a few rows per group —
+    * here 4 groups), so the refresh is O(delta + groups), never
+    * O(history). Both partial aggregates map-side combine; the merge
+    * shuffles `2 × groups` rows.
+    */
+  def incrementalAgg(s: SparkSession, dir: String, mod: Int = 10): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("p_qty"), sum(col("price")).as("p_price"),
+        count(lit(1)).as("p_n"))
+    val base = partials(l.filter(pmod(col("l_orderkey"), lit(mod)) =!= 0))
+    val delta = partials(l.filter(pmod(col("l_orderkey"), lit(mod)) === 0))
+    base.union(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("p_qty")).as("m_qty"), sum(col("p_price")).as("m_price"),
+        sum(col("p_n")).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m_qty").cast("double").as("sum_qty"),
+        col("m_price").cast("double").as("sum_price"),
+        col("n_items"),
+        (col("m_qty").cast("double") / col("n_items").cast("double"))
+          .as("avg_qty"),
+        (col("m_price").cast("double") / col("n_items").cast("double"))
+          .as("avg_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 }

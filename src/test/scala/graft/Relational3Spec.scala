@@ -349,4 +349,25 @@ class Relational3Spec extends AnyFunSuite {
     assert(got === expect)
     assert(got.values.sum > 0, "window/grace chosen so the answer is non-degenerate")
   }
+
+  test("q74 incremental merge equals the direct full aggregate, bit for bit") {
+    val got = RelationalQueries3.incrementalAgg(spark, sfDir).collect()
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect()
+    assert(got.length === direct.length && got.nonEmpty)
+    got.zip(direct).foreach { case (m, d) =>
+      assert(m.getString(0) === d.getString(0) && m.getString(1) === d.getString(1))
+      // decimal partials merge EXACTLY — require bitwise double equality
+      assert(m.getDouble(2) === d.getDouble(2), s"sum_qty ${m.getString(0)}")
+      assert(m.getDouble(3) === d.getDouble(3), s"sum_price ${m.getString(0)}")
+      assert(m.getLong(4) === d.getLong(4))
+      assert(m.getDouble(5) === m.getDouble(2) / m.getLong(4))
+      assert(m.getDouble(6) === m.getDouble(3) / m.getLong(4))
+    }
+  }
 }
