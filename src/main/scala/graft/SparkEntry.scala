@@ -302,6 +302,9 @@ object SparkEntry {
     // fastText-shape linear classifier inference: feature-hash +
     // integer-milli weight fold, decision and logit engine-exact
     "t31_classifier_filter" -> (TextAnalysis.classifierFilter(_, _)),
+    // Per-source JSD drift vs the corpus unigram distribution —
+    // token-sorted folds + absent-token closed form, no vocab cross
+    "t32_mixture_drift" -> (TextAnalysis.mixtureDrift(_, _)),
     // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
     "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
     // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
@@ -1724,6 +1727,39 @@ object SparkEntry {
         |  END AS mean_logit,
         |  logit_milli > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // t32: exact-count divides, fixed-shape ln terms, TOKEN-SORTED
+    // list_reduce folds (left fold from the first element equals
+    // Spark's 0.0-seeded fold exactly since 0.0 + x == x), and the
+    // absent-token mass as the same pinned 0.5·ln2 literal.
+    "t32_mixture_drift" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |cst AS (SELECT source, token, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c_st) AS n_s FROM cst GROUP BY 1),
+        |ct AS (SELECT token, sum(c_st) AS c_t FROM cst GROUP BY 1),
+        |tot AS (SELECT sum(c_t) AS n_tot FROM ct),
+        |pq AS (SELECT source, token,
+        |    CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+        |    CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+        |  FROM cst JOIN ct USING (token) JOIN ns USING (source)
+        |  CROSS JOIN tot),
+        |terms AS (SELECT source, token, q,
+        |    0.5 * p * ln(p / ((p + q) / 2.0))
+        |      + 0.5 * q * ln(q / ((p + q) / 2.0)) AS term
+        |  FROM pq),
+        |g AS (SELECT source, max(n_s) AS n_tokens,
+        |    list_sort(list(struct_pack(token := token, term := term,
+        |      q := q))) AS xs
+        |  FROM terms JOIN ns USING (source) GROUP BY source)
+        |SELECT source, n_tokens, CAST(len(xs) AS INT) AS vocab_source,
+        |  list_reduce(list_transform(xs, x -> x.term), (a, b) -> a + b)
+        |    + 0.34657359027997264 * (1.0 -
+        |      list_reduce(list_transform(xs, x -> x.q), (a, b) -> a + b))
+        |    AS jsd
+        |FROM g ORDER BY source""".stripMargin,
 
     // d25: same shingle convention as d11, reversed direction — report
     // rows for EVERY eval doc, zero-overlap included.

@@ -1344,6 +1344,63 @@ object TextAnalysis {
         (col("logit_milli") > 0).as("keep"))
       .orderBy(col("doc_id"))
 
+  /** t32 — per-source token-distribution drift: Jensen–Shannon
+    * divergence of each source's unigram distribution against the
+    * corpus distribution — the distribution-level mixture monitor
+    * (t9 tracks count shares; this detects a source whose VOLUME is
+    * stable but whose CONTENT drifted). JSD is symmetric, bounded by
+    * ln 2, and defined at disjoint supports — the reasons it, not KL,
+    * is the production drift metric.
+    *
+    * Exactness scheme: probabilities are single divides of exact
+    * counts; per-token terms are fixed-shape double expressions (ln
+    * agrees across engines on identical args — the t10 precedent);
+    * the per-source SUM folds over the token-sorted list (q61's
+    * order-fixing trick), so no aggregation-order drift exists.
+    * Tokens ABSENT from a source contribute 0.5·q·ln2 each (m = q/2
+    * when p = 0), which telescopes to 0.5·ln2·(1 − Σ_present q) — a
+    * closed form over the PRESENT tokens only, with ln 2 pinned as
+    * the same decimal literal on both engines. That identity is also
+    * the scale story: nothing ever iterates the (source × vocab)
+    * matrix — only observed (source, token) pairs flow.
+    *
+    * Scale posture: one explode + one (source, token) aggregate (the
+    * t6/t15 shape); the corpus-marginal join keys on token; the fold
+    * list holds one entry per DISTINCT token of the source — vocab-
+    * sized, not corpus-sized.
+    */
+  def mixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    val halfLn2 = 0.34657359027997264 // 0.5 * ln 2, pinned literal
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val cst = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st")).cache()
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val tot = ct.agg(sum(col("c_t")).as("n_tot"))
+    val terms = cst
+      .join(ct, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("c_st").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", col("c_t").cast("double") / col("n_tot").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("term",
+        lit(0.5) * col("p") * log(col("p") / col("m"))
+          + lit(0.5) * col("q") * log(col("q") / col("m")))
+    terms.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sort_array(collect_list(struct(col("token"), col("term"), col("q"))))
+          .as("xs"))
+      .select(col("source"), col("n_tokens"),
+        size(col("xs")).as("vocab_source"),
+        (aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("term"))
+          + lit(halfLn2) * (lit(1.0) -
+            aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("q"))))
+          .as("jsd"))
+      .orderBy(col("source"))
+  }
+
   def tokenBudgetReport(s: SparkSession, dir: String,
       seqLen: Int = 512): DataFrame = {
     val L = lit(seqLen.toLong)

@@ -95,7 +95,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     "d26_temperature_mix", "m14_byte_entropy", "t30_token_budget",
     "d28_persisted_cross_dedup", "d29_edit_distance_pairs",
     "t31_classifier_filter", "d30_persisted_lsh_dedup",
-    "d31_snapshot_diff")
+    "d31_snapshot_diff", "t32_mixture_drift")
 
   test("document-family queries run on a null/empty/degenerate corpus") {
     docQueries.foreach { name =>

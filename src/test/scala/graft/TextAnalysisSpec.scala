@@ -628,6 +628,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t32 mixture drift: JSD within [0, ln2], matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.mixtureDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // driver recompute of the FULL JSD (including absent tokens) from
+    // raw counts — the closed form must equal the naive double loop
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap }
+    val corpus = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTot = rows.length.toDouble
+    got.foreach { case (src, nTok, vocabS, jsd) =>
+      val cs = bySrc(src)
+      assert(nTok === cs.values.sum)
+      assert(vocabS === cs.size)
+      val nS = cs.values.sum.toDouble
+      val expect = corpus.keysIterator.map { t =>
+        val p = cs.getOrElse(t, 0L) / nS
+        val q = corpus(t) / nTot
+        val m = (p + q) / 2.0
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+      }.sum
+      assert(math.abs(jsd - expect) < 1e-12, s"$src: $jsd vs $expect")
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-12)
+    }
+  }
+
   test("t31 classifier filter: exact driver-side replay, integer decision, full coverage") {
     import org.apache.spark.sql.functions._
     val got = TextAnalysis.classifierFilter(spark, sfDir).collect()
