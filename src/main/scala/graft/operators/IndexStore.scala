@@ -308,6 +308,11 @@ object IndexStore {
       appendMinhash(path,
         Dedup.minhashIndexFrom(docs.filter(slice =!= 0 && slice =!= 1)))
     }
+    // probe signatures via the per-row HOF fold (the stream form, run
+    // in batch): measured 6.6 s vs 12.9 s for the explode→MinHashAgg
+    // formulation at sf0.1 — the per-row fold needs no shuffle and no
+    // 500k-row explode for a 1/3-corpus increment, and it is
+    // arithmetically identical (StreamingSpec's parity claim)
     Dedup.minhashCandidatesStream(docs.filter(slice === 0),
         loadMinhash(s, path), t)
       .orderBy(col("doc_id"), col("corpus_doc_id"))
