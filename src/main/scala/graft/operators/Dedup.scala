@@ -516,8 +516,11 @@ object Dedup {
     * overflow). Constants from a fixed seed: deterministic run-to-run.
     */
   private val MinhashP = 2147483647L // 2^31 - 1
-  private val NumHashes = 128
-  private val BandRows = 2           // 64 bands × 2 rows
+  // visible to IndexStore so the persisted-index manifest derives the
+  // scheme from THESE constants — a tuning change then automatically
+  // invalidates incompatible on-disk indexes instead of loading them
+  private[operators] val NumHashes = 128
+  private[operators] val BandRows = 2 // 64 bands × 2 rows
   private[operators] val hashParams: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumHashes)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
@@ -605,11 +608,22 @@ object Dedup {
     * lifecycle belongs to the caller (unpersist when the index is
     * superseded).
     */
+  def minhashIndex(s: SparkSession, dir: String): MinhashIndex = {
+    val docs = docShingles(s, dir).cache()
+    val sigs = minhashSignatures(docs)
+    MinhashIndex(
+      sigs.select(col("doc_id"),
+          explode(array(bandKeyCols(col("sig"), BandRows): _*)))
+        .select(col("doc_id"), col("col").as("band_key"))
+        .cache(),
+      docs)
+  }
+
   /** Index relations from an arbitrary (doc_id, text) relation —
-    * UNCACHED: the persistence path ([[IndexStore.saveMinhash]]) owns
-    * materialization (parquet), the in-session path (minhashIndex
-    * below) adds cache(); building uncached here avoids double
-    * residency when the relations go straight to disk.
+    * UNCACHED, unlike [[minhashIndex]] above: the persistence path
+    * ([[IndexStore.saveMinhash]]) owns materialization (parquet), and
+    * building uncached avoids double residency when the relations go
+    * straight to disk.
     */
   private[graft] def minhashIndexFrom(docs: DataFrame): MinhashIndex = {
     val shingled = shingleProject(
@@ -622,17 +636,6 @@ object Dedup {
           explode(array(bandKeyCols(col("sig"), BandRows): _*)))
         .select(col("doc_id"), col("col").as("band_key")),
       shingled)
-  }
-
-  def minhashIndex(s: SparkSession, dir: String): MinhashIndex = {
-    val docs = docShingles(s, dir).cache()
-    val sigs = minhashSignatures(docs)
-    MinhashIndex(
-      sigs.select(col("doc_id"),
-          explode(array(bandKeyCols(col("sig"), BandRows): _*)))
-        .select(col("doc_id"), col("col").as("band_key"))
-        .cache(),
-      docs)
   }
 
   /** d3's streaming form: near-dup detection of a LIVE document feed

@@ -241,23 +241,38 @@ object IndexStore {
     * a probe signed under another scheme would silently miss every
     * bucket.
     */
+  // scheme values come from the Dedup constants, not literals: a
+  // banding/tuning change then stamps a DIFFERENT scheme and load
+  // refuses the stale index instead of silently missing every bucket
+  private def minhashScheme: Map[String, String] = Map(
+    "numHashes" -> Dedup.NumHashes.toString,
+    "bandRows" -> Dedup.BandRows.toString,
+    "shingle" -> "word3-hash64")
+
+  private def writeMinhashRelations(index: Dedup.MinhashIndex,
+      path: String, mode: String): Unit = {
+    index.bands.write.mode(mode).parquet(s"$path/bands")
+    index.shingles.select("doc_id", "sh", "sz")
+      .write.mode(mode).parquet(s"$path/shingles")
+  }
+
   def saveMinhash(index: Dedup.MinhashIndex, path: String,
       params: Map[String, String]): Unit = {
-    index.bands.write.mode("overwrite").parquet(s"$path/bands")
-    index.shingles.select("doc_id", "sh", "sz")
-      .write.mode("overwrite").parquet(s"$path/shingles")
+    writeMinhashRelations(index, path, "overwrite")
+    // manifest LAST: it is the build-complete marker (the d28/s14
+    // convention) — a crash mid-save must leave a rebuildable
+    // directory, never a trusted half-index
     writeManifest(index.bands.sparkSession, path, "minhash-lsh",
-      params ++ Map("numHashes" -> "128", "bandRows" -> "2",
-        "shingle" -> "word3-hash64"))
+      params ++ minhashScheme)
   }
 
   def loadMinhash(s: SparkSession, path: String): Dedup.MinhashIndex = {
     val m = readManifest(s, path, "minhash-lsh")
-    require(m.get("numHashes").contains("128") &&
-      m.get("bandRows").contains("2") &&
-      m.get("shingle").contains("word3-hash64"),
-      s"minhash index at $path was built under a different signature " +
-        s"scheme: $m")
+    minhashScheme.foreach { case (k, v) =>
+      require(m.get(k).contains(v),
+        s"minhash index at $path was built under a different signature " +
+          s"scheme ($k = ${m.get(k)}, this library uses $v)")
+    }
     Dedup.MinhashIndex(
       s.read.parquet(s"$path/bands"),
       s.read.parquet(s"$path/shingles"))
@@ -269,11 +284,8 @@ object IndexStore {
     * manifest, so an appended batch MUST be signed by the same
     * convention — which [[Dedup.minhashIndexFrom]] guarantees.
     */
-  def appendMinhash(path: String, delta: Dedup.MinhashIndex): Unit = {
-    delta.bands.write.mode("append").parquet(s"$path/bands")
-    delta.shingles.select("doc_id", "sh", "sz")
-      .write.mode("append").parquet(s"$path/shingles")
-  }
+  def appendMinhash(path: String, delta: Dedup.MinhashIndex): Unit =
+    writeMinhashRelations(delta, path, "append")
 
   /** d30 — near-dup admission control from a PERSISTED LSH index: the
     * d3-streaming shape (incoming docs checked against a corpus index
@@ -303,10 +315,17 @@ object IndexStore {
       .select(col("doc_id"), col("text"))
     val slice = pmod(col("doc_id"), lit(mod))
     if (!new java.io.File(s"$path/manifest").isDirectory) {
-      saveMinhash(Dedup.minhashIndexFrom(docs.filter(slice === 1)),
-        path, Map("mod" -> mod.toString))
-      appendMinhash(path,
-        Dedup.minhashIndexFrom(docs.filter(slice =!= 0 && slice =!= 1)))
+      // relations first (initial slice, then the incremental append),
+      // manifest LAST: the manifest is the build-complete marker, so a
+      // crash between the two writes leaves a rebuildable directory —
+      // never a trusted index silently missing the appended slice
+      writeMinhashRelations(
+        Dedup.minhashIndexFrom(docs.filter(slice === 1)), path, "overwrite")
+      writeMinhashRelations(
+        Dedup.minhashIndexFrom(docs.filter(slice =!= 0 && slice =!= 1)),
+        path, "append")
+      writeManifest(s, path, "minhash-lsh",
+        minhashScheme + ("mod" -> mod.toString))
     }
     // probe signatures via the per-row HOF fold (the stream form, run
     // in batch): measured 6.6 s vs 12.9 s for the explode→MinHashAgg

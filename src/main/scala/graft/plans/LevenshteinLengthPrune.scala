@@ -92,6 +92,11 @@ object LevenshteinLengthPrune extends Rule[LogicalPlan] with PredicateHelper {
         (acc, g) => if (acc.exists(_.semanticEquals(g))) acc else acc :+ g
       }
       if (distinctGuards.isEmpty) f
-      else Filter(distinctGuards.foldLeft(cond)(And(_, _)), child)
+      // PREPEND the guards: conjuncts evaluate left-to-right in the
+      // generated code and FilterExec does not reorder them, so the
+      // cheap length compare must sit BEFORE the levenshtein conjunct
+      // to actually short-circuit the DP (appending it would run the
+      // DP first and the guard on survivors only — pure overhead)
+      else Filter(distinctGuards.foldLeft(cond)((c, g) => And(g, c)), child)
   }
 }

@@ -289,6 +289,11 @@ class PlanChecksSpec extends AnyFunSuite {
       s"guard not injected:\n$opt")
     // idempotent: exactly ONE guard even though the batch is fixed-point
     assert("abs\\(\\(length\\(".r.findAllIn(opt).size === 1, opt)
+    // position: the guard must sit BEFORE the levenshtein conjunct —
+    // conjuncts evaluate left-to-right, and a guard evaluated after
+    // the DP short-circuits nothing
+    assert(opt.indexOf("abs((length(") < opt.indexOf("levenshtein("),
+      s"guard does not precede the DP:\n$opt")
     // semantics: identical rows to the same predicate evaluated as a
     // projected column (no Filter node -> the rule never fires there)
     val expect = docs
