@@ -504,6 +504,10 @@ object SparkEntry {
     // Inactivity report (churn triage): batch mirror of the streaming
     // timeout-timer alerts — integer epoch-hour silence arithmetic
     "w9_inactive_users" -> (Behavior.inactiveUsers(_, _)),
+    // Multi-touch linear attribution: reverse interval join + equal
+    // split + drift-safe decimal hourly sums
+    "w10_multi_touch" ->
+      (graft.streaming.EventsWindows.multiTouchAttribution(_, _)),
 
     // ── Graph analytics over warehouse relations ─────────────────────────
     // PageRank on the customer–supplier trade graph, 3 unrolled
@@ -3147,6 +3151,30 @@ object SparkEntry {
     // w7: within a click's rank partition either every purchase column
     // is non-null or the single row is the null-extended one, so the
     // rank-1 pick needs no explicit NULLS ordering on either engine.
+    // w10: the per-click credit is value / exact-int touch count (one
+    // IEEE divide), summed as DECIMAL(18,6) per hour — no merge-order
+    // drift (the q58 rule); presentation cast to double.
+    "w10_multi_touch" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+        |  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT purchase_id, value, c_ts
+        |  FROM b JOIN c ON user_id = c_user
+        |    AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL '30 minutes'),
+        |n AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touch
+        |  FROM p),
+        |cr AS (SELECT c_ts,
+        |    CAST(value / CAST(n_touch AS DOUBLE) AS DECIMAL(18,6)) AS credit
+        |  FROM n)
+        |SELECT date_trunc('hour', c_ts) AS click_hour,
+        |  count(*) AS n_touches,
+        |  CAST(sum(credit) AS DOUBLE) AS attributed_revenue
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "w7_click_attribution" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |    event_type FROM events),

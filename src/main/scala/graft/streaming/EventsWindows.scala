@@ -185,6 +185,53 @@ object EventsWindows {
       .select(col("w.start").as("win_start"), col("uniques"))
       .orderBy(col("win_start"))
 
+  /** w10 — multi-touch (linear) attribution: every purchase's value is
+    * split EQUALLY over the same user's clicks in the preceding
+    * `window` (w7 answers "did this click convert?"; w10 answers the
+    * budget question "which hours' engagement earned this revenue?").
+    * Output: per click-hour (n_touches, attributed_revenue).
+    *
+    * FP discipline: the per-click credit is ONE divide of the raw
+    * value by an exact integer touch count (engine-identical); the
+    * hourly SUM runs over DECIMAL(18,6)-cast credits (the q58 rule —
+    * double→decimal of identical doubles is deterministic, decimal
+    * addition is order-free), cast to double only at presentation.
+    *
+    * Scale posture: the interval join keys on user_id with the
+    * 30-minute residual — bounded per-user groups, the w5/w7
+    * argument; the touch count is one window over the purchase key
+    * (pairs of one purchase co-reside after the join's user shuffle —
+    * no extra exchange at the purchase grain); the hourly rollup is a
+    * tiny aggregate. Nothing quadratic, no driver state.
+    */
+  def multiTouchAttribution(s: SparkSession, dir: String,
+      window: String = "30 minutes"): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val buys = e.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val pairs = buys.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr(s"INTERVAL $window"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id"))
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("credit",
+        (col("value") / col("n_touch").cast("double"))
+          .cast("decimal(18,6)"))
+      .groupBy(date_trunc("hour", col("c_ts")).as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("double").as("attributed_revenue"))
+      .orderBy(col("click_hour"))
+  }
+
   /** w8's streaming form: watermarked tumbling windows with
     * `approx_count_distinct` (HyperLogLog++) — per-window state is the
     * fixed-size sketch, evicted on watermark advance; Append mode

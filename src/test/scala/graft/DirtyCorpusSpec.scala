@@ -133,6 +133,7 @@ class DirtyCorpusSpec extends AnyFunSuite {
     Seq("w1_tumbling_window", "w2_sliding_window", "w3_session_window",
         "w4_first_event", "w5_funnel_join", "w6_window_topk",
         "w7_click_attribution", "w8_window_uniques", "q60_gap_fill",
+        "w10_multi_touch",
         "q61_ewma", "q62_anomaly", "q63_retention", "q64_funnel",
         "q65_conversion_lag", "q66_stickiness", "w9_inactive_users",
         "events_speed_faithful", "events_speed_weighted")

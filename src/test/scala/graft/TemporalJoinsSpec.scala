@@ -120,6 +120,34 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no anomalies flagged on this corpus")
   }
 
+  test("w10 multi-touch attribution conserves purchase mass over attributable purchases") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.EventsWindows
+      .multiTouchAttribution(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val attributed = got.map(_.getDouble(2)).sum
+    // mass: the summed credits equal the total value of purchases that
+    // HAVE at least one click in the preceding window (each such
+    // purchase splits its value into parts summing back to the value,
+    // modulo the per-credit DECIMAL(18,6) rounding)
+    val e = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val buys = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val attributable = buys.join(clicks,
+        col("user_id") === col("cu") && col("cts") <= col("pts") &&
+          col("cts") > col("pts") - expr("INTERVAL 30 MINUTES"), "left_semi")
+      .agg(sum(col("value"))).head().getDouble(0)
+    assert(math.abs(attributed - attributable) < 1e-3,
+      s"$attributed vs $attributable")
+    // touch counts are positive and hourly rows are distinct hours
+    assert(got.map(_.getLong(1)).forall(_ > 0))
+    assert(got.map(_.get(0)).distinct.length === got.length)
+  }
+
   test("q73 z-order buckets bound BOTH dimensions; an hour-sorted layout bounds only one") {
     import org.apache.spark.sql.functions._
     val buckets = graft.operators.TimeSeries.zorderStats(spark, sfDir).collect()
