@@ -612,7 +612,8 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue, o_orderdate
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue, o_orderdate
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -720,9 +721,10 @@ object SparkEntry {
 
     "q15_window_running" ->
       """SELECT user_id, event_id, value,
-        |  sum(value) OVER (PARTITION BY user_id
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value,
         |  value - lag(value, 1) OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS delta_prev
         |FROM events
@@ -1092,7 +1094,8 @@ object SparkEntry {
 
     "q36_window_range" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  sum(o_totalprice) OVER w AS rolling_1k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |    AS rolling_1k,
         |  count(*) OVER w AS n_within_1k
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
@@ -1132,7 +1135,8 @@ object SparkEntry {
 
     "q42_not_exists" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
-        |  avg(c_acctbal) AS avg_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_acctbal
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
@@ -1202,7 +1206,8 @@ object SparkEntry {
 
     "q49_local_supplier" ->
       """SELECT n_name,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1246,7 +1251,8 @@ object SparkEntry {
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q54_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    CAST(year(l_shipdate) AS INT) AS l_year,
         |    l_extendedprice * (1.0 - l_discount) AS volume
@@ -1262,8 +1268,9 @@ object SparkEntry {
 
     "q55_market_share" ->
       """SELECT o_year,
-        |  sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-        |    / sum(volume) AS mkt_share
+        |  CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+        |      AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
         |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1.0 - l_discount) AS volume,
         |    n2.n_name AS nation
@@ -1289,7 +1296,8 @@ object SparkEntry {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q57_bracket_revenue" ->
-      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1732,10 +1740,12 @@ object SparkEntry {
         |  logit_milli > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    // t32: exact-count divides, fixed-shape ln terms, TOKEN-SORTED
-    // list_reduce folds (left fold from the first element equals
-    // Spark's 0.0-seeded fold exactly since 0.0 + x == x), and the
-    // absent-token mass as the same pinned 0.5·ln2 literal.
+    // t32: exact-count divides, transcendental-free |p−q| terms (r12:
+    // ln differs in the last ulp between JVM and DuckDB libm, so the
+    // hash-gated statistic is TVD; JSD lives in mixtureDriftJsd under
+    // an epsilon spec), TOKEN-SORTED list_reduce folds (left fold from
+    // the first element equals Spark's 0.0-seeded fold exactly since
+    // 0.0 + x == x), and the absent-token mass 0.5·(1 − Σ_present q).
     "t32_mixture_drift" ->
       """WITH toks AS (SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1750,19 +1760,17 @@ object SparkEntry {
         |    CAST(c_t AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
         |  FROM cst JOIN ct USING (token) JOIN ns USING (source)
         |  CROSS JOIN tot),
-        |terms AS (SELECT source, token, q,
-        |    0.5 * p * ln(p / ((p + q) / 2.0))
-        |      + 0.5 * q * ln(q / ((p + q) / 2.0)) AS term
-        |  FROM pq),
+        |terms AS (SELECT source, token, q, abs(p - q) AS term FROM pq),
         |g AS (SELECT source, max(n_s) AS n_tokens,
         |    list_sort(list(struct_pack(token := token, term := term,
         |      q := q))) AS xs
         |  FROM terms JOIN ns USING (source) GROUP BY source)
-        |SELECT source, n_tokens, CAST(len(xs) AS INT) AS vocab_source,
-        |  list_reduce(list_transform(xs, x -> x.term), (a, b) -> a + b)
-        |    + 0.34657359027997264 * (1.0 -
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(xs) AS INT) AS vocab_source,
+        |  0.5 * list_reduce(list_transform(xs, x -> x.term), (a, b) -> a + b)
+        |    + 0.5 * (1.0 -
         |      list_reduce(list_transform(xs, x -> x.q), (a, b) -> a + b))
-        |    AS jsd
+        |    AS tvd
         |FROM g ORDER BY source""".stripMargin,
 
     // d25: same shingle convention as d11, reversed direction — report
@@ -1950,8 +1958,10 @@ object SparkEntry {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // m14: integer histogram; the entropy is the SAME expression tree
-    // (ln(n) - sum(c·ln c)/n) / ln 2 — ulp-level ln agreement only.
+    // m14: integer histogram; the statistic is transcendental-free
+    // (r12: ln ulp-drifts across engines) — Σc² is exact bigint on
+    // both sides and collision_prob is ONE divide of exact integers.
+    // Shannon bits live in byteEntropyBits under an epsilon spec.
     "m14_byte_entropy" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n, text
         |  FROM documents WHERE length(text) > 0),
@@ -1962,8 +1972,9 @@ object SparkEntry {
         |SELECT doc_id, n AS n_bytes,
         |  CAST(count(*) AS BIGINT) AS n_distinct_bytes,
         |  CAST(max(c) AS BIGINT) AS mode_count,
-        |  (ln(n) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(n AS DOUBLE))
-        |    / ln(2.0) AS entropy_bits
+        |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+        |  CAST(sum(c * c) AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |    AS collision_prob
         |FROM h GROUP BY doc_id, n
         |ORDER BY doc_id""".stripMargin,
 
@@ -3102,7 +3113,8 @@ object SparkEntry {
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value FROM e
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM e)
-        |SELECT win_start, event_type, count(*) AS n, sum(value) AS total
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Gaps-and-islands mirror of Spark session_window: break when the

@@ -675,19 +675,28 @@ object Multimodal {
       .orderBy(col("keep_doc_id"))
 
   /** m14 — byte-distribution stats per payload: distinct-byte count,
-    * modal byte frequency, and Shannon entropy in bits/byte — the
-    * cheap no-decode triage a multimodal ingest runs before spending a
-    * decode cycle: near-8-bit entropy flags encrypted/compressed blobs
-    * (undecodable, skip), near-zero entropy flags padding/corruption,
-    * and the mode count catches constant-fill payloads. Payload
+    * modal byte frequency, and COLLISION PROBABILITY (Σc²/n², the
+    * Rényi-2 / Simpson statistic) — the cheap no-decode triage a
+    * multimodal ingest runs before spending a decode cycle:
+    * near-1/256 collision probability flags encrypted/compressed
+    * blobs (undecodable, skip), near-1 flags padding/corruption, and
+    * the mode count catches constant-fill payloads. Payload
     * codepoints stand in for bytes (the m6/m7 convention).
     *
-    * Exactness: counts are integers; the entropy is spelled as the
-    * SAME expression tree on both engines —
-    * (ln(n) − Σ c·ln(c) / n) / ln(2) — so the only float ops are ln
-    * and one fused divide/subtract sequence whose ulp-level agreement
-    * is far inside the 9-digit gate (the t10 ln precedent; ~100 terms
-    * of ≤1-ulp divergence ≈ 1e-15 relative).
+    * Why collision probability and not Shannon entropy in the
+    * REGISTERED output: r12's t32 failure proved JVM `Math.log` and
+    * DuckDB libm drift in the last ulp on identical args, so an
+    * ln-bearing column cannot carry a bit-exact hash oracle — and
+    * m14's old entropy additionally summed c·ln(c) in UNPINNED
+    * aggregation order on both engines, t32's failure mode latent
+    * (r12 verdict #3). Σc² is an exact bigint; the statistic is ONE
+    * IEEE divide of two exactly-representable integers (exact for
+    * n ≤ 2²⁶ bytes, far above any triage payload; at larger blobs
+    * the divide is still deterministic, merely ±1-ulp of the true
+    * ratio) — bit-identical across engines, merge-order-free. The
+    * two stats rank payloads identically in the tails (both are
+    * monotone in distribution concentration); Shannon bits survive
+    * as [[byteEntropyBits]], epsilon-gated in MultimodalSpec.
     *
     * Scale posture: one explode shuffled on (doc, byte) with map-side
     * combine — the histogram is ≤ alphabet-size rows per doc before
@@ -699,6 +708,34 @@ object Multimodal {
 
   /** The relation form for spec-planted payloads. */
   private[graft] def byteEntropyFrom(docs: DataFrame): DataFrame =
+    byteHistogram(docs)
+      .agg(count(lit(1)).as("n_distinct_bytes"),
+        max(col("c")).as("mode_count"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n").as("n_bytes"),
+        col("n_distinct_bytes"), col("mode_count"), col("sum_c2"),
+        (col("sum_c2").cast("double")
+          / (col("n") * col("n")).cast("double")).as("collision_prob"))
+      .orderBy(col("doc_id"))
+
+  /** m14's Shannon companion: bits/byte over the same histogram. NOT
+    * hash-gated (ln ulp drift across engines plus an order-unpinned
+    * double sum — see [[byteEntropy]]); MultimodalSpec gates it at
+    * 1e-12 against textbook planted payloads and the corpus bound.
+    */
+  private[graft] def byteEntropyBits(docs: DataFrame): DataFrame =
+    byteHistogram(docs)
+      .agg(count(lit(1)).as("n_distinct_bytes"),
+        max(col("c")).as("mode_count"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_bytes"),
+        col("n_distinct_bytes"), col("mode_count"),
+        ((log(col("n").cast("double")) - col("s") / col("n").cast("double"))
+          / log(lit(2.0))).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+
+  /** Shared m14 histogram: per-(doc, byte) counts, grouped by doc. */
+  private def byteHistogram(docs: DataFrame) =
     docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
@@ -708,12 +745,4 @@ object Multimodal {
       .groupBy(col("doc_id"), col("n"), col("b"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).as("n_distinct_bytes"),
-        max(col("c")).as("mode_count"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
-      .select(col("doc_id"), col("n").as("n_bytes"),
-        col("n_distinct_bytes"), col("mode_count"),
-        ((log(col("n").cast("double")) - col("s") / col("n").cast("double"))
-          / log(lit(2.0))).as("entropy_bits"))
-      .orderBy(col("doc_id"))
 }

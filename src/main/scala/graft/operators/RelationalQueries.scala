@@ -47,7 +47,12 @@ object RelationalQueries {
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(l("l_orderkey"), o("o_orderdate"))
-      .agg(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+      // revenue sums DECIMAL(18,4)-cast terms (q58's merge-order
+      // lesson): the per-item double product is engine-identical,
+      // decimal addition is exact and associative, final cast to
+      // double is deterministic — bit-exact under any agg schedule
+      .agg(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -214,9 +219,16 @@ object RelationalQueries {
     val e = Tables.events(s, dir)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // the running sum folds DECIMAL(18,6)-cast terms (q58's merge-
+    // order lesson, applied to window frames: DuckDB evaluates frame
+    // sums through a segment tree whose association differs from
+    // Spark's streaming fold — decimal addition is associative, so
+    // both yield the identical total); double→decimal quantization of
+    // each term is the same IEEE-defined rounding on both engines
     e.select(col("user_id"), col("event_id"), col("value"),
-        sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .as("running_value"),
+        sum(col("value").cast("decimal(18,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"),
         (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"))
       .orderBy(col("user_id"), col("event_id"))
   }

@@ -232,9 +232,14 @@ object RelationalQueries2 {
       .partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"))
       .rangeBetween(-1000L, 0L)
+    // frame sum over DECIMAL(12,2)-cast prices (q58's merge-order
+    // lesson): 2-dp prices cast EXACTLY, decimal addition is
+    // associative, so DuckDB's segment-tree frame evaluation and
+    // Spark's fold agree bitwise after the final double cast
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        sum(col("o_totalprice")).over(w).as("rolling_1k"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+          .cast("double").as("rolling_1k"),
         count(lit(1)).over(w).as("n_within_1k"))
       .orderBy(col("o_orderkey"))
   }

@@ -45,10 +45,14 @@ object RelationalQueries3 {
       threshold: Double = 400000.0): DataFrame = {
     val c = Tables.customer(s, dir)
     val big = Tables.orders(s, dir).filter(col("o_totalprice") > threshold)
+    // avg spelled as exact-decimal sum ÷ count (q58's merge-order
+    // lesson): 2-dp balances cast EXACTLY to DECIMAL(12,2), the sum
+    // is associative, and the single double divide is IEEE-identical
     c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        avg(col("c_acctbal")).as("avg_acctbal"))
+        (sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_acctbal"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -182,8 +186,10 @@ object RelationalQueries3 {
       .join(sup, l("l_suppkey") === sup("s_suppkey") &&
         col("c_nationkey") === sup("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"),
+      // revenue sums DECIMAL(18,4)-cast terms (q58's merge-order
+      // lesson): exact associative addition → bit-exact vs the oracle
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -298,8 +304,9 @@ object RelationalQueries3 {
         || (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("int").as("l_year"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
+      // DECIMAL(18,4) term sum (q58's merge-order lesson)
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -345,8 +352,12 @@ object RelationalQueries3 {
       .withColumn("volume",
         col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      // both sums fold DECIMAL(18,4)-cast terms (q58's merge-order
+      // lesson); the share is ONE IEEE divide of the two exact totals
       .agg((sum(when(col("nation") === nation, col("volume"))
-        .otherwise(lit(0))) / sum(col("volume"))).as("mkt_share"))
+          .otherwise(lit(0)).cast("decimal(18,4)")).cast("double")
+        / sum(col("volume").cast("decimal(18,4)")).cast("double"))
+        .as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -400,8 +411,10 @@ object RelationalQueries3 {
       .filter(bracket("Brand#1", 15, 1, 11) ||
         bracket("Brand#2", 25, 10, 20) ||
         bracket("Brand#3", 35, 20, 30))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"),
+      // DECIMAL(18,4) term sum (q58's merge-order lesson): the single
+      // global group is exactly where double merge-order drift bites
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 

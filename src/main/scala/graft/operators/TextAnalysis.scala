@@ -1344,33 +1344,66 @@ object TextAnalysis {
         (col("logit_milli") > 0).as("keep"))
       .orderBy(col("doc_id"))
 
-  /** t32 — per-source token-distribution drift: Jensen–Shannon
-    * divergence of each source's unigram distribution against the
+  /** t32 — per-source token-distribution drift: TOTAL VARIATION
+    * DISTANCE of each source's unigram distribution against the
     * corpus distribution — the distribution-level mixture monitor
     * (t9 tracks count shares; this detects a source whose VOLUME is
-    * stable but whose CONTENT drifted). JSD is symmetric, bounded by
-    * ln 2, and defined at disjoint supports — the reasons it, not KL,
-    * is the production drift metric.
+    * stable but whose CONTENT drifted). TVD = 0.5·Σ|p−q| is
+    * symmetric, bounded by 1, defined at disjoint supports, and —
+    * the reason it is the REGISTERED statistic — transcendental-free:
+    * r12's driver gate proved that JVM `Math.log` and DuckDB's libm
+    * disagree in the last ulp on identical args (max 8.7e-19 here),
+    * so any ln-bearing column fails a bit-exact hash even with a
+    * pinned fold order. TVD's terms are one subtract and one abs of
+    * two correctly-rounded IEEE divides — bit-identical across
+    * engines (the t28 lift-over-PMI convention). The JSD variant
+    * survives as [[mixtureDriftJsd]], epsilon-gated in spec.
     *
     * Exactness scheme: probabilities are single divides of exact
-    * counts; per-token terms are fixed-shape double expressions (ln
-    * agrees across engines on identical args — the t10 precedent);
-    * the per-source SUM folds over the token-sorted list (q61's
-    * order-fixing trick), so no aggregation-order drift exists.
-    * Tokens ABSENT from a source contribute 0.5·q·ln2 each (m = q/2
-    * when p = 0), which telescopes to 0.5·ln2·(1 − Σ_present q) — a
-    * closed form over the PRESENT tokens only, with ln 2 pinned as
-    * the same decimal literal on both engines. That identity is also
-    * the scale story: nothing ever iterates the (source × vocab)
-    * matrix — only observed (source, token) pairs flow.
+    * counts; the per-source SUM folds over the token-sorted list
+    * (q61's order-fixing trick), so no aggregation-order drift
+    * exists. Tokens ABSENT from a source contribute |0 − q| = q
+    * each, which telescopes to 0.5·(1 − Σ_present q) — a closed form
+    * over the PRESENT tokens only. That identity is also the scale
+    * story: nothing ever iterates the (source × vocab) matrix — only
+    * observed (source, token) pairs flow.
     *
     * Scale posture: one explode + one (source, token) aggregate (the
     * t6/t15 shape); the corpus-marginal join keys on token; the fold
     * list holds one entry per DISTINCT token of the source — vocab-
     * sized, not corpus-sized.
     */
-  def mixtureDrift(s: SparkSession, dir: String): DataFrame = {
+  def mixtureDrift(s: SparkSession, dir: String): DataFrame =
+    mixtureTerms(s, dir)(
+      xs => (lit(0.5) * aggregate(xs, lit(0.0), (a, x) => a + x.getField("term"))
+        + lit(0.5) * (lit(1.0) -
+          aggregate(xs, lit(0.0), (a, x) => a + x.getField("q"))))
+        .as("tvd"),
+      abs(col("p") - col("q")))
+
+  /** t32's JSD companion: identical pipeline, Jensen–Shannon term.
+    * NOT hash-gated (ln ulp drift across engines — see
+    * [[mixtureDrift]]); TextAnalysisSpec gates it at 1e-12 against a
+    * driver-side recompute. Absent-token mass: 0.5·q·ln2 each (m =
+    * q/2 when p = 0) telescoping to 0.5·ln2·(1 − Σ_present q).
+    */
+  def mixtureDriftJsd(s: SparkSession, dir: String): DataFrame = {
     val halfLn2 = 0.34657359027997264 // 0.5 * ln 2, pinned literal
+    mixtureTerms(s, dir)(
+      xs => (aggregate(xs, lit(0.0), (a, x) => a + x.getField("term"))
+        + lit(halfLn2) * (lit(1.0) -
+          aggregate(xs, lit(0.0), (a, x) => a + x.getField("q"))))
+        .as("jsd"),
+      lit(0.5) * col("p") * log(col("p") / col("m"))
+        + lit(0.5) * col("q") * log(col("q") / col("m")))
+  }
+
+  /** Shared t32 dataflow: (source, token) counts joined to the corpus
+    * marginal, per-token `termExpr` over (p, q, m) columns, then the
+    * token-sorted fold closed by `close` over the present-token list.
+    */
+  private def mixtureTerms(s: SparkSession, dir: String)(
+      close: Column => Column, termExpr: Column): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
     val cst = toks.groupBy(col("source"), col("token"))
@@ -1385,19 +1418,14 @@ object TextAnalysis {
       .withColumn("p", col("c_st").cast("double") / col("n_s").cast("double"))
       .withColumn("q", col("c_t").cast("double") / col("n_tot").cast("double"))
       .withColumn("m", (col("p") + col("q")) / lit(2.0))
-      .withColumn("term",
-        lit(0.5) * col("p") * log(col("p") / col("m"))
-          + lit(0.5) * col("q") * log(col("q") / col("m")))
+      .withColumn("term", termExpr)
     terms.groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"),
         sort_array(collect_list(struct(col("token"), col("term"), col("q"))))
           .as("xs"))
       .select(col("source"), col("n_tokens"),
         size(col("xs")).as("vocab_source"),
-        (aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("term"))
-          + lit(halfLn2) * (lit(1.0) -
-            aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("q"))))
-          .as("jsd"))
+        close(col("xs")))
       .orderBy(col("source"))
   }
 

@@ -34,7 +34,11 @@ object EventsWindows {
   def sliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      // total sums DECIMAL(18,6)-cast values (q58's merge-order
+      // lesson): exact associative addition makes the per-window sum
+      // independent of the partial-agg schedule on both engines
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
       .orderBy(col("win_start"), col("event_type"))

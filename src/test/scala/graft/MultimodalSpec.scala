@@ -374,33 +374,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === want, s"got ${got.length} want ${want.length} pairs")
   }
 
-  test("m14 planted: constant, two-symbol, and all-distinct payloads get textbook entropy") {
+  test("m14 planted: constant, two-symbol, and all-distinct payloads get textbook stats") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val docs = Seq(
-      (1L, "aaaaaaaa"),            // constant: H = 0, mode = n
-      (2L, "abababab"),            // uniform 2 symbols: H = 1 bit
-      (3L, "abcdefgh"),            // 8 distinct: H = 3 bits
+      (1L, "aaaaaaaa"),            // constant: collision prob 1, mode = n
+      (2L, "abababab"),            // uniform 2 symbols: collision 1/2
+      (3L, "abcdefgh"),            // 8 distinct: collision 1/8
       (4L, ""))                    // empty: excluded
       .toDF("doc_id", "text")
     val rows = graft.operators.Multimodal.byteEntropyFrom(docs).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
     assert(rows.keySet === Set(1L, 2L, 3L))
-    assert(rows(1L) === ((8L, 1L, 8L, 0.0)))
-    val (n2, d2, m2, h2) = rows(2L)
-    assert((n2, d2, m2) === ((8L, 2L, 4L)) && math.abs(h2 - 1.0) < 1e-12)
-    val (n3, d3, m3, h3) = rows(3L)
-    assert((n3, d3, m3) === ((8L, 8L, 1L)) && math.abs(h3 - 3.0) < 1e-12)
+    // collision probabilities are EXACT doubles here (dyadic ratios)
+    assert(rows(1L) === ((8L, 1L, 8L, 64L, 1.0)))
+    assert(rows(2L) === ((8L, 2L, 4L, 32L, 0.5)))
+    assert(rows(3L) === ((8L, 8L, 1L, 8L, 0.125)))
+    // the Shannon companion still reports textbook bits
+    val bits = graft.operators.Multimodal.byteEntropyBits(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(bits(1L) === 0.0)
+    assert(math.abs(bits(2L) - 1.0) < 1e-12)
+    assert(math.abs(bits(3L) - 3.0) < 1e-12)
   }
 
-  test("m14 on the corpus: entropy bounded by distinct-count log and 8 bits") {
+  test("m14 on the corpus: collision prob in [1/d, 1], sum_c2 consistent; entropy bounded") {
     val rows = Multimodal.byteEntropy(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (n, d, mode, h) =
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val (n, d, mode, s2, cp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))
       assert(d >= 1 && d <= n && mode >= 1 && mode <= n)
+      // Cauchy–Schwarz floor n²/d ≤ Σc²; mode ceiling Σc² ≤ mode·n
+      assert(s2 * d >= n * n && s2 <= mode * n, s"sum_c2 $s2 out of bounds")
+      assert(cp === s2.toDouble / (n.toDouble * n.toDouble))
+    }
+    val bits = Multimodal.byteEntropyBits(
+      Tables.documents(spark, sfDir)).collect()
+    bits.foreach { r =>
+      val (d, h) = (r.getLong(2), r.getDouble(4))
       assert(h >= -1e-12 && h <= math.log(d.toDouble) / math.log(2.0) + 1e-12,
         s"entropy $h outside [0, log2($d)]")
     }

@@ -628,13 +628,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("t32 mixture drift: JSD within [0, ln2], matches a driver-side recompute") {
+  test("t32 mixture drift: TVD and JSD match a driver-side recompute") {
     import org.apache.spark.sql.functions._
     val got = TextAnalysis.mixtureDrift(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val gotJsd = TextAnalysis.mixtureDriftJsd(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(got.nonEmpty)
-    // driver recompute of the FULL JSD (including absent tokens) from
-    // raw counts — the closed form must equal the naive double loop
+    // driver recompute of the FULL statistics (including absent
+    // tokens) from raw counts — the closed forms must equal the naive
+    // double loops
     val rows = Tables.documents(spark, sfDir)
       .select(col("source"), explode(
         filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("tok"))
@@ -643,20 +646,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       s -> xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap }
     val corpus = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val nTot = rows.length.toDouble
-    got.foreach { case (src, nTok, vocabS, jsd) =>
+    got.foreach { case (src, nTok, vocabS, tvd) =>
       val cs = bySrc(src)
       assert(nTok === cs.values.sum)
       assert(vocabS === cs.size)
       val nS = cs.values.sum.toDouble
-      val expect = corpus.keysIterator.map { t =>
+      val expectTvd = 0.5 * corpus.keysIterator.map { t =>
+        math.abs(cs.getOrElse(t, 0L) / nS - corpus(t) / nTot)
+      }.sum
+      assert(math.abs(tvd - expectTvd) < 1e-12, s"$src: $tvd vs $expectTvd")
+      assert(tvd >= 0.0 && tvd <= 1.0 + 1e-12)
+      val jsd = gotJsd(src)
+      val expectJsd = corpus.keysIterator.map { t =>
         val p = cs.getOrElse(t, 0L) / nS
         val q = corpus(t) / nTot
         val m = (p + q) / 2.0
         (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
           0.5 * q * math.log(q / m)
       }.sum
-      assert(math.abs(jsd - expect) < 1e-12, s"$src: $jsd vs $expect")
+      assert(math.abs(jsd - expectJsd) < 1e-12, s"$src: $jsd vs $expectJsd")
       assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-12)
+      // Pinsker ties the statistics: KL(P‖M) ≥ 2·δ(P,M)² with
+      // δ(P,M) = tvd/2, so jsd ≥ tvd²/2 (jsd in nats)
+      assert(jsd + 1e-12 >= tvd * tvd / 2.0,
+        s"$src: Pinsker violated jsd=$jsd tvd=$tvd")
     }
   }
 

@@ -1,11 +1,44 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's t2 gate: run each oracle_sql.json
 query in DuckDB over the sf parquet tables and compare to the Spark
-parquet dumps produced by graft.Verify (sorted rows/columns, values
-rounded to 9 significant-ish digits). Dev tool only — not part of the
-engine."""
-import sys, json, glob, math
+parquet dumps produced by graft.Verify (sorted rows/columns). Floats
+compare BIT-EXACTLY (r12 lesson: the driver's hash is finer than 9
+significant digits — t32 was locally green at %.9g yet driver-red on
+ln last-ulp drift between JVM Math.log and DuckDB libm; every
+sub-driver-precision drift row is a straddle risk at the driver's
+rounding boundary, whatever its exact granularity).
+
+Three tiers per query:
+  OK    — bit-exact float match (the bar for every NEW query);
+  WARN  — not bitwise but within 12 significant digits AND on the
+          explicit ULP_DRIFT_ALLOWED list: known engine-drift
+          families (ln-bearing statistics, reference-semantics double
+          means) that have been driver-green for 12 rounds; each
+          carries a straddle risk documented at its operator;
+  FAIL  — anything else (exit 1).
+A query NOT on the allowlist must be bit-exact — this is what would
+have caught t32 before the r12 round gate. Dev tool only — not part
+of the engine."""
+import sys, json, glob, math, struct
 import duckdb
+
+# Queries allowed to drift at the ulp level (and why). Shrink this
+# list; never grow it without a documented exactness argument at the
+# operator. Every entry is ln-arithmetic or reference-semantics double
+# averaging where exact decimal reformulation would change semantics.
+ULP_DRIFT_ALLOWED = {
+    # JVM Math.log vs DuckDB libm last-ulp disagreement (documented at
+    # each operator; fold orders are pinned so ln is the only source):
+    "t6_tfidf", "t10_unigram_logprob", "t15_bm25_rank",
+    "t16_bigram_logprob", "t17_zipf_fit",
+    # EWMA recurrence: multiplicative double recurrence, order-pinned
+    # but rounding accumulates per step on both engines:
+    "q62_anomaly",
+    # Reference-semantics double averages (Sample.cs avg-of-avgs) —
+    # the flagship's contract is the reference's double arithmetic:
+    "taxi_avg_speed_faithful", "taxi_avg_speed_weighted",
+    "events_speed_faithful", "events_speed_weighted",
+}
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
@@ -17,6 +50,23 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+def bits(v):
+    return struct.unpack("<q", struct.pack("<d", v))[0]
+
+def ulp_diff(a, b):
+    try:
+        x, y = float(a), float(b)
+    except ValueError:
+        return None
+    if math.isnan(x) or math.isnan(y):
+        return None
+    ba, bb = bits(x), bits(y)
+    # map to monotone ordering so the difference counts representable
+    # doubles between the two values (works across the sign boundary)
+    ba = ba if ba >= 0 else (1 << 63) - ba
+    bb = bb if bb >= 0 else (1 << 63) - bb
+    return abs(ba - bb)
+
 def norm(df):
     cols = sorted(df.columns)
     rows = []
@@ -24,14 +74,27 @@ def norm(df):
         row = []
         for v in t:
             if isinstance(v, float):
-                if v == 0: v = 0.0
-                row.append(f"{v:.9g}" if not (isinstance(v, float) and math.isnan(v)) else "nan")
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    if v == 0: v = 0.0  # -0.0 == 0.0 normalization
+                    row.append(v.hex())  # bit-exact
             else:
                 row.append(str(v))
         rows.append(tuple(row))
     return cols, sorted(rows)
 
-fails = 0
+def sig12(rows):
+    """Rows re-normalized at 12 significant digits (hex floats parsed
+    back) — the WARN-tier comparison."""
+    out = []
+    for r in rows:
+        out.append(tuple(
+            f"{float.fromhex(c):.12g}" if c.startswith(("0x", "-0x"))
+            else c for c in r))
+    return sorted(out)
+
+fails = warns = 0
 for name, sql in sorted(oracle.items()):
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_files:
@@ -45,9 +108,30 @@ for name, sql in sorted(oracle.items()):
     if len(gr) != len(wr):
         print(f"FAIL {name}: rows {len(gr)} != {len(wr)}"); fails += 1; continue
     bad = [(a, b) for a, b in zip(gr, wr) if a != b]
-    if bad:
-        print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}"); fails += 1
-    else:
+    if not bad:
         print(f"OK   {name} ({len(gr)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+        continue
+    # ulp diagnostics: max ulp distance across all mismatched cells
+    # that are float-parseable (hex floats parse via float.fromhex).
+    # Cell-wise over sorted-row pairs — a coarse pairing, so treat the
+    # number as indicative, not exact, when rows interleave.
+    max_ulp = 0
+    for a, b in bad:
+        for ca, cb in zip(a, b):
+            if ca != cb and ca.startswith(("0x", "-0x")) and \
+                    cb.startswith(("0x", "-0x")):
+                d = ulp_diff(float.fromhex(ca), float.fromhex(cb))
+                if d is not None:
+                    max_ulp = max(max_ulp, d)
+    if name in ULP_DRIFT_ALLOWED and sig12(gr) == sig12(wr):
+        print(f"WARN {name}: bitwise drift in {len(bad)} rows "
+              f"(max ulp ~{max_ulp}), matches at 12 sig digits — "
+              f"allowlisted engine-drift family")
+        warns += 1
+    else:
+        note = f" (max float ulp diff ~{max_ulp})" if max_ulp else ""
+        print(f"FAIL {name}: {len(bad)} mismatched rows{note}; first: {bad[0]}")
+        fails += 1
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match "
+      f"({len(oracle) - fails - warns} bit-exact, {warns} allowlisted ulp-drift)")
 sys.exit(1 if fails else 0)
