@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with 128 GiB available: 8g starves the 32-thread shuffle
   // working set into GC thrash (observed 4x bench variance)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 190 queries' generated classes overflow the default 240m code
+  // cache (r12: JIT stopped upgrading late-suite hot loops once the
+  // cache filled — the flagship regression's mechanism); 512m keeps
+  // every plan's tier-4 code resident across the whole suite
+  "-XX:ReservedCodeCacheSize=512m",
 )

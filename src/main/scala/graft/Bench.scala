@@ -244,67 +244,43 @@ object Bench {
     // like volume — the reference's 481 s is over ~3.2 GB of taxi CSV;
     // run the real ingest pipeline (S2 listing → text scan → accept →
     // speed → two-level mean) over a ≥3 GB generated corpus and record
-    // both reduce modes. Generation is stamped (one-time per machine);
-    // opt out with SPARK_GRAFT_GB=0.
+    // both reduce modes. Opt out with SPARK_GRAFT_GB=0.
+    //
+    // FORKED into a fresh JVM (FlagshipBench — full rationale there):
+    // r12 proved the suite JVM's JIT state contaminates the flagship
+    // measurement (warm 8.5 s → 27.6 s purely from 55 extra queries
+    // compiled before it). The child inherits this JVM's flags and
+    // classpath, so the only difference IS the fresh JIT/code-cache
+    // state — which is also what a one-shot deployment has.
     val gbJson =
       if (sys.env.getOrElse("SPARK_GRAFT_GB", "1") == "0") ""
       else try {
-        val g0 = System.nanoTime()
-        val glob = graft.sources.TaxiDataGen.ensureScaled(spark, sfDir)
-        val genSec = (System.nanoTime() - g0) / 1e9
-        val bytes = new java.io.File(glob).getParentFile
-          .listFiles().filter(_.getName.endsWith(".csv")).map(_.length).sum
-        // collect through formatResult — the reference's own output step,
-        // and a 7-row collect cannot be subtree-eliminated.
-        //
-        // COLD-SESSION PATHOLOGY, diagnosed r11 (judge-observed 140-356 s
-        // first GB run vs 7-10 s warm): stage-level instrumentation
-        // (DevColdProbe) shows the cost is ENTIRELY CPU in the fused
-        // scan→parse→filter→partial-agg stage — cold 3013 s CPU vs 285 s
-        // warm for the same 3.05 GB / 30.6 M rows, tasks on-CPU 95 % of
-        // runtime, GC 35 s, driver plan time 4 s, identical plans. It is
-        // NOT I/O (reproduces page-cache-warm), NOT AQE/Catalyst, NOT
-        // faithful-specific. -XX:+PrintCompilation attributes it to JIT
-        // tier ramp: the C2 OSR compile of the stage's generated loop
-        // (hashAgg_doAggregateWithKeys) is queued at task start and
-        // completes ~31 s later — all 32 cores run tier-3 profiled code
-        // (~10x slower) in the meantime, because 32 saturated worker
-        // threads starve the compiler threads, and ~2500 deopt
-        // ("made not entrant") events from profile churn force
-        // recompiles. Warm runs reuse the Janino class cache (same plan
-        // → same source → same class) with tier-4 code already installed.
-        //
-        // Mitigation (measured): an UNTIMED single-file ramp per mode —
-        // 2 runs over one ~280 MB corpus file, during which only 3 tasks
-        // run and the compiler owns the idle cores — cuts the first full
-        // run from ~107 s to ~30-36 s (~2-4x warm; the residual is
-        // profile-driven recompilation at full-corpus data shapes, which
-        // no small-scale warmup can precompute). A real one-shot run at
-        // 100x would use the same ramp: its cost (~25 s) is recorded
-        // below as ramp_sec, both timed runs stay raw in the runs
-        // arrays, and *_sec remains the min (steady-state claim).
-        def t(f: => Unit): Double = {
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        val javaBin = new java.io.File(
+          new java.io.File(System.getProperty("java.home"), "bin"), "java")
+          .getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        cmd.addAll(jvmArgs)
+        cmd.add("-cp")
+        cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.FlagshipBench")
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val rc = proc.waitFor()
+        out.linesIterator.find(_.startsWith("GBJSON:")) match {
+          case Some(line) => line.stripPrefix("GBJSON:")
+          case None =>
+            System.err.println(s"[bench] gb_flagship child exited rc=$rc " +
+              "without a GBJSON line")
+            ""
         }
-        def faithful(path: String = glob): Unit = {
-          graft.operators.TaxiSpeed.formatResult(
-            graft.operators.TaxiSpeed.faithfulAvgByDowListed(spark, path)); () }
-        def weighted(path: String = glob): Unit = {
-          graft.operators.TaxiSpeed.formatResult(
-            graft.operators.TaxiSpeed.weightedAvgByDow(
-              graft.sources.TaxiCsv.trips(spark, path))); () }
-        val rampFile = new java.io.File(glob).getParentFile.listFiles()
-          .filter(_.getName.endsWith(".csv")).map(_.getAbsolutePath).min
-        val rampSec = t { for (_ <- 1 to 2) { faithful(rampFile); weighted(rampFile) } }
-        val fRuns = Seq(t(faithful()), t(faithful()))
-        val wRuns = Seq(t(weighted()), t(weighted()))
-        val (fSec, wSec) = (fRuns.min, wRuns.min)
-        System.err.println(f"[bench] gb_flagship: $bytes%d bytes, ramp $rampSec%.1f s, " +
-          f"faithful $fSec%.1f s ${fRuns.map(r => f"$r%.1f").mkString("[", ",", "]")}, " +
-          f"weighted $wSec%.1f s ${wRuns.map(r => f"$r%.1f").mkString("[", ",", "]")} (baseline 481 s)")
-        s""""gb_flagship":{"bytes":$bytes,"gen_sec":$genSec,"ramp_sec":$rampSec,"faithful_sec":$fSec,"faithful_runs":${fRuns.mkString("[", ",", "]")},"weighted_sec":$wSec,"weighted_runs":${wRuns.mkString("[", ",", "]")},"baseline_sec":481,"cold_note":"first-run overhead is JIT tier ramp in the fused scan stage (C2 OSR compile starved by 32 saturated cores; see Bench.scala doc) - mitigated by the untimed single-file ramp, residual ~2-4x on run 1"},"""
       } catch { case NonFatal(e) =>
-        System.err.println("[bench] gb_flagship failed:")
+        System.err.println("[bench] gb_flagship fork failed:")
         e.printStackTrace()
         ""
       }

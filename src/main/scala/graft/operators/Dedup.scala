@@ -677,6 +677,21 @@ object Dedup {
       case None =>
         (streamDocs.select(col("doc_id"), col("text")), Nil)
     }
+    minhashCandidatesSigned(signDocs(src, carry), index, t,
+      watermarked = watermark.isDefined, carry = carry)
+  }
+
+  /** Per-row MinHash signing of a (doc_id, text[, carry…]) relation:
+    * shingle set, size, and the 128-permutation signature via array
+    * HOFs — stateless per row, arithmetically identical to the batch
+    * MinHashAgg. Split out of [[minhashCandidatesStream]] so the
+    * persisted-index probe path ([[IndexStore.persistedLshPairs]])
+    * can materialize this output ONCE per corpus snapshot — the
+    * production sign-once-store-forever shape — instead of re-folding
+    * every probe doc's text on every warm run.
+    */
+  private[graft] def signDocs(src: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     // materialize hv before the 128 per-permutation traversals: lambda
     // bodies re-evaluate argument EXPRESSIONS per element (the
     // shinglesFromTokens gotcha), so the mod-p reduction gets its own
@@ -688,9 +703,19 @@ object Dedup {
     val sig = array(hashParams.map { case (a, b) =>
       array_min(transform(col("hv"), x => pmod(x * a + b, lit(MinhashP))))
     }: _*)
+    shingled.select(col("doc_id") +: carry.map(col) ++:
+      Seq(col("sh"), col("sz"), sig.as("sig")): _*)
+  }
+
+  /** Candidate generation + exact-Jaccard verify over an already-
+    * SIGNED probe relation (the [[signDocs]] output schema). The other
+    * half of [[minhashCandidatesStream]]'s split.
+    */
+  private[graft] def minhashCandidatesSigned(signed: DataFrame,
+      index: MinhashIndex, t: Double, watermarked: Boolean = false,
+      carry: Seq[String] = Nil): DataFrame = {
     val carryCols = carry.map(col)
-    val bands = shingled
-      .select(col("doc_id") +: carryCols ++: Seq(col("sh"), col("sz"), sig.as("sig")): _*)
+    val bands = signed
       .select(col("doc_id") +: carryCols ++: Seq(col("sh"), col("sz"),
         explode(array(bandKeyCols(col("sig"), BandRows): _*)).as("band_key")): _*)
     val corpus = index.bands.select(
@@ -702,7 +727,7 @@ object Dedup {
       .select(col("doc_id") +: carryCols ++:
         Seq(col("sh"), col("sz"), col("corpus_doc_id")): _*)
     val collapsed =
-      if (watermark.isDefined)
+      if (watermarked)
         hits.dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
       else hits.dropDuplicates("doc_id", "corpus_doc_id")
     collapsed

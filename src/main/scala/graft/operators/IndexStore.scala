@@ -33,6 +33,19 @@ object IndexStore {
   /** Bumped on any layout/semantics change; load refuses other versions. */
   val FormatVersion = 1
 
+  /** Does a complete index manifest exist at `path`? Probed through
+    * the Hadoop FileSystem API, not `java.io.File` (r12 verdict #6):
+    * a `java.io.File` probe silently never-sees HDFS/S3/`file:` URIs,
+    * so a cluster run would rebuild the index every session — the
+    * exact cost the store exists to avoid. The manifest is written
+    * LAST by every builder, so its presence marks a complete index.
+    */
+  private[graft] def manifestExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
   private def writeManifest(s: SparkSession, path: String, family: String,
       params: Map[String, String]): Unit = {
     import s.implicits._
@@ -161,22 +174,30 @@ object IndexStore {
     * regenerated in place — a path keyed on dir+params alone would
     * happily serve an index built from superseded bytes.
     */
-  private def corpusTag(dir: String, table: String): String = {
-    val files = Option(new java.io.File(s"$dir/$table"))
-      .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
-      .getOrElse(Seq.empty)
+  private def corpusTag(s: SparkSession, dir: String,
+      table: String): String = {
+    // Hadoop-FS enumeration (like manifestExists): (name, length,
+    // modification time) triples are identical to java.io.File's on a
+    // local path, so existing local index tags stay valid — but the
+    // probe now also sees file:/hdfs:/s3a: corpora.
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(p)) Seq.empty
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
     java.lang.Long.toHexString(files.map(f =>
-      s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
-      .hashCode.toLong & 0xFFFFFFFFL)
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|").hashCode.toLong & 0xFFFFFFFFL)
   }
 
   def ivfPersistedTopK(s: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5, nCells: Int = 16, nProbe: Int = 12,
       dim: Int = 64, lloydIters: Int = 2): DataFrame = {
-    val fp = corpusTag(dir, "embeddings.parquet")
+    val fp = corpusTag(s, dir, "embeddings.parquet")
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_c${nCells}_d${dim}_l${lloydIters}_$fp"
     val path = s"target/graft_index/ivf/$tag"
-    if (!new java.io.File(s"$path/manifest").isDirectory) {
+    if (!manifestExists(s, path)) {
       val built = Similarity.ivfIndexFor(s, dir, nCells, dim, lloydIters)
       if (built.centroids.isEmpty) // degenerate corpus: nothing to persist
         return Similarity.bruteForceTopK(s, dir, k, nQueries)
@@ -295,9 +316,15 @@ object IndexStore {
     * EXTENDED by appending the remaining existing slices — so the
     * registered path itself proves incremental maintenance — then the
     * `%mod == 0` increment queries the LOADED relations. Exact Jaccard
-    * verification follows candidate banding, so the output equals the
-    * plain cross-pairs truth and carries a FULL hash oracle (d3's
-    * equivalence argument, cross-restricted).
+    * verification follows candidate banding, so candidates are never
+    * FALSE positives — but banding is probabilistic RECALL, not a
+    * pure prune (r12 advice): a pair at Jaccard s misses all 64
+    * 2-row bands with probability (1−s²)⁶⁴ (~1e-8 at s = 0.5, falling
+    * fast above threshold), so the hash oracle holds with high
+    * probability PER CORPUS, deterministically for a fixed corpus
+    * (same hashes, same bands every run). A future gate failure on a
+    * REGENERATED corpus should be triaged as an expected LSH miss
+    * (d3's recall argument) before being treated as a regression.
     *
     * Scale posture: the persisted index is two parquet tables — at
     * 100 TB `bands` is bucketed by band_key so a micro-batch's probe
@@ -309,12 +336,12 @@ object IndexStore {
   def persistedLshPairs(s: SparkSession, dir: String,
       mod: Int = 3, t: Double = 0.5): DataFrame = {
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_" +
-      corpusTag(dir, "documents.parquet")
+      corpusTag(s, dir, "documents.parquet")
     val path = s"target/graft_index/lsh/$tag"
     val docs = graft.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
     val slice = pmod(col("doc_id"), lit(mod))
-    if (!new java.io.File(s"$path/manifest").isDirectory) {
+    if (!manifestExists(s, path)) {
       // relations first (initial slice, then the incremental append),
       // manifest LAST: the manifest is the build-complete marker, so a
       // crash between the two writes leaves a rebuildable directory —
@@ -331,8 +358,26 @@ object IndexStore {
     // in batch): measured 6.6 s vs 12.9 s for the explode→MinHashAgg
     // formulation at sf0.1 — the per-row fold needs no shuffle and no
     // 500k-row explode for a 1/3-corpus increment, and it is
-    // arithmetically identical (StreamingSpec's parity claim)
-    Dedup.minhashCandidatesStream(docs.filter(slice === 0),
+    // arithmetically identical (StreamingSpec's parity claim).
+    //
+    // The fold is also PERSISTED (r12 verdict #8: the warm pass used
+    // to re-sign the full increment every run, making pass 1 SLOWER
+    // than pass 0): each probe doc is signed once per corpus snapshot
+    // and its (sh, sz, sig) row stored beside the index — the
+    // production sign-once-store-forever shape; a warm run reads the
+    // signed relation from parquet and goes straight to the band
+    // join. Manifest-last, like the index itself. Values are
+    // bit-identical either way (materialization of a deterministic
+    // projection). The trailing orderBy is a presentation sort over
+    // the low-thousands pair output — negligible next to the probe.
+    val probeDir = s"$path/probe"
+    if (!manifestExists(s, probeDir)) {
+      Dedup.signDocs(docs.filter(slice === 0))
+        .write.mode("overwrite").parquet(s"$probeDir/signed")
+      writeManifest(s, probeDir, "minhash-probe",
+        minhashScheme + ("mod" -> mod.toString))
+    }
+    Dedup.minhashCandidatesSigned(s.read.parquet(s"$probeDir/signed"),
         loadMinhash(s, path), t)
       .orderBy(col("doc_id"), col("corpus_doc_id"))
   }
@@ -341,11 +386,11 @@ object IndexStore {
       mod: Int = 3): DataFrame = {
     import graft.functions.TextFunctions.fingerprint
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_" +
-      corpusTag(dir, "documents.parquet")
+      corpusTag(s, dir, "documents.parquet")
     val path = s"target/graft_index/fp/$tag"
     val docs = graft.Tables.documents(s, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    if (!new java.io.File(s"$path/manifest").isDirectory)
+    if (!manifestExists(s, path))
       saveFingerprints(docs.filter(pmod(col("doc_id"), lit(mod)) =!= 0),
         path, Map("mod" -> mod.toString))
     Dedup.crossDedupFrom(

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Abs, And, Expression, GreaterThanOrEqual, Length, LessThan,
-  LessThanOrEqual, Levenshtein, Literal, PredicateHelper, Subtract}
+  Abs, And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, Length,
+  LessThan, LessThanOrEqual, Levenshtein, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -78,6 +78,21 @@ object LevenshteinLengthPrune extends Rule[LogicalPlan] with PredicateHelper {
           if intLit(th) && intLit(z) &&
             z.asInstanceOf[Literal].value == 0 && ok(a, b) =>
         Some(lenGuard(a, b, LessThanOrEqual(_, th)))
+      // commuted spellings (r12 advice): hand-written SQL often puts
+      // the literal first — `k >= levenshtein(a, b)` / `k >
+      // levenshtein(a, b)` / `levenshtein(a, b) = k` all bound the
+      // distance from above just the same, so they get the same
+      // length guard (|len(a) − len(b)| ≤ distance always holds)
+      case GreaterThanOrEqual(k, Levenshtein(a, b, None))
+          if intLit(k) && ok(a, b) =>
+        Some(lenGuard(a, b, LessThanOrEqual(_, k)))
+      case GreaterThan(k, Levenshtein(a, b, None))
+          if intLit(k) && ok(a, b) =>
+        Some(lenGuard(a, b, LessThan(_, k)))
+      case EqualTo(Levenshtein(a, b, None), k) if intLit(k) && ok(a, b) =>
+        Some(lenGuard(a, b, LessThanOrEqual(_, k)))
+      case EqualTo(k, Levenshtein(a, b, None)) if intLit(k) && ok(a, b) =>
+        Some(lenGuard(a, b, LessThanOrEqual(_, k)))
       case _ => None
     }
 

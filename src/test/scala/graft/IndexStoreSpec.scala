@@ -45,6 +45,25 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(q(loaded)) === rows(q(built)))
   }
 
+  test("IVF round-trip through a file: URI — FS probe is scheme-aware") {
+    // r12 verdict #6: java.io.File probes silently never-see URI
+    // paths; the Hadoop-FS probe must treat file:/abs/path like
+    // /abs/path, so a repeated save call SKIPS the rebuild (the
+    // manifest written under one spelling is found under the other's
+    // semantics) and the load answers identically.
+    val built = Similarity.buildIvfIndex(spark, sfDir)
+    val path = "file:" + Paths.get(tmp("ivfuri")).toAbsolutePath
+    IndexStore.saveIvf(built, path)
+    val loaded = IndexStore.loadIvf(spark, path)
+    assert(loaded.nCells === built.nCells && loaded.dim === built.dim)
+    assert(rows(loaded.corpus.orderBy("neighbor_id")) ===
+      rows(built.corpus.orderBy("neighbor_id")))
+    // the existence probe sees BOTH spellings of the same directory
+    assert(IndexStore.manifestExists(spark, path))
+    assert(IndexStore.manifestExists(spark, path.stripPrefix("file:")))
+    assert(!IndexStore.manifestExists(spark, path + "_absent"))
+  }
+
   test("LSH index round-trips: query results identical") {
     val built = Similarity.buildLshIndex(spark, sfDir)
     val path = tmp("lsh")

@@ -312,5 +312,22 @@ class PlanChecksSpec extends AnyFunSuite {
         levenshtein(col("t"), lit("the fast key")) <= 30)
     assert("abs\\(\\(length\\(".r
       .findAllIn(manual.queryExecution.optimizedPlan.toString).size === 1)
+    // commuted spellings (r12 advice): literal-first comparisons and
+    // equality get the same guard — hand-written SQL order must not
+    // silently lose the short-circuit
+    for (commuted <- Seq(
+        docs.filter(lit(30) >= levenshtein(col("t"), lit("the fast key"))),
+        docs.filter(lit(31) > levenshtein(col("t"), lit("the fast key"))),
+        docs.filter(levenshtein(col("t"), lit("the fast key")) === 30),
+        docs.filter(lit(30) === levenshtein(col("t"), lit("the fast key"))))) {
+      val p = commuted.queryExecution.optimizedPlan.toString
+      assert("abs\\(\\(length\\(".r.findAllIn(p).size === 1,
+        s"commuted form not guarded exactly once:\n$p")
+      assert(p.indexOf("abs((length(") < p.indexOf("levenshtein("), p)
+    }
+    // commuted semantics unchanged
+    assert(docs.filter(lit(30) >=
+        levenshtein(col("t"), lit("the fast key")))
+      .collect().map(_.getLong(0)).toSet === expect)
   }
 }

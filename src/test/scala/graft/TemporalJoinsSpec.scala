@@ -141,8 +141,13 @@ class TemporalJoinsSpec extends AnyFunSuite {
         col("user_id") === col("cu") && col("cts") <= col("pts") &&
           col("cts") > col("pts") - expr("INTERVAL 30 MINUTES"), "left_semi")
       .agg(sum(col("value"))).head().getDouble(0)
-    assert(math.abs(attributed - attributable) < 1e-3,
-      s"$attributed vs $attributable")
+    // bound scales with the attributed-touch count (r12 advice): each
+    // credit is rounded to DECIMAL(18,6), worst case 0.5e-6 absolute
+    // per touch, so a fixed tolerance flakes once a corpus has enough
+    // attributed clicks — allow 1e-6 per touch plus float slack
+    val nTouches = got.map(_.getLong(1)).sum
+    assert(math.abs(attributed - attributable) < nTouches * 1e-6 + 1e-9,
+      s"$attributed vs $attributable over $nTouches touches")
     // touch counts are positive and hourly rows are distinct hours
     assert(got.map(_.getLong(1)).forall(_ > 0))
     assert(got.map(_.get(0)).distinct.length === got.length)
