@@ -3329,12 +3329,17 @@ object SparkEntry {
 
     // g6: bigint intersection/degree counts; the Jaccard is one
     // division of exact integers, spelled identically on both sides.
+    // The fan-out cap (customers with > 1000 suppliers excluded from
+    // pair generation — the hub mitigation) is part of the contract,
+    // mirrored here so the gate stays exact.
     "g6_supplier_overlap" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sv
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |deg AS (SELECT sv, count(*) AS d FROM cs GROUP BY sv),
+        |kept AS (SELECT c, sv FROM cs WHERE c IN (
+        |  SELECT c FROM cs GROUP BY c HAVING count(*) <= 1000)),
         |pr AS (SELECT a.sv AS sa, b.sv AS sb, count(*) AS inter
-        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sv < b.sv
+        |  FROM kept a JOIN kept b ON a.c = b.c AND a.sv < b.sv
         |  GROUP BY 1, 2)
         |SELECT pr.sa, pr.sb, pr.inter, da.d AS na, db.d AS nb,
         |  CAST(pr.inter AS DOUBLE)

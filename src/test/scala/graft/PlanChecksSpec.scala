@@ -262,6 +262,24 @@ class PlanChecksSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("g5/g6: no unbounded per-key array aggregation in either plan") {
+    // r12 verdict #5: g5's neighbor-H gather and g6's per-customer
+    // pair expansion used collect_list/collect_set — a degree-sized
+    // (resp. C(n,2)-sized) in-memory array per key, the hub hazard at
+    // 100×. Both now use streaming shapes (windowed counting h-index;
+    // self-join pair generation), so NO array-collecting aggregate may
+    // appear anywhere in either optimized plan.
+    spark.catalog.clearCache()
+    for ((name, df) <- Seq(
+        "g5" -> graft.operators.Graph.coreness(spark, sfDir, rounds = 2),
+        "g6" -> graft.operators.Graph.supplierOverlap(spark, sfDir))) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("collect_list") && !p.contains("collect_set"),
+        s"$name plans a per-key array aggregate:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("t28 collocations: broadcast vocab joins, heap top-k, single corpus scan") {
     spark.catalog.clearCache()
     val t28 = graft.operators.TextAnalysis.collocations(spark, sfDir)
