@@ -281,6 +281,9 @@ object TextAnalysis {
     * only k rows per doc survive the final shuffle. ~3 shuffles total
     * (doc+term, term, doc) regardless of corpus size.
     */
+  /** ULP AUDIT (r12): idf carries `ln` — JVM/libm last-ulp drift is
+    * possible on any rerun; allowlisted in check_oracle.py, fold
+    * order pinned, observed max ~2 ulp at sf0.01. */
   def tfidfTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df (per term) and doc length (per doc) as windows over the ONE tf
@@ -338,6 +341,9 @@ object TextAnalysis {
     * no probability mass and are absent, on both engines, by the inner
     * join's construction.
     */
+  /** ULP AUDIT (r12): per-token `ln` terms — engine last-ulp drift
+    * possible; allowlisted in check_oracle.py, token-sorted fold
+    * pinned, observed max ~4 ulp at sf0.01. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
@@ -563,6 +569,8 @@ object TextAnalysis {
     * (distributed heap-k, no total sort); the rank window runs over the
     * ≤ topK surviving rows — bounded, not a scale concern.
     */
+  /** ULP AUDIT (r12): idf `ln` — engine last-ulp drift possible;
+    * allowlisted in check_oracle.py, observed max ~1 ulp at sf0.01. */
   def bm25Rank(s: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("table", "scan", "join"),
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
@@ -629,6 +637,9 @@ object TextAnalysis {
     * broadcast. Docs with <2 tokens have no pairs and are absent, on
     * both engines, by construction.
     */
+  /** ULP AUDIT (r12): per-bigram `ln` terms — engine last-ulp drift
+    * possible; allowlisted in check_oracle.py, sorted fold pinned,
+    * observed max ~7 ulp at sf0.01. */
   def bigramLogprob(s: SparkSession, dir: String,
       lambda: Double = 0.7): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -676,6 +687,10 @@ object TextAnalysis {
     * partial-aggregable pass over R rows (regr_* carry their moment
     * sums through the merge).
     */
+  /** ULP AUDIT (r12): regression over `ln(rank)`/`ln(freq)` — engine
+    * last-ulp drift possible and AMPLIFIED by the closing divides
+    * (observed max ~77 ulp at sf0.01); allowlisted in
+    * check_oracle.py. */
   def zipfFit(s: SparkSession, dir: String, topR: Int = 1000): DataFrame = {
     val cnt = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))

@@ -86,6 +86,9 @@ object TimeSeries {
     * engines in principle, but requires |z| within ~1e-12 of the
     * threshold on continuous data.
     */
+  /** ULP AUDIT (r12): the EWMA recurrence multiplies doubles per step
+    * on both engines — rounding accumulates (observed max ~5 ulp at
+    * sf0.01); order-pinned, allowlisted in check_oracle.py. */
   def anomalies(s: SparkSession, dir: String, lookback: Int = 24,
       minN: Int = 12, z: Double = 3.0): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
