@@ -30,6 +30,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // GB-scale flagship FIRST, in a forked fresh JVM, BEFORE this
+    // process builds its own 48g SparkSession: the one comparison
+    // BASELINE.md publishes at like volume (reference: 481 s over
+    // ~3.2 GB taxi CSV). Fork rationale in FlagshipBench; ordering
+    // rationale: when the child ran AFTER the suite, the parent's
+    // resident heap halved the machine's free memory and the child's
+    // ramp measured 4× slower (336 s vs 78 s standalone) — a one-shot
+    // deployment owns the whole machine, so the measurement must too.
+    val gbJson = runFlagshipForked()
     // Warm at the TARGET scale: interpreted-lambda paths need ~10k
     // invocations before C2 compiles them; sf0.001 volumes never get
     // there and the first timed query absorbs ~15s of JIT instead.
@@ -240,19 +249,37 @@ object Bench {
       e.printStackTrace()
       ""
     }
-    // GB-scale flagship: the one comparison BASELINE.md publishes at
-    // like volume — the reference's 481 s is over ~3.2 GB of taxi CSV;
-    // run the real ingest pipeline (S2 listing → text scan → accept →
-    // speed → two-level mean) over a ≥3 GB generated corpus and record
-    // both reduce modes. Opt out with SPARK_GRAFT_GB=0.
-    //
-    // FORKED into a fresh JVM (FlagshipBench — full rationale there):
-    // r12 proved the suite JVM's JIT state contaminates the flagship
-    // measurement (warm 8.5 s → 27.6 s purely from 55 extra queries
-    // compiled before it). The child inherits this JVM's flags and
-    // classpath, so the only difference IS the fresh JIT/code-cache
-    // state — which is also what a one-shot deployment has.
-    val gbJson =
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val passes = results.map { case (k, _) =>
+      "\"" + k + "\":[" + warm(k) + "," + timed(k) + "]"
+    }.mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"bench_out.json"}"""
+    // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
+    // from the target, pass-0 times are NOT target-scale numbers and
+    // the artifact must say so rather than leave them misattributable.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,$accJson$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    println(compact)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case NonFatal(e) =>
+      // best-effort artifact: the compact line already went to stdout,
+      // a bad path (unwritable OR malformed — hence NonFatal, not just
+      // IOException) must not fail the (successful) bench run
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+
+  // Fork graft.FlagshipBench into a fresh JVM (this JVM's flags and
+  // classpath) and return its gb_flagship JSON fragment, "" on any
+  // failure. Called at the TOP of main, before the suite
+  // SparkSession exists. Opt out with SPARK_GRAFT_GB=0.
+  private def runFlagshipForked(): String =
       if (sys.env.getOrElse("SPARK_GRAFT_GB", "1") == "0") ""
       else try {
         val javaBin = new java.io.File(
@@ -284,29 +311,4 @@ object Bench {
         e.printStackTrace()
         ""
       }
-    val failed = results.collect { case (n, v) if v < 0 => n }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val passes = results.map { case (k, _) =>
-      "\"" + k + "\":[" + warm(k) + "," + timed(k) + "]"
-    }.mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"bench_out.json"}"""
-    // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
-    // from the target, pass-0 times are NOT target-scale numbers and
-    // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,$accJson$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
-    println(compact)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case NonFatal(e) =>
-      // best-effort artifact: the compact line already went to stdout,
-      // a bad path (unwritable OR malformed — hence NonFatal, not just
-      // IOException) must not fail the (successful) bench run
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
-    }
-    spark.stop()
-  }
 }

@@ -242,6 +242,8 @@ object SparkEntry {
     // Incremental aggregate maintenance: answer computed THROUGH the
     // base⊕delta partial merge; the full-recompute oracle proves it
     "q74_incremental_agg" -> (RelationalQueries3.incrementalAgg(_, _)),
+    // SCD-2 dimension versioning: the nightly MERGE INTO shape
+    "q75_scd2_history" -> (RelationalQueries3.scd2History(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -384,6 +386,9 @@ object SparkEntry {
     // Snapshot diff: added/removed/changed/unchanged audit between two
     // corpus versions via one co-partitioned full-outer fp join
     "d31_snapshot_diff" -> (CorpusOps.snapshotDiff(_, _)),
+    // Winnowing (MOSS) local-overlap fingerprint pairs: window-min
+    // k-gram hashes + inverted-index join, boilerplate df-cap
+    "d32_winnow_pairs" -> (Dedup.winnowPairs(_, _)),
     // Output shard manifest: deterministic hash sharding + per-shard
     // doc/byte totals (the write-side planning step)
     "d24_shard_manifest"    -> (CorpusOps.shardManifest(_, _)),
@@ -528,6 +533,9 @@ object SparkEntry {
     // Bipartite projection: supplier pairs ranked by shared-customer
     // Jaccard (d2's set-similarity mathematics on a relation)
     "g6_supplier_overlap" -> (Graph.supplierOverlap(_, _)),
+    // Connected components of the revenue-thresholded trade backbone
+    // (min-label fixpoint, the d9 kernel on a relational graph)
+    "g7_backbone_components" -> (Graph.backboneComponents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3347,6 +3355,83 @@ object SparkEntry {
         |FROM pr JOIN deg da ON pr.sa = da.sv
         |  JOIN deg db ON pr.sb = db.sv
         |ORDER BY jaccard DESC, sa, sb LIMIT 50""".stripMargin,
+
+    // g7: DECIMAL edge revenues + decimal threshold → identical edge
+    // sets; the recursive-CTE closure's min-reachable label equals the
+    // Spark min-label fixpoint by definition of connectivity. The
+    // closure is oracle-side only (test scale).
+    "g7_backbone_components" ->
+      """WITH RECURSIVE cs AS (SELECT o_custkey * 2 AS cv,
+        |    l_suppkey * 2 + 1 AS sv,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS rev
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e0 AS (SELECT cv AS src, sv AS dst FROM cs WHERE rev >= 200000),
+        |edges(src, dst) AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r
+        |  JOIN edges e ON r.dst = e.src AND r.src <> e.dst),
+        |comp AS (SELECT src AS v, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT component, count(*) AS n_vertices,
+        |  CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_customers,
+        |  CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppliers
+        |FROM comp GROUP BY component
+        |ORDER BY n_vertices DESC, component""".stripMargin,
+
+    // q75: attributes ride unchanged (one engine-identical double add);
+    // dates and versions are literals — the MERGE membership is pure
+    // integer modulus, identical on both engines.
+    "q75_scd2_history" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |  FROM customer),
+        |changes AS (SELECT c_custkey, c_name,
+        |    'MACHINERY' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+        |  FROM dim WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0),
+        |touched AS (SELECT c_custkey FROM dim
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0)
+        |SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.c_acctbal,
+        |  1 AS version, DATE '2024-01-01' AS valid_from,
+        |  CASE WHEN t.c_custkey IS NOT NULL THEN DATE '2024-06-01' END
+        |    AS valid_to,
+        |  t.c_custkey IS NULL AS is_current
+        |FROM dim d LEFT JOIN touched t ON d.c_custkey = t.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |  2 AS version, DATE '2024-06-01' AS valid_from,
+        |  CAST(NULL AS DATE) AS valid_to, true AS is_current
+        |FROM changes
+        |ORDER BY c_custkey, version""".stripMargin,
+
+    // d32: the identical winnowing comprehension over the identical
+    // md5-convention gram hashes; slice h[i : i+w-1] (inclusive) is
+    // Spark's slice(h, i, w); df-cap and minShared mirrored.
+    "d32_winnow_pairs" ->
+      """WITH wds AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    [CAST(CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' '
+        |        || w[i+2]), 1, 15) AS BIGINT) AS BIGINT)
+        |      for i in range(1, len(w) - 1)] AS h
+        |  FROM wds WHERE len(w) >= 6),
+        |fp AS (SELECT doc_id, unnest(list_distinct(
+        |    [list_min(h[i:i+3]) for i in range(1, len(h) - 2)])) AS fp
+        |  FROM h),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+        |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // ── Intentional omissions (driver records a rows-only check) ─────────
     // q27_approx_distinct: HLL sketches are engine-specific — Spark's and

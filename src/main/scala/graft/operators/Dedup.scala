@@ -1293,4 +1293,67 @@ object Dedup {
             col("n_grams").cast("double")))
       .orderBy(col("doc_id"))
   }
+
+  /** d32 — winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram IN
+    * ORDER, slide a width-`w` window over the hash sequence, keep
+    * each window's MINIMUM as a fingerprint, and pair documents that
+    * share at least `minShared` distinct fingerprint values. The
+    * winnowing guarantee: any shared run of at least k+w−1 tokens
+    * yields at least one shared fingerprint — so unlike MinHash
+    * (whole-document similarity), this finds LOCAL overlap: a copied
+    * paragraph inside two otherwise-different documents. The selected
+    * set is ~2/(w+1) of all k-grams — the density/guarantee tradeoff
+    * the paper proves optimal.
+    *
+    * Exactness contract: grams hash via the corpus-standard md5
+    * convention (`hash64`, engine-identical); window minima and the
+    * distinct-set collapse are integer ops; the pair counts are
+    * bigint. Full hash oracle — the DuckDB side runs the identical
+    * comprehension over the same hashes.
+    *
+    * Scale posture: fingerprinting is a shuffle-free projection
+    * (array HOFs per doc); the pair join is the classic inverted
+    * index on fingerprint value — one shuffle on fp, one count
+    * shuffle on the pair. Fingerprints appearing in more than
+    * `maxDocFreq` docs are dropped BEFORE pairing (boilerplate
+    * passages — license headers, templates — would otherwise emit
+    * C(df,2) pairs each; at sf0.01 the observed max df is 7, so the
+    * default cap of 50 is purely the 100× guard and changes nothing
+    * at test scale). The cap is part of the contract and the oracle.
+    */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 3, w: Int = 4,
+      minShared: Int = 3, maxDocFreq: Int = 50): DataFrame =
+    winnowPairsFrom(Tables.documents(s, dir), k, w, minShared, maxDocFreq)
+
+  /** The relation form for spec-planted corpora ((doc_id, text)). */
+  private[graft] def winnowPairsFrom(docsIn: DataFrame, k: Int = 3,
+      w: Int = 4, minShared: Int = 3, maxDocFreq: Int = 50): DataFrame = {
+    import graft.functions.TextFunctions.{hash64, tokens}
+    val docs = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("wds"))
+      .filter(size(col("wds")) >= k + w - 1) // at least one full window
+    // ORDERED gram hashes (winnowing is positional — no array_distinct
+    // here, unlike shinglesFromTokens' set semantics)
+    val grams = transform(
+      sequence(lit(0), size(col("wds")) - k),
+      i => hash64(concat_ws(" ",
+        (0 until k).map(j => element_at(col("wds"), i + j + 1)): _*)))
+    val fps = docs
+      .withColumn("h", grams)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("h")) - (w - 1)),
+        i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

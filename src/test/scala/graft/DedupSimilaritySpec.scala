@@ -1033,4 +1033,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the candidate path is equi-joins only — a cartesian would BNLJ
     assert(!graft.plans.PlanChecks.hasBroadcastNestedLoop(df))
   }
+
+  test("d32 winnowing: shared-run guarantee, no-overlap silence, driver replay") {
+    import spark.implicits._
+    // the winnowing guarantee (SIGMOD'03 §3): any shared token run of
+    // length >= k + w - 1 (= 6 here) yields >= 1 shared fingerprint.
+    // Docs 1/2 share a 12-token run inside different surroundings;
+    // docs 3/4 share nothing
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"red orange yellow $shared green blue violet one two three four five six"),
+      (2L, s"six five four three two one $shared violet blue green ten nine eight"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+      (4L, "qq rr ss tt uu vv ww xx yy zz a1 b2 c3 d4 e5 f6"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowPairsFrom(docs, minShared = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.contains((1L, 2L)), "shared 12-token run must fingerprint-collide")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L),
+      s"disjoint docs must not pair: $got")
+    // driver replay of the exact pipeline (ordered 3-gram md5 hashes,
+    // width-4 window minima, distinct) confirms the shared count
+    def fps(text: String): Set[Long] = {
+      val wds = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val h = wds.sliding(3).map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16)
+      }.toArray
+      h.sliding(4).map(_.min).toSet
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case ((a, b), n) =>
+      assert(n === (fps(texts(a)) intersect fps(texts(b))).size.toLong,
+        s"pair ($a,$b)")
+    }
+    // corpus smoke at the default threshold: planted near-dups pair up
+    assert(Dedup.winnowPairs(spark, sfDir).count() > 0)
+  }
 }

@@ -110,4 +110,42 @@ class GraphCCSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
+
+  test("g7 backbone components equal a driver-side union-find over the same edges") {
+    val sfDir = "/root/testdata/sf0.001"
+    // driver truth: rebuild the thresholded edge set with the SAME
+    // decimal revenue rule, union-find it, and compare the census
+    val edges = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("cv"))
+      .join(graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("sv"),
+          col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("cv"), col("sv"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+      .filter(col("rev") >= lit(200000))
+      .select("cv", "sv").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "degenerate corpus: no backbone edges")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.groupBy(find).map { case (root, vs) =>
+      val mn = vs.min // min-label contract: label is the component MIN
+      mn -> (vs.size.toLong,
+        vs.count(_ % 2 == 0).toLong, vs.count(_ % 2 == 1).toLong)
+    }
+    val got = graft.operators.Graph.backboneComponents(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toMap === want)
+    // presentation order: census descending, label ascending
+    assert(got.sortBy { case (c, (n, _, _)) => (-n, c) }.toSeq === got.toSeq)
+  }
 }

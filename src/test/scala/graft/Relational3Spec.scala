@@ -370,4 +370,29 @@ class Relational3Spec extends AnyFunSuite {
       assert(m.getDouble(6) === m.getDouble(3) / m.getLong(4))
     }
   }
+
+  test("q75 SCD-2: versions partition correctly, closures and balances exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = RelationalQueries3.scd2History(spark, sfDir).collect()
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    val byKey = rows.groupBy(_.getLong(0))
+    assert(byKey.size.toLong === nCust, "every customer appears")
+    byKey.foreach { case (key, vs) =>
+      val v1 = vs.find(_.getInt(4) == 1).get
+      val changed = key % 7 == 0 && key % 13 != 0
+      val deleted = key % 13 == 0
+      // v1 closure iff touched; is_current is the complement
+      assert(v1.isNullAt(6) === !(changed || deleted), s"key $key valid_to")
+      assert(v1.getBoolean(7) === !(changed || deleted), s"key $key current")
+      if (changed) {
+        val v2 = vs.find(_.getInt(4) == 2).get
+        assert(vs.length === 2)
+        assert(v2.getString(2) === "MACHINERY")
+        assert(v2.getDouble(3) === v1.getDouble(3) + 100.0)
+        assert(v2.getBoolean(7) && v2.isNullAt(6))
+        assert(v2.getDate(5).toString === "2024-06-01")
+      } else assert(vs.length === 1, s"key $key: no v2 expected")
+      assert(v1.getDate(5).toString === "2024-01-01")
+    }
+  }
 }
