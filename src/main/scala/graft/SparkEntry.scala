@@ -95,6 +95,10 @@ object SparkEntry {
     // per-line parse, null-keyed/corrupt lines dropped identically on
     // both engines, md5 text digest proving decode fidelity
     "docs_jsonl_ingest" -> ((s, dir) => sources.JsonlCorpus.ingest(s, dir)),
+    // ORC write→read round-trip reduced to an order-free content
+    // checksum (DuckDB reads no ORC; the oracle recomputes the
+    // checksum from the source-of-truth parquet)
+    "docs_orc_roundtrip" -> ((s, dir) => sources.OrcCorpus.roundTrip(s, dir)),
 
     // ── Core relational: aggregation (S4/M5/R1 generalized) ──────────────
     "q1_pricing_summary" -> ((s, dir) =>
@@ -244,6 +248,9 @@ object SparkEntry {
     "q74_incremental_agg" -> (RelationalQueries3.incrementalAgg(_, _)),
     // SCD-2 dimension versioning: the nightly MERGE INTO shape
     "q75_scd2_history" -> (RelationalQueries3.scd2History(_, _)),
+    // Point-in-time reconstruction over the SCD-2 history (as-of walk
+    // vs an independent modulus-rule oracle)
+    "q76_asof_dimension" -> (RelationalQueries3.asOfDimension(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -579,6 +586,40 @@ object SparkEntry {
         |           source: 'VARCHAR', n_chars: 'BIGINT'})
         |WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // ORC round-trip: DuckDB has no ORC reader, so the oracle computes
+    // the identical order-free reduction from the parquet documents
+    // table the files were generated from — counts, char totals, and
+    // a bit_xor content checksum over the corpus-standard md5 hash of
+    // every (doc_id|text); any dropped/dup/corrupt row flips it.
+    "docs_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(CAST(CAST('0x' || substr(md5(
+        |      coalesce(CAST(doc_id AS VARCHAR), 'null') || '|'
+        |        || coalesce(text, 'null')), 1, 15) AS BIGINT) AS BIGINT))
+        |    AS content_xor
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q76: each probe date's membership derived DIRECTLY from the
+    // modulus rules — independent of the history walk the Spark side
+    // does, so agreement audits the whole SCD-2 pipeline.
+    "q76_asof_dimension" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer),
+        |mar AS (SELECT DATE '2024-03-01' AS as_of, c_mktsegment,
+        |    c_acctbal FROM dim),
+        |jul AS (SELECT DATE '2024-07-01' AS as_of, c_mktsegment,
+        |    c_acctbal FROM dim
+        |  WHERE c_custkey % 7 <> 0 AND c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT DATE '2024-07-01', 'MACHINERY', c_acctbal + 100.0
+        |  FROM dim WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0),
+        |u AS (SELECT * FROM mar UNION ALL SELECT * FROM jul)
+        |SELECT as_of, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM u GROUP BY 1, 2 ORDER BY as_of, c_mktsegment""".stripMargin,
 
     "taxi_avg_speed_faithful" ->
       s"""WITH $taxiKept,

@@ -863,6 +863,41 @@ object RelationalQueries3 {
       .orderBy(col("c_custkey"), col("version"))
   }
 
+  /** q76 — point-in-time dimension reconstruction over the q75 SCD-2
+    * history: for each probe date, keep the version rows whose
+    * validity interval covers it (`valid_from <= d < valid_to`, open
+    * end = ∞) and report the per-segment census — the "what did the
+    * dimension look like on March 1st" query that is the entire point
+    * of keeping SCD-2 history. Two probe dates straddle the change
+    * date, so the result demonstrates both regimes.
+    *
+    * Exactness contract: the validity predicate is date compares on
+    * literal dates; balances sum as exact DECIMAL(12,2) (2-dp values
+    * cast exactly; the one +100.0 adjusted value re-rounds to the
+    * same 2 dp on both engines) and close with a single double cast.
+    * The ORACLE reconstructs each probe date's membership DIRECTLY
+    * from the modulus rules — an independent derivation that must
+    * agree with the history walk, which is itself the audit a
+    * warehouse runs on its SCD pipelines.
+    *
+    * Scale posture: one scan of the history with the probe dates
+    * exploded alongside (2 rows per version), one grouped aggregate —
+    * no join; the history is the only input.
+    */
+  def asOfDimension(s: SparkSession, dir: String): DataFrame =
+    scd2History(s, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"),
+        explode(array(lit("2024-03-01").cast("date"),
+          lit("2024-07-01").cast("date"))).as("as_of"))
+      .filter(col("valid_from") <= col("as_of") &&
+        (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .groupBy(col("as_of"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+          .as("total_acctbal"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+
   /** The general SCD-2 merge: `base` is the open dimension snapshot
     * keyed by `c_custkey`, `changes` carries full new attribute rows
     * for updated keys, `deletes` lists churned keys. Output is the

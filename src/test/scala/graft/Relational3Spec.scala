@@ -395,4 +395,37 @@ class Relational3Spec extends AnyFunSuite {
       assert(v1.getDate(5).toString === "2024-01-01")
     }
   }
+
+  test("q76 as-of reconstruction agrees with a driver-side history walk") {
+    val sfDir = "/root/testdata/sf0.001"
+    val hist = RelationalQueries3.scd2History(spark, sfDir).collect()
+    val got = RelationalQueries3.asOfDimension(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    for (d <- Seq("2024-03-01", "2024-07-01")) {
+      val live = hist.filter { r =>
+        r.getDate(5).toString <= d &&
+          (r.isNullAt(6) || r.getDate(6).toString > d)
+      }
+      val bySeg = live.groupBy(_.getString(2))
+      assert(got.keys.count(_._1 == d) === bySeg.size, s"segments at $d")
+      bySeg.foreach { case (seg, rows) =>
+        val (n, bal) = got((d, seg))
+        assert(n === rows.length.toLong, s"$d/$seg count")
+        // same DECIMAL(12,2) fold the operator uses
+        val want = rows.map(r => BigDecimal(r.getDouble(3))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        assert(bal === want, s"$d/$seg balance")
+      }
+    }
+    // March shows every customer; July drops exactly the churned keys
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    val nDeleted = graft.Tables.customer(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 13 === 0)
+      .count()
+    def totalAt(d: String): Long =
+      got.collect { case ((dd, _), (n, _)) if dd == d => n }.sum
+    assert(totalAt("2024-03-01") === nCust)
+    assert(totalAt("2024-07-01") === nCust - nDeleted)
+  }
 }
