@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: derive the implied length guard for
     // levenshtein-threshold filters (see the rule's scaladoc)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthPrune)
+    // planner extension: the native as-of join (custom LogicalPlan →
+    // custom SparkPlan; see org.apache.spark.sql.graft.AsOfJoin)
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }
 

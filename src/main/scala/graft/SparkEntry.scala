@@ -164,6 +164,11 @@ object SparkEntry {
     // Temporal joins (absent categories in the reference, §2.3)
     "q34_range_join"       -> (TemporalJoins.rangeJoin(_, _)),
     "q35_asof_join"        -> (TemporalJoins.asOfJoin(_, _)),
+    // The NATIVE two-relation as-of join (custom LogicalPlan +
+    // SparkStrategy + SparkPlan via SparkSessionExtensions)
+    "q77_asof_native"      -> (TemporalJoins.asOfNativeEvents(_, _)),
+    // Its forward+tolerance variant (pandas merge_asof parity)
+    "q80_asof_forward"     -> (TemporalJoins.asOfForwardEvents(_, _)),
     // Time-series resample: dense hourly grid + forward-fill (LOCF)
     "q60_gap_fill"         -> (TemporalJoins.gapFill(_, _)),
     // Per-user EWMA over the hourly mean series: a left fold in hour
@@ -251,6 +256,15 @@ object SparkEntry {
     // Point-in-time reconstruction over the SCD-2 history (as-of walk
     // vs an independent modulus-rule oracle)
     "q76_asof_dimension" -> (RelationalQueries3.asOfDimension(_, _)),
+    // Bucketed-layout fact⋈fact join: scan-satisfied SMJ, zero
+    // Exchange/Sort below the join (the write-once-shuffle-never path)
+    "q78_bucketed_join" -> (BucketedLayout.revenueByPriority(_, _)),
+    // Date-partitioned layout: the week filter resolves at directory-
+    // listing time (PartitionFilters, 7 of ~30 dirs read — spec-pinned)
+    "q79_partition_pruning" -> (PartitionedLayout.weekSummary(_, _)),
+    // DYNAMIC partition pruning: the dates come from filtering a dim
+    // table; DPP injects the runtime IN-subquery into the scan
+    "q81_dynamic_pruning" -> (PartitionedLayout.campaignSummary(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1497,6 +1511,47 @@ object SparkEntry {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q78: the oracle runs the logically identical join/agg over the
+    // PLAIN parquet views — bucketing changes the plan, not the answer.
+    // Revenue folds as DECIMAL(18,4) on both engines (q58 convention);
+    // only the exact total casts to double.
+    "q78_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q79: the oracle runs the same week filter/agg over the PLAIN
+    // events parquet — partitioning changes the I/O, not the answer.
+    // value folds as DECIMAL(18,6) on both engines; final cast to
+    // double (the q58 convention).
+    "q79_partition_pruning" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |    event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |SELECT event_date, event_type, count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM e
+        |WHERE event_date BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q81: the campaign dim is deterministic, so the oracle REBUILDS
+    // it (generate_series) and joins the plain events parquet — DPP
+    // changes which directories get read, not the answer.
+    "q81_dynamic_pruning" ->
+      """WITH cal AS (SELECT DATE '2024-01-01' + CAST(d - 1 AS INTEGER)
+        |    AS cal_date,
+        |    CASE WHEN d BETWEEN 5 AND 9 THEN 'A'
+        |         WHEN d BETWEEN 20 AND 22 THEN 'B' END AS flight
+        |  FROM generate_series(1, 31) t(d)),
+        |e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |    event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |SELECT event_date, event_type, count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM e JOIN cal ON e.event_date = cal.cal_date
+        |WHERE cal.flight IN ('A', 'B')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,
@@ -3396,6 +3451,40 @@ object SparkEntry {
         |FROM pr JOIN deg da ON pr.sa = da.sv
         |  JOIN deg db ON pr.sb = db.sv
         |ORDER BY jaccard DESC, sa, sb LIMIT 50""".stripMargin,
+
+    // q77: DuckDB runs its NATIVE ASOF LEFT JOIN — the rare oracle
+    // where the reference engine has the operator built in. Inclusive
+    // (p.ts >= c.ts); only the matched timestamp is emitted, so
+    // same-ts tie resolution cannot differ between engines.
+    "q77_asof_native" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |  c.c_ts AS last_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+        |ORDER BY event_id""".stripMargin,
+
+    // q80: DuckDB's native FORWARD asof (`c.ts <= p.p_ts` = smallest
+    // p_ts >= c.ts); the 2h tolerance nulls the match via CASE exactly
+    // as the exec's tolerance check does.
+    "q80_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  CASE WHEN p.p_ts <= c.ts + INTERVAL 2 HOUR THEN p.p_ts
+        |  END AS next_purchase_ts
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.p_user AND c.ts <= p.p_ts
+        |ORDER BY event_id""".stripMargin,
 
     // g7: DECIMAL edge revenues + decimal threshold → identical edge
     // sets; the recursive-CTE closure's min-reachable label equals the

@@ -75,6 +75,86 @@ object TemporalJoins {
       .orderBy(col("event_id"))
   }
 
+  /** Native as-of join between TWO relations through the custom
+    * Catalyst operator ([[org.apache.spark.sql.graft.AsOfJoinPlan]] →
+    * `AsOfJoinExec`, injected by GraftExtensions): for every left row,
+    * the LAST right row of the same key with rightTs <= leftTs
+    * (inclusive), LEFT OUTER. Columns are addressed by name against
+    * each side's analyzed output; sides must not share column names.
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    def attr(df: DataFrame, name: String) =
+      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfJoinNative: no column '$name' in ${df.columns.mkString(",")}"))
+    org.apache.spark.sql.graft.Shims.ofRows(left.sparkSession,
+      org.apache.spark.sql.graft.AsOfJoinPlan(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        attr(left, leftKey), attr(right, rightKey),
+        attr(left, leftTs), attr(right, rightTs),
+        direction, tolerance))
+  }
+
+  /** q77 — q35's question through the NATIVE as-of join: each purchase
+    * joined to the user's last click at-or-before it, as a genuine
+    * two-relation join (purchases ⟕asof clicks) instead of the q35
+    * union-and-carry window. Inclusive semantics (a click at exactly
+    * the purchase timestamp matches) — q35 keeps its strictly-prior
+    * contract; both are standard as-of variants. Output carries only
+    * the matched TIMESTAMP, so same-ts click ties (which an as-of join
+    * resolves arbitrarily among equal keys) cannot make the result
+    * nondeterministic. Oracle: DuckDB's own `ASOF LEFT JOIN` — the
+    * rare case where the oracle engine has the operator natively.
+    *
+    * Scale posture (why the native operator earns its place): the
+    * window form sorts the UNION of both relations on one (key, ts)
+    * axis; the native exec co-partitions each side on its key and
+    * sorts each side separately — so a right side that is already
+    * bucketed/sorted (the 100 TB quotes-table layout) skips its sort
+    * and shuffle entirely, and the merge is O(|L|+|R|) with one
+    * buffered row of state.
+    */
+  def asOfNativeEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    asOfJoinNative(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("c_ts").as("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q80 — the FORWARD + TOLERANCE variant through the same native
+    * operator: each click joined to the user's NEXT purchase, but only
+    * if it lands within 2 hours (the conversion-attribution window) —
+    * pandas `merge_asof(direction="forward", tolerance=...)` semantics
+    * as one O(|L|+|R|) co-partitioned merge. Inclusive at equality on
+    * both engines; only the matched TIMESTAMP is emitted, so same-ts
+    * purchase ties stay deterministic (q77's convention). Oracle:
+    * DuckDB's native forward ASOF (`c.ts <= p.p_ts` picks the smallest
+    * p_ts ≥ c.ts) with the tolerance applied as a CASE on the matched
+    * timestamp — null-extending beyond-window matches exactly like the
+    * exec's tolerance check.
+    */
+  def asOfForwardEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    asOfJoinNative(clicks, buys, "user_id", "p_user", "ts", "p_ts",
+        direction = "forward", tolerance = Some(2L * 3600 * 1000000))
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+        col("p_ts").as("next_purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** q60 — time-series resample + gap-fill: each user's `value` series
     * regularized onto a dense hourly grid between that user's first
     * and last observed hour, with missing hours FORWARD-FILLED from

@@ -22,6 +22,17 @@ object Shims {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** Build a DataFrame over a hand-constructed logical plan (the
+    * `Dataset.ofRows` entry is private[sql]) — how a library hands a
+    * custom LogicalPlan node (AsOfJoinPlan) to the session's analyzer
+    * and planner.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Drain the SparkListener bus (`listenerBus` is private[spark]) so a
     * spec can deterministically assert how many jobs an operation
     * scheduled — listener events are posted asynchronously.
