@@ -62,15 +62,23 @@ object FlagshipBench {
       val rampFile = new java.io.File(glob).getParentFile.listFiles()
         .filter(_.getName.endsWith(".csv")).map(_.getAbsolutePath).min
       val rampSec = t { for (_ <- 1 to 2) { faithful(rampFile); weighted(rampFile) } }
-      val fRuns = Seq(t(faithful()), t(faithful()))
-      val wRuns = Seq(t(weighted()), t(weighted()))
+      // THREE timed runs per mode, report the min: this host shows
+      // episodic multi-10-second stalls uncorrelated with code or JIT
+      // state (observed across identical fresh-JVM runs: ramp 78 s vs
+      // 336 s; weighted runs [8.4, 57.8] one launch, [132, 20] the
+      // next, faithful meanwhile stable ~9-16 s). With 2 runs one
+      // stall pollutes the min; a third makes the reported number the
+      // steady-state throughput, which is the quantity comparable
+      // round-over-round and against the 481 s baseline.
+      val fRuns = Seq(t(faithful()), t(faithful()), t(faithful()))
+      val wRuns = Seq(t(weighted()), t(weighted()), t(weighted()))
       val (fSec, wSec) = (fRuns.min, wRuns.min)
       System.err.println(f"[bench] gb_flagship (fresh JVM): $bytes%d bytes, " +
         f"ramp $rampSec%.1f s, " +
         f"faithful $fSec%.1f s ${fRuns.map(r => f"$r%.1f").mkString("[", ",", "]")}, " +
         f"weighted $wSec%.1f s ${wRuns.map(r => f"$r%.1f").mkString("[", ",", "]")} (baseline 481 s)")
       println("GBJSON:" +
-        s""""gb_flagship":{"bytes":$bytes,"gen_sec":$genSec,"ramp_sec":$rampSec,"faithful_sec":$fSec,"faithful_runs":${fRuns.mkString("[", ",", "]")},"weighted_sec":$wSec,"weighted_runs":${wRuns.mkString("[", ",", "]")},"baseline_sec":481,"cold_note":"flagship runs in a FORKED FRESH JVM (r12: suite-JVM code-cache/profile pressure tripled the warm time as the suite grew; a one-shot deployment is a fresh JVM) - first-run overhead is JIT tier ramp in the fused scan stage, mitigated by the untimed single-file ramp (ramp_sec)"},""")
+        s""""gb_flagship":{"bytes":$bytes,"gen_sec":$genSec,"ramp_sec":$rampSec,"faithful_sec":$fSec,"faithful_runs":${fRuns.mkString("[", ",", "]")},"weighted_sec":$wSec,"weighted_runs":${wRuns.mkString("[", ",", "]")},"baseline_sec":481,"cold_note":"flagship runs in a FORKED FRESH JVM (r12: suite-JVM code-cache/profile pressure tripled the warm time as the suite grew; a one-shot deployment is a fresh JVM); min of 3 timed runs per mode - the host shows episodic multi-10s stalls uncorrelated with code (ramp 78s vs 336s across identical launches), so a single polluted run must not set the headline"},""")
     } catch { case NonFatal(e) =>
       System.err.println("[bench] gb_flagship (fresh JVM) failed:")
       e.printStackTrace()
