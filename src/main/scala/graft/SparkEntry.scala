@@ -265,6 +265,14 @@ object SparkEntry {
     // DYNAMIC partition pruning: the dates come from filtering a dim
     // table; DPP injects the runtime IN-subquery into the scan
     "q81_dynamic_pruning" -> (PartitionedLayout.campaignSummary(_, _)),
+    // Small-files compaction (64 fragments → right-sized range-
+    // clustered files); the oracle proves the rewrite is physical-only
+    "d33_compact_shards" -> (Compaction.compactedContent(_, _)),
+    // The fourth join strategy: SHUFFLED HASH (both sides fact-sized,
+    // per-partition build fits memory — no broadcast, no sorts)
+    "q82_shuffle_hash" -> (RelationalQueries3.shuffleHashSegments(_, _)),
+    // Gopher repetition signal: per-doc duplicate word-3-gram fraction
+    "t33_dup_ngrams" -> (TextAnalysis.dupNgramFraction(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1552,6 +1560,40 @@ object SparkEntry {
         |FROM e JOIN cal ON e.event_date = cal.cal_date
         |WHERE cal.flight IN ('A', 'B')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // d33: content fingerprint of the ORIGINAL table — the compaction
+    // path (fragment 64-way, rewrite range-clustered) must be a
+    // physical-only rewrite, so its output rows equal the source's.
+    "d33_compact_shards" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q82: plain join/agg — the SHUFFLE_HASH hint changes the physical
+    // strategy, not the answer. DuckDB count(DISTINCT) is BIGINT like
+    // Spark's; price folds as DECIMAL(18,4), final cast to double.
+    "q82_shuffle_hash" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_buyers,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t33: exact string 3-grams (no hashing), integer counts, ONE
+    // double division; 1-based DuckDB list indexing vs 0-based Spark.
+    "t33_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     for i in range(1, len(ws) - 1)] AS gs
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, len(gs) AS n_ngrams,
+        |  len(gs) - len(list_distinct(gs)) AS n_dup,
+        |  CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+        |    / CAST(len(gs) AS DOUBLE) AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,

@@ -933,4 +933,36 @@ object RelationalQueries3 {
       lit(true).as("is_current"))
     v1.unionByName(v2)
   }
+
+  /** q82 — market-segment order stats through a SHUFFLED HASH join,
+    * the fourth join strategy in the plan-pinned set (broadcast: q4;
+    * sort-merge: q78; the window/as-of merges: q77). The 100 TB case
+    * for it: customer⋈orders where BOTH sides are fact-sized — no
+    * broadcast side exists — but after hashing on the key one side's
+    * PER-PARTITION slice fits executor memory. A sort-merge join pays
+    * two O(n log n) per-partition sorts; the shuffled hash join builds
+    * a hash map over the smaller slice and streams the bigger one,
+    * no sort at all (spec pins: ShuffledHashJoinExec present, zero
+    * Sort anywhere below the aggregation). Spark never picks SHJ on
+    * its own at test sizes (`spark.sql.join.preferSortMergeJoin`
+    * defaults true and the planner wants statistics), so the choice
+    * rides the explicit `hint("shuffle_hash")` — exactly how a
+    * deployment pins it where table sizes are known.
+    *
+    * Numeric contract: o_totalprice folds as DECIMAL(18,4) on both
+    * engines; final cast to double (q58 convention).
+    */
+  def shuffleHashSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+    c.hint("shuffle_hash").join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_buyers"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

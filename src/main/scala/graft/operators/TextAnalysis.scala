@@ -1469,4 +1469,33 @@ object TextAnalysis {
           .as("padding_frac"))
       .orderBy(col("lang"))
   }
+
+  /** t33 — duplicate word-3-gram fraction, the Gopher-style REPETITION
+    * quality signal (Rae et al. 2021 §A1.1 use duplicate n-gram
+    * fractions to drop loops/boilerplate; the reference has no text
+    * surface at all): per document, the fraction of its word 3-grams
+    * that are repeats of an earlier one. Shuffle-free — one projection
+    * with HOFs (split → transform/sequence → array_distinct), codegen
+    * end to end; at 100 TB this is a pure map over the corpus scan.
+    *
+    * Exactness: counts are integers (size / array_distinct on exact
+    * string 3-grams — no hashing, unlike the MinHash shingle path) and
+    * the fraction is ONE double division of two small ints — IEEE-
+    * identical on both engines. Widths pinned to BIGINT (DuckDB len()
+    * is BIGINT, Spark size() is INT).
+    */
+  def dupNgramFraction(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))").as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("bigint").as("n_ngrams"),
+        (size(col("gs")) - size(array_distinct(col("gs"))))
+          .cast("bigint").as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_ngrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

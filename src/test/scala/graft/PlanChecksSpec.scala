@@ -348,4 +348,23 @@ class PlanChecksSpec extends AnyFunSuite {
         levenshtein(col("t"), lit("the fast key")))
       .collect().map(_.getLong(0)).toSet === expect)
   }
+
+  test("q82: the SHUFFLE_HASH hint yields a ShuffledHashJoin with no sorts below it") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = graft.operators.RelationalQueries3.shuffleHashSegments(spark, sfDir)
+    df.collect() // drive so the AQE final plan is stitched
+    val nodes = PlanChecks.allNodes(df.queryExecution.executedPlan)
+    val shjs = nodes.collect { case j: ShuffledHashJoinExec => j }
+    assert(shjs.size === 1,
+      s"expected one shuffled hash join:\n${PlanChecks.executedPlan(df)}")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      PlanChecks.executedPlan(df))
+    // the join itself sorts nothing — no SortExec at or below it (the
+    // final presentation orderBy is above the aggregation)
+    assert(!PlanChecks.allNodes(shjs.head).exists(_.isInstanceOf[SortExec]),
+      s"sort below the shuffled hash join:\n${shjs.head}")
+  }
 }
