@@ -239,11 +239,29 @@ object Bench {
           col("b.n_shared_bloom") < col("e.n_shared")).count()
       val extra = blFlags.join(exFlags, Seq("doc_id"), "left_anti").count()
       val corpus = Tables.documents(spark, sfDir).count()
+      // q87: sketch quantiles vs the exact order statistics, max
+      // relative error across all (event_type, percentile) cells
+      val approxQ = graft.operators.RelationalQueries4
+        .approxQuantiles(spark, sfDir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val exactQ = Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.expr(
+          "percentile(value, array(0.5, 0.95, 0.99))").as("ps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val q87Err = exactQ.map { case (t, ex) =>
+        val (a50, a95, a99) = approxQ(t)
+        Seq(a50, a95, a99).zip(ex)
+          .map { case (a, e) => math.abs(a - e) / math.max(math.abs(e), 1e-12) }
+          .max
+      }.max
       spark.catalog.clearCache()
       System.err.println(f"[bench] accuracy: s2 $rS2%.3f s3 $rS3%.3f " +
         f"s10 $rS10%.3f s13 $rS13%.3f s16 $rS16%.3f q27 ±$hllErr%.4f " +
-        f"d14 fn=$falseNeg extra=$extra/$corpus")
-      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"""
+        f"d14 fn=$falseNeg extra=$extra/$corpus q87 ±$q87Err%.5f")
+      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"q87_max_rel_err":$q87Err,"""
     } catch { case NonFatal(e) =>
       System.err.println("[bench] accuracy block failed:")
       e.printStackTrace()

@@ -268,11 +268,29 @@ object SparkEntry {
     // Small-files compaction (64 fragments → right-sized range-
     // clustered files); the oracle proves the rewrite is physical-only
     "d33_compact_shards" -> (Compaction.compactedContent(_, _)),
+    // Content-defined chunking dedup: rolling-hash boundaries,
+    // cross-corpus repeated-chunk groups (the rsync/LBFS shape)
+    "d34_cdc_chunks" -> (Dedup.cdcChunkDedup(_, _)),
     // The fourth join strategy: SHUFFLED HASH (both sides fact-sized,
     // per-partition build fits memory — no broadcast, no sorts)
     "q82_shuffle_hash" -> (RelationalQueries3.shuffleHashSegments(_, _)),
     // Gopher repetition signal: per-doc duplicate word-3-gram fraction
     "t33_dup_ngrams" -> (TextAnalysis.dupNgramFraction(_, _)),
+    // TPC-H Q6 shape: single-table scan-filter-aggregate; both
+    // filters + 3-col projection pushed to the scan
+    "q83_revenue_forecast" -> (RelationalQueries4.revenueForecast(_, _)),
+    // TPC-H Q11 shape: grouped agg vs division-free global-fraction
+    // threshold (the scalar subquery reuses the grouped agg)
+    "q84_important_parts" -> (RelationalQueries4.importantParts(_, _)),
+    // TPC-H Q12 shape: fulfilment-lag buckets × two-way conditional
+    // priority counts — all-integer arithmetic
+    "q85_fulfilment_priority" -> (RelationalQueries4.fulfilmentPriority(_, _)),
+    // Robust anomaly gate: median/MAD as exact lower-median ORDER
+    // STATISTICS over decimal daily sums (no interpolation, no stddev)
+    "q86_mad_anomaly" -> (RelationalQueries4.madAnomaly(_, _)),
+    // Mergeable quantile sketch (p50/p95/p99): approximate tier — no
+    // SQL oracle; error published per run as q87_max_rel_err
+    "q87_approx_quantiles" -> (RelationalQueries4.approxQuantiles(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -507,6 +525,9 @@ object SparkEntry {
     // Hybrid retrieval: reciprocal-rank fusion of the dense cosine
     // list (query vector 0) with t15's BM25 list — rank-only fusion
     "s18_hybrid_rrf" -> (Similarity.hybridRrf(_, _)),
+    // Binary sign-bit embeddings (32× shrink) ranked by exact hamming
+    // popcounts on packed words — all-integer, fully oracled
+    "s19_sign_hamming" -> (Similarity.signHammingTopK(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -565,6 +586,12 @@ object SparkEntry {
     // Connected components of the revenue-thresholded trade backbone
     // (min-label fixpoint, the d9 kernel on a relational graph)
     "g7_backbone_components" -> (Graph.backboneComponents(_, _)),
+    // Bounded BFS from a seed set: min-hop census per distance ring
+    // (level-synchronous frontier joins vs a recursive-CTE oracle)
+    "g8_reachability" -> (Graph.reachability(_, _)),
+    // RAKE keyphrases: degree/frequency word scores over stopword-free
+    // phrase runs, order-pinned phrase-score folds, top-3 per doc
+    "t34_rake_keywords" -> (TextAnalysis.rakeKeywords(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1594,6 +1621,199 @@ object SparkEntry {
         |  CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
         |    / CAST(len(gs) AS DOUBLE) AS dup_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q83: TPC-H Q6 shape — decimal(18,2)×decimal(4,2) products (2 dp
+    // generated values cast exactly), exact decimal sum, one double cast.
+    "q83_revenue_forecast" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    // q84: TPC-H Q11 shape — division-free mean-relative threshold
+    // (val·n·2 > total·3, i.e. 1.5× mean share — Q11's 1/SF scaling
+    // built in) in exact decimal; the scalar total reuses the
+    // grouped aggregate.
+    "q84_important_parts" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_nationkey < 13),
+        |pp AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val_dec
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(val_dec) AS total_dec, count(*) AS n_parts FROM pp)
+        |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM pp, tot WHERE val_dec * n_parts * 2 > total_dec * 3
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    // q85: TPC-H Q12 shape — all-integer lag buckets + conditional
+    // counts; sums cast BIGINT (DuckDB sum(int) is HUGEINT).
+    "q85_fulfilment_priority" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 15 THEN 'FAST'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) <= 45 THEN 'MEDIUM'
+        |    ELSE 'SLOW' END AS speed_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q86: median/MAD as LOWER-MEDIAN order statistics (rank
+    // ⌈n/2⌉ via row_number — never interpolated, the t32 lesson) over
+    // exact DECIMAL(18,6) daily sums; doubles only in the final casts.
+    "q86_mad_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS dv
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rmed AS (SELECT event_type, dv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dv, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |med AS (SELECT event_type, dv AS med FROM rmed WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT d.event_type, d.day, d.dv, m.med,
+        |    abs(d.dv - m.med) AS adev
+        |  FROM daily d JOIN med m ON d.event_type = m.event_type),
+        |rmad AS (SELECT event_type, day, adev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (SELECT event_type, adev AS mad FROM rmad WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.day, CAST(d.dv AS DOUBLE) AS day_value,
+        |  CAST(d.med AS DOUBLE) AS median_value,
+        |  CAST(x.mad AS DOUBLE) AS mad_value
+        |FROM dev d JOIN mad x ON d.event_type = x.event_type
+        |WHERE d.adev > x.mad * 4
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // d34: the identical rolling-hash boundary rule (init-free
+    // list_reduce == Spark's 0-seeded fold, first step < P), char-
+    // array slicing for reassembly (never substring), md5 group keys.
+    "d34_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS chars,
+        |    CAST(length(text) AS INT) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |cd AS (SELECT doc_id, chars, n,
+        |    [CAST(ascii(x) AS BIGINT) for x in chars] AS codes FROM d),
+        |b AS (SELECT doc_id, chars, n,
+        |    CASE WHEN n >= 8 THEN
+        |      [i for i in range(8, n + 1) if
+        |        list_reduce(codes[i-7:i],
+        |          (a, c) -> (a * 1000003 + c) % 2147483647) % 64 = 0]
+        |    ELSE CAST([] AS BIGINT[]) END AS bnd
+        |  FROM cd),
+        |sp AS (SELECT doc_id, chars,
+        |    list_prepend(CAST(0 AS BIGINT), bnd) AS ss,
+        |    list_append(bnd, CAST(n AS BIGINT)) AS ee
+        |  FROM b),
+        |ch AS (SELECT doc_id,
+        |    unnest([array_to_string(chars[CAST(ss[k] + 1 AS INT):
+        |        CAST(ee[k] AS INT)], '')
+        |      for k in range(1, len(ss) + 1) if ee[k] > ss[k]]) AS chunk
+        |  FROM sp)
+        |SELECT md5(chunk) AS chunk_md5, count(*) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+        |  min(doc_id) AS keep_doc
+        |FROM ch GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_copies DESC, chunk_md5""".stripMargin,
+
+    // s19: INDEPENDENT derivation — the oracle counts differing sign
+    // bits directly on the float vectors (no packing), so the packed
+    // XOR/popcount path is verified against first principles, not
+    // against a re-implementation of itself (the q76 convention).
+    "s19_sign_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |    WHERE len(embedding) = 64),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM e WHERE vec_id < 5),
+        |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum([CASE WHEN (qe[i] >= 0) <> (c.embedding[i] >= 0)
+        |      THEN 1 ELSE 0 END for i in range(1, 65)]) AS BIGINT) AS hamming
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+        |rk AS (SELECT query_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // g8: recursive CTE enumerates (vertex, dist <= 4) pairs
+    // redundantly and min-groups; the frontier BFS reaches each vertex
+    // first at its min distance by construction — the two must agree.
+    "g8_reachability" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM base
+        |  UNION ALL SELECT dst, src FROM base),
+        |seeds AS (SELECT c_custkey * 2 AS v FROM customer
+        |  WHERE c_custkey % 500 = 0),
+        |bfs AS (
+        |  SELECT v, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT e.dst AS v, b.dist + 1 AS dist
+        |  FROM bfs b JOIN edges e ON e.src = b.v WHERE b.dist < 4),
+        |md AS (SELECT v, min(dist) AS dist FROM bfs GROUP BY v)
+        |SELECT dist, count(*) AS n_vertices,
+        |  CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_customers,
+        |  CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppliers
+        |FROM md GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // t34: post-filter positions (the t23 ix pattern), running-stopword
+    // phrase ids, integer degree/freq, ONE double divide per word, and
+    // the phrase fold rides a pos-ORDERED list through list_reduce —
+    // same left-assoc order as Spark's aggregate over the sorted array.
+    "t34_rake_keywords" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w),
+        |seg AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT)] AS t,
+        |    CASE WHEN ws[CAST(i AS INT)] IN
+        |      ('the', 'a', 'and', 'of', 'to', 'in', 'is')
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM ix),
+        |ph AS (SELECT doc_id, pos, t, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS phrase_id
+        |  FROM seg),
+        |pw AS (SELECT doc_id, phrase_id, pos, t FROM ph WHERE st = 0),
+        |plen AS (SELECT doc_id, phrase_id, pos, t,
+        |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+        |  FROM pw),
+        |wsc AS (SELECT doc_id, t,
+        |    CAST(sum(plen) AS DOUBLE) / count(*) AS score
+        |  FROM plen GROUP BY doc_id, t),
+        |psc AS (SELECT p.doc_id, p.phrase_id,
+        |    string_agg(p.t, ' ' ORDER BY p.pos) AS phrase,
+        |    list_reduce(list(s.score ORDER BY p.pos), (a, b) -> a + b)
+        |      AS phrase_score
+        |  FROM pw p JOIN wsc s ON p.doc_id = s.doc_id AND p.t = s.t
+        |  GROUP BY p.doc_id, p.phrase_id),
+        |uniq AS (SELECT doc_id, phrase, max(phrase_score) AS score
+        |  FROM psc GROUP BY doc_id, phrase),
+        |rk AS (SELECT doc_id, phrase, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase) AS rank
+        |  FROM uniq)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "m5_media_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, md5(text) AS payload_md5,

@@ -1356,4 +1356,73 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** d34 — content-defined chunking (CDC) dedup: split every document
+    * at positions where a rolling hash of the trailing `w`-char
+    * window hits `0 mod m` (expected chunk length ≈ m), then find the
+    * chunk contents repeated across the corpus. Because boundaries
+    * are CONTENT-defined, an insertion near a document's head shifts
+    * only the chunks it touches — the storage-dedup property (rsync /
+    * LBFS, Muthitacharoen 2001) that fixed-size blocking lacks, and
+    * the sub-document complement to d15's n-gram span dedup (spans
+    * need a fixed gram width; CDC finds repeats of ANY length ≥ the
+    * chunker's granularity).
+    *
+    * Exactness: the window hash is the library's polynomial rolling
+    * hash (RollP/RollB, all bounded-long integer arithmetic —
+    * intermediate `acc·B + c < 2^51`); chunk reassembly slices the
+    * CHAR ARRAY (never substring, whose code-point indexing would
+    * have to be re-audited per engine); the group keys are md5
+    * strings. Nothing can drift — full hash oracle.
+    *
+    * Scale posture: chunking is a shuffle-free codegen scan (O(n·w)
+    * integer ops per doc); the only shuffle is the chunk-hash
+    * group-by with map-side combine. At 100 TB the chunk table IS the
+    * dedup store (the d28/d30 persistence pattern applies verbatim:
+    * append new docs' chunks, group incrementally). A boundary hash
+    * window of 8 with m = 64 targets ~64-char chunks — small enough
+    * to catch boilerplate, large enough that the chunk relation stays
+    * ~1/64th of the corpus rows... times chunk text; tune m upward
+    * for storage-oriented deployments.
+    */
+  def cdcChunkDedup(s: SparkSession, dir: String,
+      w: Int = 8, m: Int = 64): DataFrame =
+    cdcChunkDedupFrom(Tables.documents(s, dir), w, m)
+
+  /** The relation form for spec-planted corpora ((doc_id, text)). */
+  private[graft] def cdcChunkDedupFrom(docsIn: DataFrame,
+      w: Int = 8, m: Int = 64): DataFrame = {
+    val d = docsIn
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        filter(split(col("text"), ""), c => c =!= "").as("chars"))
+      .withColumn("codes", transform(col("chars"), c => ascii(c).cast("long")))
+      .withColumn("n", size(col("chars")))
+    // boundary at i (1-based) iff polyhash(codes[i-w+1..i]) % m == 0;
+    // the fold starts at 0 so its first step reduces to codes[i-w+1]
+    // (< P), matching the oracle's init-free list_reduce exactly
+    val bnd = when(col("n") >= w,
+      filter(sequence(lit(w), col("n")), i =>
+        pmod(aggregate(slice(col("codes"), i - w + 1, lit(w)), lit(0L),
+          (acc, c) => pmod(acc * lit(RollB) + c, lit(RollP))),
+          lit(m.toLong)) === 0L)).otherwise(array().cast("array<int>"))
+    val chunks = d
+      .withColumn("ss", concat(array(lit(0)), bnd))
+      .withColumn("ee", concat(bnd, array(col("n"))))
+      .select(col("doc_id"), col("chars"),
+        explode(filter(zip_with(col("ss"), col("ee"),
+          (a, b) => struct(a.as("s"), b.as("e"))),
+          x => x.getField("e") > x.getField("s"))).as("span"))
+      .select(col("doc_id"),
+        array_join(slice(col("chars"), col("span.s") + 1,
+          col("span.e") - col("span.s")), "").as("chunk"))
+    chunks
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(length(col("chunk"))).cast("long").as("chunk_len"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("n_copies").desc, col("chunk_md5"))
+  }
 }

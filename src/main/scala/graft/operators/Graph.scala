@@ -581,4 +581,63 @@ object Graph {
           .as("n_suppliers"))
       .orderBy(col("n_vertices").desc, col("component"))
   }
+
+  /** g8 — k-hop reachability (bounded BFS) over the trade graph:
+    * minimum hop distance from a seed set (customers with
+    * `custkey % seedMod == 0`) out to `maxHops`, reported as the
+    * per-distance census split by vertex side. The "blast radius"
+    * query — supply-chain impact, contamination spread, fraud-ring
+    * neighborhoods — and the library's demonstration that BOUNDED
+    * iteration over an edge relation is a first-class plan shape
+    * (g1/g5 iterate to a fixed round count; this iterates to a
+    * FRONTIER fixpoint with an early exit).
+    *
+    * Algorithm: level-synchronous BFS — the frontier joins the edge
+    * relation, an anti-join against the visited set keeps only
+    * first-time vertices, each round adds one hop. Min-distance is
+    * BY CONSTRUCTION (a vertex enters `dist` the first round it is
+    * reachable), so no min-aggregate is ever needed — the oracle, a
+    * recursive CTE that enumerates (vertex, dist) pairs redundantly
+    * and min-groups them, must agree. All-integer arithmetic: exact.
+    *
+    * Scale posture: per round, one shuffle join (frontier ⋈ edges on
+    * the natural key) plus one anti-join on vertex id — the textbook
+    * distributed BFS dataflow (Pregel's superstep as relational
+    * algebra). Edges cache once across rounds; frontiers are
+    * localCheckpointed so the plan does not deepen exponentially
+    * (the g7 lesson). The early exit on an empty frontier bounds
+    * work at the graph's true eccentricity, not the hop budget.
+    */
+  def reachability(s: SparkSession, dir: String, maxHops: Int = 4,
+      seedMod: Int = 500): DataFrame = {
+    val edges = tradeEdges(s, dir).persist()
+    val seeds = Tables.customer(s, dir)
+      .filter(pmod(col("c_custkey"), lit(seedMod)) === 0)
+      .select((col("c_custkey") * 2).as("v")).distinct()
+    var dist = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist.select(col("v"))
+    var hop = 1
+    var frontierEmpty = false
+    while (hop <= maxHops && !frontierEmpty) {
+      val next = frontier.join(edges, frontier("v") === edges("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint() // truncate lineage: O(1) plan depth per round
+      frontierEmpty = next.isEmpty
+      if (!frontierEmpty) {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select(col("v"))
+      }
+      hop += 1
+    }
+    edges.unpersist()
+    dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(when(pmod(col("v"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("n_customers"),
+        sum(when(pmod(col("v"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_suppliers"))
+      .orderBy(col("dist"))
+  }
 }

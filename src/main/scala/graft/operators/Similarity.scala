@@ -1406,4 +1406,59 @@ object Similarity {
         col("lex_rank"), col("rrf_score"))
       .orderBy(col("rank"))
   }
+
+  /** s19 — binary (sign-bit) embedding search: quantize every vector
+    * to its per-dimension sign pattern — 1 bit per dim, a 32× memory
+    * shrink over float32 — and rank corpus vectors per query by
+    * HAMMING distance on the packed words. This is the cheapest
+    * candidate-generation tier in a retrieval stack (popcount-speed
+    * scans; rerank survivors with s1's exact cosine or the s13 ADC
+    * shortlist), and unlike s2's random hyperplanes the code is
+    * axis-aligned: no projection matrix to ship, and the bit pattern
+    * doubles as a storable index column (the d28/s14 persistence
+    * story applies unchanged).
+    *
+    * Exactness contract: sign tests, shifts, XOR and popcounts are
+    * all integer ops — the REGISTERED query is bit-exact by
+    * construction (no ranking-quality approximation enters: the top-k
+    * BY HAMMING is itself the statistic, oracled in full). Packing is
+    * 32 dims per long word (bits 0..31 — never the sign bit, so no
+    * signed-overflow asymmetry between engines); ties in hamming
+    * break on neighbor_id.
+    *
+    * Scale posture: s1's exact-top-k shape — the query side (vec_id <
+    * nQueries) broadcasts, the corpus packs in a shuffle-free codegen
+    * projection and ranks through the WindowGroupLimit partial top-k;
+    * nothing materializes the float vectors past the pack. At index-
+    * build time the packed words persist next to the corpus and the
+    * scan reads 1/32 of the embedding bytes.
+    */
+  def signHammingTopK(s: SparkSession, dir: String,
+      k: Int = 5, nQueries: Int = 5, dim: Int = 64): DataFrame = {
+    val nWords = (dim + 31) / 32
+    def pack(v: Column): Column =
+      transform(sequence(lit(0), lit(nWords - 1)), w =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+          acc + when(element_at(v, w * 32 + j + 1) >= 0.0f,
+            call_function("shiftleft", lit(1L), j.cast("int")))
+            .otherwise(lit(0L))))
+    val e = Tables.embeddings(s, dir)
+      .transform(Tables.spread(_, col("vec_id")))
+      .filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), pack(col("embedding")).as("words"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("words").as("q_words"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("words").as("n_words"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("q_words"), col("n_words"),
+          (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -1498,4 +1498,68 @@ object TextAnalysis {
         col("n_dup").cast("double") / col("n_ngrams").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** t34 — RAKE keyword extraction (Rose et al. 2010, whitespace
+    * variant): candidate phrases are the maximal stopword-free token
+    * runs of each document; a word scores `degree/frequency` within
+    * its document (degree = Σ phrase-length over the word's phrase
+    * occurrences — co-occurrence favors words living in long
+    * phrases); a phrase scores the sum of its member-word scores; the
+    * top `k` phrases per document are the keywords. The zero-model
+    * keyphrase extractor every corpus-triage pipeline wants next to
+    * t6's corpus-level tf-idf (RAKE is per-document: no IDF table, no
+    * second scan).
+    *
+    * Exactness scheme: degree and frequency are exact ints; each word
+    * score is ONE double divide (correctly-rounded, engine-identical);
+    * the phrase score folds those doubles IN PHRASE ORDER on both
+    * engines (aggregate-over-sorted-list here, list_reduce over a
+    * pos-ordered list in the oracle — the q61 order-fixing trick), so
+    * no aggregation-order drift exists. Ranking ties break on the
+    * phrase string.
+    *
+    * Scale posture: one posexplode + a per-doc running-count window
+    * (partitioned by doc — bounded by document length, never global),
+    * two grouped aggregates on (doc, word) / (doc, phrase) keys, and
+    * the top-k is the WindowGroupLimit partial-rank scan. Everything
+    * keys on doc_id first — co-partitioned, skew-free (documents are
+    * length-capped upstream by t8/d12-style gates).
+    */
+  def rakeKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val stops = stopwordLists.head._2 // the en list, shared with t2/t3
+    val stopSet = array(stops.map(lit): _*)
+    // (doc, pos, word, phrase_id): phrase id = running stopword count
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("st", array_contains(stopSet, col("w")))
+      .withColumn("phrase_id", sum(when(col("st"), 1).otherwise(0)).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!col("st"))
+      .select(col("doc_id"), col("phrase_id"), col("pos"), col("w"))
+    val withLen = pos.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("phrase_id"))))
+    val wordScore = withLen.groupBy(col("doc_id"), col("w"))
+      .agg((sum(col("plen")).cast("double") /
+        count(lit(1)).cast("double")).as("score"))
+    val phrases = pos.join(wordScore, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"), col("score"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(ws, x -> x.w)")).as("phrase"),
+        aggregate(col("ws"), lit(0.0), (acc, x) =>
+          acc + x.getField("score")).as("phrase_score"))
+      // identical phrases in one doc: keep one (RAKE scores the TYPE,
+      // not the occurrence; both engines see the same max — the score
+      // is a function of the phrase's words, identical per copy)
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("phrase_score")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    phrases.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }
