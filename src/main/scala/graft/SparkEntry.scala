@@ -271,6 +271,9 @@ object SparkEntry {
     // Content-defined chunking dedup: rolling-hash boundaries,
     // cross-corpus repeated-chunk groups (the rsync/LBFS shape)
     "d34_cdc_chunks" -> (Dedup.cdcChunkDedup(_, _)),
+    // Per-channel normalization stats (interleaved RGB stand-in):
+    // exact integer moments, one divide + one IEEE sqrt
+    "m15_channel_stats" -> (Multimodal.channelStats(_, _)),
     // The fourth join strategy: SHUFFLED HASH (both sides fact-sized,
     // per-partition build fits memory — no broadcast, no sorts)
     "q82_shuffle_hash" -> (RelationalQueries3.shuffleHashSegments(_, _)),
@@ -1729,6 +1732,31 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc
         |FROM ch GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n_copies DESC, chunk_md5""".stripMargin,
+
+    // m15: exact integer channel moments (strided list comprehension
+    // mirrors Spark's strided sequence walk); the derived doubles are
+    // one divide + one sqrt — both correctly-rounded IEEE ops.
+    "m15_channel_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    [CAST(ascii(x) AS BIGINT) for x in string_split(text, '')]
+        |      AS codes,
+        |    CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE length(text) >= 3),
+        |ch AS (SELECT doc_id, unnest(range(0, 3)) AS channel, codes, n FROM d),
+        |v AS (SELECT doc_id, CAST(channel AS INT) AS channel,
+        |    [codes[CAST(i AS INT)] for i in range(1 + channel, n + 1, 3)]
+        |      AS xs
+        |  FROM ch),
+        |agg AS (SELECT doc_id, channel,
+        |    CAST(len(xs) AS BIGINT) AS n_samples,
+        |    CAST(list_sum(xs) AS BIGINT) AS sum_x,
+        |    CAST(list_sum([x * x for x in xs]) AS BIGINT) AS sum_x2
+        |  FROM v)
+        |SELECT doc_id, channel, n_samples, sum_x, sum_x2,
+        |  CAST(sum_x AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean,
+        |  sqrt(CAST(n_samples * sum_x2 - sum_x * sum_x AS DOUBLE)
+        |    / CAST(n_samples * n_samples AS DOUBLE)) AS stddev
+        |FROM agg ORDER BY doc_id, channel""".stripMargin,
 
     // s19: INDEPENDENT derivation — the oracle counts differing sign
     // bits directly on the float vectors (no packing), so the packed

@@ -300,6 +300,53 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_offset"))
   }
 
+  /** m15 — per-channel normalization statistics: mean and stddev of
+    * each interleaved channel (byte position mod 3 — the RGB stand-in
+    * under the m1/m3 codec contract), the constants a vision pipeline
+    * computes ONCE over the corpus and bakes into its preprocessing
+    * (`(x - mean) / std` per channel). Variance is the integer-moment
+    * form: `n·Σx² − (Σx)²` stays an EXACT long (n·Σx² < 2^41 at any
+    * plausible payload), so the only floating ops are one divide and
+    * one sqrt — both IEEE-correctly-rounded, bit-identical across
+    * engines (the g4 decimal-moments argument, long-sized here).
+    *
+    * Scale posture: one codegen'd projection per doc — the channel
+    * split is three strided `sequence`/`element_at` walks over the
+    * materialized sample array (the m6 one-pass layout), exploded to
+    * 3 rows per doc; no shuffle except the presentation sort. The
+    * corpus-level constants are then one tiny aggregate over
+    * (channel) — derivable from this output by merging the exact
+    * per-doc moments (sums of longs), which is why the registered
+    * output carries the raw moments, not just the derived doubles.
+    */
+  def channelStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        transform(filter(split(col("text"), ""), c => c =!= ""),
+          c => ascii(c).cast("long")).as("samples"))
+      .withColumn("n", size(col("samples")))
+    d.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(2)), ch => {
+          val xs = transform(sequence(ch + 1, col("n"), lit(3)),
+            i => element_at(col("samples"), i))
+          struct(ch.cast("int").as("channel"),
+            size(xs).cast("long").as("n_samples"),
+            aggregate(xs, lit(0L), (a, x) => a + x).as("sum_x"),
+            aggregate(xs, lit(0L), (a, x) => a + x * x).as("sum_x2"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.channel").as("channel"),
+        col("c.n_samples").as("n_samples"),
+        col("c.sum_x").as("sum_x"), col("c.sum_x2").as("sum_x2"))
+      .withColumn("mean",
+        col("sum_x").cast("double") / col("n_samples").cast("double"))
+      .withColumn("stddev",
+        sqrt((col("n_samples") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          .cast("double") /
+          (col("n_samples") * col("n_samples")).cast("double")))
+      .orderBy(col("doc_id"), col("channel"))
+  }
+
   /** m7 — perceptual (average-hash) signature per payload: the aHash
     * family's shape (public: mean-threshold bits over downsampled
     * content) computed on the payload samples directly — 60 positional

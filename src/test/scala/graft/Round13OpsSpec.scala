@@ -98,6 +98,30 @@ class Round13OpsSpec extends AnyFunSuite {
     cross.foreach(r => assert(r.getLong(3) <= boiler.length))
   }
 
+  test("m15 channel moments equal a driver-side strided recompute") {
+    val df = graft.operators.Multimodal.channelStats(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .filter(_._2.length >= 3)
+    assert(got.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val cps = text.codePoints().toArray // codepoint-indexed like split("")
+      (0 to 2).foreach { ch =>
+        val xs = cps.indices.filter(_ % 3 == ch).map(cps(_).toLong)
+        val (n, s1, s2) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+        val (gn, gs1, gs2, gMean, gStd) = got((id, ch))
+        assert((gn, gs1, gs2) === ((n, s1, s2)), s"doc=$id ch=$ch")
+        assert(gMean === s1.toDouble / n)
+        assert(gStd === math.sqrt((n * s2 - s1 * s1).toDouble / (n * n).toDouble))
+      }
+    }
+  }
+
   test("t34 RAKE matches a driver-side recompute and contains no stopwords") {
     val stops = graft.functions.TextFunctions.stopwordLists.head._2.toSet
     val df = TextAnalysis.rakeKeywords(spark, sfDir, k = 3)
