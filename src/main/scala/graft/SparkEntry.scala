@@ -274,6 +274,9 @@ object SparkEntry {
     // Per-channel normalization stats (interleaved RGB stand-in):
     // exact integer moments, one divide + one IEEE sqrt
     "m15_channel_stats" -> (Multimodal.channelStats(_, _)),
+    // Storage-novelty scoring from a PERSISTED chunk store (build →
+    // append → load → membership join; byte-weighted known fraction)
+    "d35_chunk_novelty" -> (IndexStore.persistedChunkNovelty(_, _)),
     // The fourth join strategy: SHUFFLED HASH (both sides fact-sized,
     // per-partition build fits memory — no broadcast, no sorts)
     "q82_shuffle_hash" -> (RelationalQueries3.shuffleHashSegments(_, _)),
@@ -531,6 +534,9 @@ object SparkEntry {
     // Binary sign-bit embeddings (32× shrink) ranked by exact hamming
     // popcounts on packed words — all-integer, fully oracled
     "s19_sign_hamming" -> (Similarity.signHammingTopK(_, _)),
+    // Two-tier retrieval: hamming shortlist → exact cosine re-rank;
+    // both tiers deterministic, so the COMPOSITION is fully oracled
+    "s20_hamming_rerank" -> (Similarity.hammingRerankTopK(_, _)),
 
     // ── Multimodal binary-column plumbing ────────────────────────────────
     "m1_media_meta"        -> (Multimodal.mediaMeta(_, _)),
@@ -1757,6 +1763,54 @@ object SparkEntry {
         |  sqrt(CAST(n_samples * sum_x2 - sum_x * sum_x AS DOUBLE)
         |    / CAST(n_samples * n_samples AS DOUBLE)) AS stddev
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+
+    // d35: both slices' chunks recomputed from first principles (the
+    // d34 CTEs, emitted per slice), membership replayed as a LEFT
+    // join; counts/bytes exact longs, known_frac ONE double divide.
+    "d35_chunk_novelty" ->
+      s"""WITH ${cdcChunkCte("st_", "doc_id % 3 <> 0")},
+         |${cdcChunkCte("in_", "doc_id % 3 = 0")},
+         |store AS (SELECT DISTINCT md5(chunk) AS chunk_md5 FROM st_ch),
+         |inc AS (SELECT doc_id, md5(chunk) AS chunk_md5,
+         |    CAST(length(chunk) AS BIGINT) AS chunk_len FROM in_ch)
+         |SELECT i.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_known,
+         |  CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
+         |  CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN chunk_len
+         |    ELSE 0 END) AS BIGINT) AS n_known_bytes,
+         |  CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN chunk_len
+         |    ELSE 0 END) AS DOUBLE) / CAST(sum(chunk_len) AS DOUBLE)
+         |    AS known_frac
+         |FROM inc i LEFT JOIN store s ON i.chunk_md5 = s.chunk_md5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s20: the s19 hamming derivation ranks the shortlist, then the
+    // exact cosine re-rank replays tier two — the oracle proves the
+    // tier HAND-OFF, not just each tier.
+    "s20_hamming_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |    WHERE len(embedding) = 64),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM e WHERE vec_id < 5),
+        |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    c.embedding AS ne, qe,
+        |    CAST(list_sum([CASE WHEN (qe[i] >= 0) <> (c.embedding[i] >= 0)
+        |      THEN 1 ELSE 0 END for i in range(1, 65)]) AS BIGINT) AS hamming
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+        |short AS (SELECT query_id, neighbor_id, qe, ne,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS hrank
+        |  FROM pairs),
+        |cos AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS cos
+        |  FROM short WHERE hrank <= 50),
+        |rr AS (SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM cos WHERE cos IS NOT NULL)
+        |SELECT query_id, rank, neighbor_id, cos FROM rr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // s19: INDEPENDENT derivation — the oracle counts differing sign
     // bits directly on the float vectors (no packing), so the packed
@@ -3883,6 +3937,34 @@ object SparkEntry {
     * both engines run identical integer arithmetic (m12's contract);
     * m13 reuses the CTE for its exact all-pairs mirror.
     */
+  /** d34's chunking pipeline as prefixed CTEs over a doc slice —
+    * emitted twice by the d35 oracle (store slice + incoming slice).
+    * `<prefix>ch` is the resulting (doc_id, chunk) relation.
+    */
+  private def cdcChunkCte(prefix: String, pred: String): String =
+    s"""${prefix}d AS (SELECT doc_id, string_split(text, '') AS chars,
+       |    CAST(length(text) AS INT) AS n
+       |  FROM documents WHERE length(text) > 0 AND $pred),
+       |${prefix}cd AS (SELECT doc_id, chars, n,
+       |    [CAST(ascii(x) AS BIGINT) for x in chars] AS codes
+       |  FROM ${prefix}d),
+       |${prefix}b AS (SELECT doc_id, chars, n,
+       |    CASE WHEN n >= 8 THEN
+       |      [i for i in range(8, n + 1) if
+       |        list_reduce(codes[i-7:i],
+       |          (a, c) -> (a * 1000003 + c) % 2147483647) % 64 = 0]
+       |    ELSE CAST([] AS BIGINT[]) END AS bnd
+       |  FROM ${prefix}cd),
+       |${prefix}sp AS (SELECT doc_id, chars,
+       |    list_prepend(CAST(0 AS BIGINT), bnd) AS ss,
+       |    list_append(bnd, CAST(n AS BIGINT)) AS ee
+       |  FROM ${prefix}b),
+       |${prefix}ch AS (SELECT doc_id,
+       |    unnest([array_to_string(chars[CAST(ss[k] + 1 AS INT):
+       |        CAST(ee[k] AS INT)], '')
+       |      for k in range(1, len(ss) + 1) if ee[k] > ss[k]]) AS chunk
+       |  FROM ${prefix}sp)""".stripMargin
+
   private def dctPhashCte: String = {
     val mList = operators.Multimodal.dctMatrix(16, 8).mkString("[", ", ", "]")
     s"""WITH d AS (SELECT doc_id, text FROM documents

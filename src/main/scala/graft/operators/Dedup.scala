@@ -1389,8 +1389,11 @@ object Dedup {
       w: Int = 8, m: Int = 64): DataFrame =
     cdcChunkDedupFrom(Tables.documents(s, dir), w, m)
 
-  /** The relation form for spec-planted corpora ((doc_id, text)). */
-  private[graft] def cdcChunkDedupFrom(docsIn: DataFrame,
+  /** The CDC chunk relation: (doc_id, chunk) — every content-defined
+    * chunk of every document, shared by d34's corpus dedup and d35's
+    * persisted chunk store.
+    */
+  private[graft] def cdcChunks(docsIn: DataFrame,
       w: Int = 8, m: Int = 64): DataFrame = {
     val d = docsIn
       .filter(length(col("text")) > 0)
@@ -1406,8 +1409,7 @@ object Dedup {
         pmod(aggregate(slice(col("codes"), i - w + 1, lit(w)), lit(0L),
           (acc, c) => pmod(acc * lit(RollB) + c, lit(RollP))),
           lit(m.toLong)) === 0L)).otherwise(array().cast("array<int>"))
-    val chunks = d
-      .withColumn("ss", concat(array(lit(0)), bnd))
+    d.withColumn("ss", concat(array(lit(0)), bnd))
       .withColumn("ee", concat(bnd, array(col("n"))))
       .select(col("doc_id"), col("chars"),
         explode(filter(zip_with(col("ss"), col("ee"),
@@ -1416,7 +1418,12 @@ object Dedup {
       .select(col("doc_id"),
         array_join(slice(col("chars"), col("span.s") + 1,
           col("span.e") - col("span.s")), "").as("chunk"))
-    chunks
+  }
+
+  /** The relation form for spec-planted corpora ((doc_id, text)). */
+  private[graft] def cdcChunkDedupFrom(docsIn: DataFrame,
+      w: Int = 8, m: Int = 64): DataFrame =
+    cdcChunks(docsIn, w, m)
       .groupBy(md5(col("chunk")).as("chunk_md5"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1424,5 +1431,4 @@ object Dedup {
         min(col("doc_id")).as("keep_doc"))
       .filter(col("n_copies") >= 2)
       .orderBy(col("n_copies").desc, col("chunk_md5"))
-  }
 }

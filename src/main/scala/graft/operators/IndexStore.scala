@@ -397,4 +397,103 @@ object IndexStore {
       docs.filter(pmod(col("doc_id"), lit(mod)) === 0),
       loadFingerprints(s, path))
   }
+
+  // ── CDC chunk store (d34's persisted corpus state) ───────────────────
+
+  // scheme values come from the TextFunctions constants (the d30
+  // convention): a chunker-parameter change stamps a different scheme
+  // and load refuses the stale store instead of silently computing
+  // novelty against boundaries cut under another rule
+  private def chunkScheme(w: Int, m: Int): Map[String, String] = Map(
+    "w" -> w.toString, "m" -> m.toString,
+    "rollB" -> graft.functions.TextFunctions.RollB.toString,
+    "rollP" -> graft.functions.TextFunctions.RollP.toString,
+    "convention" -> "cdc-polyroll-md5")
+
+  /** Save a (chunk_md5, chunk_len) relation as the corpus chunk store.
+    * Only HASHES persist — the store answers membership and size, not
+    * content, so it is PII-light and 1/m the corpus bytes.
+    */
+  def saveChunks(chunks: DataFrame, path: String, w: Int, m: Int): Unit = {
+    chunks.write.mode("overwrite").parquet(s"$path/chunks")
+    // manifest LAST: the build-complete marker (d28/s14 convention)
+    writeManifest(chunks.sparkSession, path, "chunkstore", chunkScheme(w, m))
+  }
+
+  def loadChunks(s: SparkSession, path: String, w: Int, m: Int): DataFrame = {
+    val got = readManifest(s, path, "chunkstore")
+    chunkScheme(w, m).foreach { case (k, v) =>
+      require(got.get(k).contains(v),
+        s"chunk store at $path was cut under a different chunker " +
+          s"($k = ${got.get(k)}, this query uses $v)")
+    }
+    s.read.parquet(s"$path/chunks")
+  }
+
+  /** Incremental maintenance: append a new batch's chunk hashes.
+    * Same-chunker contract rides the manifest as in [[appendMinhash]].
+    */
+  def appendChunks(path: String, delta: DataFrame): Unit =
+    delta.write.mode("append").parquet(s"$path/chunks")
+
+  /** d35 — storage-novelty scoring from a PERSISTED chunk store: chunk
+    * the incoming docs (the `%mod == 0` slice) with d34's
+    * content-defined chunker and report, per doc, how much of it the
+    * store already holds — chunk counts and the byte-weighted known
+    * fraction. This is dedup-aware ingest accounting: "this document
+    * is 85% already-stored bytes" prices the storage AND flags the
+    * near-copy before any pairwise comparison runs. The store is
+    * BUILT from the `%mod == 1` slice and EXTENDED by appending the
+    * rest (the d30 convention — the registered path itself proves
+    * incremental maintenance), then the increment queries the LOADED
+    * relation.
+    *
+    * Exactness: chunk hashes are md5 strings cut by the d34 chunker
+    * (bounded-long integer folds); counts and byte sums are exact
+    * longs; `known_frac` is ONE double divide. Full hash oracle — the
+    * SQL recomputes both slices' chunks from first principles and
+    * replays the membership join.
+    *
+    * Scale posture: the store is a parquet table of hashes (bucketed
+    * by chunk_md5 at 100 TB so a micro-batch's membership probe
+    * prunes to touched buckets); the query is one LEFT join of the
+    * increment's chunks against it plus a per-doc aggregate. Appends
+    * are file adds, never a rewrite.
+    */
+  def persistedChunkNovelty(s: SparkSession, dir: String, mod: Int = 3,
+      w: Int = 8, m: Int = 64): DataFrame = {
+    // chunker params ride the tag: a different (w, m) builds ITS OWN
+    // store; the manifest scheme check guards externally-shared paths
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_w${w}c$m" +
+      s"_${corpusTag(s, dir, "documents.parquet")}"
+    val path = s"target/graft_index/chunks/$tag"
+    val docs = graft.Tables.documents(s, dir)
+    def chunkHashes(slice: DataFrame): DataFrame =
+      Dedup.cdcChunks(slice, w, m)
+        .select(md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+    if (!manifestExists(s, path)) {
+      saveChunks(chunkHashes(
+        docs.filter(pmod(col("doc_id"), lit(mod)) === 1)), path, w, m)
+      appendChunks(path, chunkHashes(
+        docs.filter(pmod(col("doc_id"), lit(mod)) > 1)))
+    }
+    val store = loadChunks(s, path, w, m)
+      .select(col("chunk_md5")).distinct()
+      .withColumn("known", lit(true))
+    val incoming = Dedup.cdcChunks(
+      docs.filter(pmod(col("doc_id"), lit(mod)) === 0), w, m)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+    incoming.join(store, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+        sum(col("chunk_len")).as("n_bytes"),
+        sum(when(col("known"), col("chunk_len")).otherwise(0L))
+          .as("n_known_bytes"))
+      .withColumn("known_frac",
+        col("n_known_bytes").cast("double") / col("n_bytes").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1434,18 +1434,34 @@ object Similarity {
     * scan reads 1/32 of the embedding bytes.
     */
   def signHammingTopK(s: SparkSession, dir: String,
-      k: Int = 5, nQueries: Int = 5, dim: Int = 64): DataFrame = {
+      k: Int = 5, nQueries: Int = 5, dim: Int = 64): DataFrame =
+    signHammingRanked(s, dir, nQueries, dim)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Sign-bit packing: 32 dims per long word (bits 0..31 — never the
+    * sign bit, so no signed-overflow asymmetry between engines).
+    */
+  private def packSignWords(v: Column, dim: Int): Column = {
     val nWords = (dim + 31) / 32
-    def pack(v: Column): Column =
-      transform(sequence(lit(0), lit(nWords - 1)), w =>
-        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
-          acc + when(element_at(v, w * 32 + j + 1) >= 0.0f,
-            call_function("shiftleft", lit(1L), j.cast("int")))
-            .otherwise(lit(0L))))
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+        acc + when(element_at(v, w * 32 + j + 1) >= 0.0f,
+          call_function("shiftleft", lit(1L), j.cast("int")))
+          .otherwise(lit(0L))))
+  }
+
+  /** The full hamming ranking shared by s19 (top-k) and s20
+    * (shortlist): (query_id, neighbor_id, hamming, rank), rank dense
+    * per query by (hamming, neighbor_id).
+    */
+  private def signHammingRanked(s: SparkSession, dir: String,
+      nQueries: Int, dim: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .transform(Tables.spread(_, col("vec_id")))
       .filter(size(col("embedding")) === dim)
-      .select(col("vec_id"), pack(col("embedding")).as("words"))
+      .select(col("vec_id"), packSignWords(col("embedding"), dim).as("words"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("words").as("q_words"))
     val w = Window.partitionBy(col("query_id"))
@@ -1457,8 +1473,46 @@ object Similarity {
           (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
           lit(0L), (acc, x) => acc + x))
       .withColumn("rank", row_number().over(w))
+  }
+
+  /** s20 — two-tier retrieval: s19's hamming popcount scan shortlists
+    * `shortlist` candidates per query (1-bit codes, 1/32 of the
+    * embedding bytes read), then EXACT cosine re-ranks only the
+    * shortlist and keeps the top `k` — the standard
+    * cheap-filter → exact-rerank tier stack of a production retrieval
+    * system (s13's ADC-then-exact is the same shape one tier up).
+    * Both stages are deterministic (hamming ties break on
+    * neighbor_id, cosine ties too), so unlike the LSH/IVF family the
+    * COMPOSITION is fully oracle-able: the driver gate proves the
+    * tier hand-off, not just each tier.
+    *
+    * Scale posture: the shortlist stage is s19's broadcast-query scan
+    * with a WindowGroupLimit partial top-`shortlist`; the re-rank
+    * joins the (queries × shortlist)-sized id list back to the corpus
+    * for float vectors — at 100 TB that hash join touches only
+    * shortlist-many corpus rows per query rather than scanning floats
+    * corpus-wide, which is the entire point of the tiering.
+    */
+  def hammingRerankTopK(s: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 5, dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) === dim)
+    val short = signHammingRanked(s, dir, nQueries, dim)
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(broadcast(qe), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

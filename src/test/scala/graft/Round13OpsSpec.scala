@@ -41,6 +41,73 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(PlanChecks.hasWindowGroupLimit(df))
   }
 
+  test("s20 two-tier rerank equals a driver-side shortlist+cosine recompute") {
+    val df = Similarity.hammingRerankTopK(spark, sfDir,
+      k = 5, nQueries = 3, shortlist = 20)
+    val embs = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.indices.count(i => (a(i) >= 0f) != (b(i) >= 0f)).toLong
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 3L).flatMap { q =>
+      val shortIds = embs.keys.filter(_ != q).toSeq
+        .map(n => (ham(embs(q), embs(n)), n)).sorted.take(20).map(_._2)
+      shortIds.map(n => (n, cos(embs(q), embs(n))))
+        .filter(x => !x._2.isNaN)
+        .sortBy { case (n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((n, c), i) => (q, i + 1, n, c) }
+    }.toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+  }
+
+  test("d35 persisted chunk store: save -> append -> load equals direct compute") {
+    import graft.operators.{Dedup, IndexStore}
+    // persisted path (builds the store on first run under target/)
+    val persisted = IndexStore.persistedChunkNovelty(spark, sfDir).collect()
+    // direct path: same slices, no persistence
+    val docs = Tables.documents(spark, sfDir)
+    def hashes(slice: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunks(slice, 8, 64)
+        .select(md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+    val store = hashes(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      .select(col("chunk_md5")).distinct().withColumn("known", lit(true))
+    val direct = Dedup.cdcChunks(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), 8, 64)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .join(store, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+        sum(col("chunk_len")).as("n_bytes"),
+        sum(when(col("known"), col("chunk_len")).otherwise(0L))
+          .as("n_known_bytes"))
+      .withColumn("known_frac",
+        col("n_known_bytes").cast("double") / col("n_bytes").cast("double"))
+      .orderBy(col("doc_id")).collect()
+    assert(persisted.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+    assert(persisted.nonEmpty)
+    // a store loaded under a DIFFERENT chunker scheme must refuse
+    val tmp = s"target/graft_index/chunks/spec_stale_${System.nanoTime()}"
+    IndexStore.saveChunks(hashes(docs.limit(5)), tmp, 8, 64)
+    intercept[IllegalArgumentException] {
+      IndexStore.loadChunks(spark, tmp, 8, 32).collect()
+    }
+  }
+
   test("g8 ring census matches a driver-side BFS") {
     val df = Graph.reachability(spark, sfDir, maxHops = 4, seedMod = 500)
     val got = df.collect()
