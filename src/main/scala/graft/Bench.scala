@@ -257,11 +257,17 @@ object Bench {
           .map { case (a, e) => math.abs(a - e) / math.max(math.abs(e), 1e-12) }
           .max
       }.max
+      // g6's hub cap drops customers from pair generation silently
+      // (r13 verdict #6) — publish how many, so the cap's coverage
+      // loss at this SF is in the artifact, not just the contract
+      val g6Capped = graft.operators.Graph
+        .supplierOverlapCappedCount(spark, sfDir)
       spark.catalog.clearCache()
       System.err.println(f"[bench] accuracy: s2 $rS2%.3f s3 $rS3%.3f " +
         f"s10 $rS10%.3f s13 $rS13%.3f s16 $rS16%.3f q27 ±$hllErr%.4f " +
-        f"d14 fn=$falseNeg extra=$extra/$corpus q87 ±$q87Err%.5f")
-      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"q87_max_rel_err":$q87Err,"""
+        f"d14 fn=$falseNeg extra=$extra/$corpus q87 ±$q87Err%.5f " +
+        f"g6 capped=$g6Capped")
+      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"q87_max_rel_err":$q87Err,"g6_capped_customers":$g6Capped,"""
     } catch { case NonFatal(e) =>
       System.err.println("[bench] accuracy block failed:")
       e.printStackTrace()

@@ -473,10 +473,18 @@ object IndexStore {
         .select(md5(col("chunk")).as("chunk_md5"),
           length(col("chunk")).cast("long").as("chunk_len"))
     if (!manifestExists(s, path)) {
-      saveChunks(chunkHashes(
-        docs.filter(pmod(col("doc_id"), lit(mod)) === 1)), path, w, m)
+      // relations first, manifest LAST (the persistedLshPairs
+      // build-complete-marker convention): saveChunks stamps the
+      // manifest itself, so using it here would publish the store
+      // BEFORE the appended slice lands — a crash between the two
+      // writes would leave a trusted store silently missing half its
+      // chunks on every later run. Write the initial slice's parquet
+      // directly, append the delta, then stamp.
+      chunkHashes(docs.filter(pmod(col("doc_id"), lit(mod)) === 1))
+        .write.mode("overwrite").parquet(s"$path/chunks")
       appendChunks(path, chunkHashes(
         docs.filter(pmod(col("doc_id"), lit(mod)) > 1)))
+      writeManifest(s, path, "chunkstore", chunkScheme(w, m))
     }
     val store = loadChunks(s, path, w, m)
       .select(col("chunk_md5")).distinct()

@@ -100,9 +100,29 @@ object RelationalQueries4 {
       .agg(sum(col("price")).as("val_dec"))
     val total = perPart.agg(sum(col("val_dec")).as("total_dec"),
       count(lit(1)).as("n_parts"))
+    // Overflow envelope (r13 advice): the naive `val_dec * n_parts *
+    // den` is decimal(28,2)×bigint×int — Spark caps the result TYPE at
+    // decimal(38,2) and non-ANSI overflow returns null, silently
+    // dropping the part from the filter. Instead both sides are built
+    // so their result precision is EXACTLY 38 with no cap adjustment:
+    //   left  = decimal(18,2) × decimal(19,0) → decimal(38,2)
+    //   right = decimal(34,2) × decimal(3,0)  → decimal(38,2)
+    // and every narrowing cast has a documented value envelope —
+    //   val_dec  < 1e16: lineitems/part is scale-free (~30) in the
+    //            generator, so per-part revenue stays ~1e6 at EVERY SF;
+    //   n_parts·den < 9.2e18 (bigint): parts ≈ 2e5·SF — safe past
+    //            SF 1e12 for den < 1000 (guarded below);
+    //   total_dec < 1e32: 1e30 dollars of revenue — unreachable.
+    // Within those envelopes the comparison is exact decimal
+    // arithmetic, bit-identical to the oracle's wider decimals even
+    // for parts sitting exactly on the boundary.
+    require(num > 0 && num < 1000 && den > 0 && den < 1000,
+      s"num/den must be in (0, 1000): got $num/$den")
     perPart.crossJoin(broadcast(total))
-      .filter(col("val_dec") * col("n_parts") * lit(den) >
-        col("total_dec") * lit(num))
+      .filter(col("val_dec").cast("decimal(18,2)") *
+        (col("n_parts") * lit(den)).cast("decimal(19,0)") >
+        col("total_dec").cast("decimal(34,2)") *
+          lit(num).cast("decimal(3,0)"))
       .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }

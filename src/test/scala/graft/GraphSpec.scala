@@ -199,6 +199,19 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g6 capped-customer telemetry: 0 on the corpus, planted hub counted") {
+    import spark.implicits._
+    // the sf corpus has no customer within an order of magnitude of
+    // the 1000-supplier default cap — the published g6_capped_customers
+    // field must read 0 here, so a nonzero value in a bench artifact
+    // is always a real coverage-loss signal
+    assert(Graph.supplierOverlapCappedCount(spark, sfDir) === 0L)
+    // planted: c1 fans out to 3 suppliers, c2 to 1 — cap at 2 drops c1
+    val cs = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)).toDF("c", "sv")
+    assert(Graph.cappedCountFrom(cs, maxFanout = 2) === 1L)
+    assert(Graph.cappedCountFrom(cs, maxFanout = 3) === 0L)
+  }
+
   test("g5 on the corpus: the fixed round budget reaches the fixpoint") {
     def run(rounds: Int) = Graph.coreness(spark, sfDir, rounds).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
