@@ -297,6 +297,10 @@ object SparkEntry {
     // Mergeable quantile sketch (p50/p95/p99): approximate tier — no
     // SQL oracle; error published per run as q87_max_rel_err
     "q87_approx_quantiles" -> (RelationalQueries4.approxQuantiles(_, _)),
+    // Write-audit-publish MERGE into a versioned persisted table:
+    // base publish + delta merge + conservation audit, read through
+    // the manifest head; oracled against a full recompute
+    "q88_upsert_publish" -> (LakehouseMerge.upsertOrdersSummary(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -308,15 +312,18 @@ object SparkEntry {
     "t3_quality"     -> (TextAnalysis.qualityScore(_, _)),
     "t4_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "t5_repetition"  -> (TextAnalysis.repetition(_, _)),
-    "t6_tfidf"       -> (TextAnalysis.tfidfTopK(_, _)),
+    // r13 verdict #1: registered form is the rational-idf companion
+    // (exact arithmetic, full hash oracle); ln idf is spec-gated
+    "t6_tfidf"       -> (TextAnalysis.tfidfTopKLin(_, _)),
     // Corpus n-gram statistics: top-k bigrams per language
     "t7_bigram_topk" -> (TextAnalysis.bigramTopK(_, _)),
     // Per-language median quality gate (keep the top half per stratum)
     "t8_quality_filter" -> (TextAnalysis.qualityFilter(_, _)),
     // Corpus mix table: per-(lang, source) doc/token/char mass + share
     "t9_mix_stats" -> (TextAnalysis.mixStats(_, _)),
-    // Unigram-LM quality proxy: mean -ln p(token), add-one smoothing
-    "t10_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _)),
+    // Unigram-LM quality proxy, registered as the EXACT arithmetic-mean
+    // probability companion (r13 verdict #1); -ln form is spec-gated
+    "t10_unigram_logprob" -> (TextAnalysis.unigramMeanProb(_, _)),
     // PII scrub: email/IPv4/phone -> typed placeholders, per-class counts
     "t11_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     // Token-budget sequence packing: per-shard cumulative-count bins
@@ -360,13 +367,17 @@ object SparkEntry {
     // Per-source JSD drift vs the corpus unigram distribution —
     // token-sorted folds + absent-token closed form, no vocab cross
     "t32_mixture_drift" -> (TextAnalysis.mixtureDrift(_, _)),
-    // Okapi BM25 ranking for a fixed query term set (lexical retrieval)
-    "t15_bm25_rank" -> (TextAnalysis.bm25Rank(_, _)),
-    // Bigram LM with unigram back-off: mean -ln p(w_i|w_{i-1}), the
-    // word-ORDER-sensitive rung above t10's unigram proxy
-    "t16_bigram_logprob" -> (TextAnalysis.bigramLogprob(_, _)),
-    // Zipf rank-frequency OLS fit over the top-R vocabulary head
-    "t17_zipf_fit" -> (TextAnalysis.zipfFit(_, _)),
+    // Okapi BM25 ranking for a fixed query term set (lexical
+    // retrieval), registered with the ln-free RSJ-odds idf variant
+    // (r13 verdict #1); classic ln idf is spec-gated
+    "t15_bm25_rank" -> (TextAnalysis.bm25RankLin(_, _)),
+    // Bigram fluency signal, registered as the exact count-moment +
+    // ratio-of-sums companion (r13 verdict #1); the per-pair -ln
+    // interpolated form is spec-gated
+    "t16_bigram_logprob" -> (TextAnalysis.bigramMoments(_, _)),
+    // Zipf health check, registered as the exact rank-octave histogram
+    // (r13 verdict #1); the ln-ln OLS fit is spec-gated
+    "t17_zipf_fit" -> (TextAnalysis.zipfOctaves(_, _)),
     // Heaps'-law growth curve: cumulative tokens vs cumulative distinct
     // vocabulary, via per-term first-bucket (no ordered scan)
     "t18_heaps_curve" -> (TextAnalysis.heapsCurve(_, _)),
@@ -1707,6 +1718,17 @@ object SparkEntry {
         |WHERE d.adev > x.mad * 4
         |ORDER BY d.event_type, d.day""".stripMargin,
 
+    // q88: the oracle recomputes the summary over ALL orders directly —
+    // the engine side must conserve mass through base publish + merge
+    // publish + manifest-head read for the hashes to agree. Decimal
+    // sums exact on both sides; the one double is the final cast.
+    "q88_upsert_publish" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  max(CAST(o_orderdate AS DATE)) AS last_orderdate
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-
     // array slicing for reassembly (never substring), md5 group keys.
@@ -2480,6 +2502,8 @@ object SparkEntry {
         |FROM base b LEFT JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // t10 (exact registered form): the sums are exact integers and
+    // mean_token_prob is one double divide — bit-identical.
     "t10_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -2489,9 +2513,11 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n,
         |    (SELECT count(*) FROM cnt) AS v FROM toks)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-        |  avg(-ln((c + 1.0) / (n + v))) AS avg_neg_logprob
+        |  CAST(sum(c + 1) AS BIGINT) AS sum_cp1,
+        |  CAST(sum(c + 1) AS DOUBLE) / CAST(count(*) * (n + v) AS DOUBLE)
+        |    AS mean_token_prob
         |FROM toks JOIN cnt USING (t) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id, n, v ORDER BY doc_id""".stripMargin,
 
     // t11: the raw column is derived identically on both engines so the
     // oracle checks Java-regex-vs-RE2 agreement on real matches; the
@@ -3178,6 +3204,9 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos FROM rk
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // t6 (rational-idf registered form): tfidf_lin is one double
+    // divide of two exact bigint products — bit-identical; the exact
+    // integer evidence columns hash trivially.
     "t6_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -3189,13 +3218,16 @@ object SparkEntry {
         |    sum(cnt) OVER (PARTITION BY doc_id) AS n_tok
         |  FROM tf),
         |n AS (SELECT count(*) AS nd FROM documents),
-        |scored AS (SELECT doc_id, term,
-        |    (cnt * 1.0 / n_tok) * ln(nd * 1.0 / dfr) AS tfidf
+        |scored AS (SELECT doc_id, term, cnt, dfr, n_tok, nd,
+        |    CAST(cnt * nd AS DOUBLE) / CAST(n_tok * dfr AS DOUBLE)
+        |      AS tfidf_lin
         |  FROM tfw CROSS JOIN n),
         |rk AS (SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        |    PARTITION BY doc_id ORDER BY tfidf_lin DESC, term) AS INT) AS rank
         |  FROM scored)
-        |SELECT doc_id, rank, term, tfidf FROM rk
+        |SELECT doc_id, rank, term, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(dfr AS BIGINT) AS dfr, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(nd AS BIGINT) AS nd, tfidf_lin FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "d4_simhash" ->
@@ -3344,6 +3376,14 @@ object SparkEntry {
     // (table, scan, join) on BOTH engines — see bm25Rank's determinism
     // note; all constant arithmetic is written with the same literal
     // ops ((1.2 + 1.0), not 2.2) so the doubles are bit-identical.
+    // t15 (RSJ-odds registered form): w's expression tree is written
+    // with the same parenthesization as the Spark Column tree — every
+    // op is a correctly-rounded IEEE basic op over deterministic
+    // inputs, so the scores are bit-identical (no ln anywhere). The
+    // ::DOUBLE casts on every fractional literal matter: DuckDB parses
+    // bare 1.2/0.5 as DECIMAL and routes the adjacent ops through
+    // decimal arithmetic — a DIFFERENT tree that landed 1 ulp off on 4
+    // rows at sf0.01 (caught by the bit-exact local gate, r14).
     "t15_bm25_rank" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -3352,28 +3392,31 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
         |tfw AS (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
         |n AS (SELECT count(*) AS nd FROM documents),
-        |st AS (SELECT sum(cnt) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM tf),
+        |st AS (SELECT sum(cnt) * 1.0::DOUBLE / count(DISTINCT doc_id)
+        |  AS avgdl FROM tf),
         |hits AS (SELECT *, count(*) OVER (PARTITION BY term) AS dfr
         |  FROM tfw WHERE term IN ('table', 'scan', 'join')),
         |wv AS (SELECT doc_id, term,
-        |    (ln(1.0 + (nd - dfr + 0.5) / (dfr + 0.5)) * (cnt * (1.2 + 1.0)))
-        |      / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * n_tok / avgdl)) AS w
+        |    (((nd - dfr + 0.5::DOUBLE) / (dfr + 0.5::DOUBLE))
+        |      * (cnt * (1.2::DOUBLE + 1.0::DOUBLE)))
+        |      / (cnt + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |        + 0.75::DOUBLE * n_tok / avgdl)) AS w
         |  FROM hits CROSS JOIN n CROSS JOIN st),
         |sc AS (SELECT doc_id,
         |    coalesce(sum(CASE WHEN term = 'table' THEN w END), 0.0)
         |      + coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0)
-        |      + coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS bm25
+        |      + coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0)
+        |      AS bm25_lin
         |  FROM wv GROUP BY doc_id),
-        |rk AS (SELECT doc_id, bm25, CAST(row_number() OVER (
-        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank FROM sc)
-        |SELECT doc_id, rank, bm25 FROM rk WHERE rank <= 20
+        |rk AS (SELECT doc_id, bm25_lin, CAST(row_number() OVER (
+        |    ORDER BY bm25_lin DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT doc_id, rank, bm25_lin FROM rk WHERE rank <= 20
         |ORDER BY rank""".stripMargin,
 
-    // t16: zipped double-unnest of the shifted token-list slices builds
-    // the adjacent pairs; every scored pair occurs in the corpus it is
-    // counted against, so the bigram term needs no smoothing and the
-    // joins are inner on both engines. Same left-assoc double
-    // arithmetic as the Spark side.
+    // t16 (count-moment registered form): zipped double-unnest of the
+    // shifted token-list slices builds the adjacent pairs; the sums
+    // are exact integers whatever the merge order, and the pooled
+    // scores are the same fixed divide/multiply trees on both sides.
     "t16_bigram_logprob" ->
       """WITH base AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
@@ -3388,17 +3431,25 @@ object SparkEntry {
         |  FROM base WHERE len(w) >= 2),
         |bcnt AS (SELECT wp, wc, count(*) AS c2 FROM pairs GROUP BY wp, wc)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
-        |  avg(-ln(0.7 * c2 / cp.c
-        |    + 0.3 * (cc.c + 1.0) / (n + v))) AS interp_neg_logprob
+        |  CAST(sum(c2) AS BIGINT) AS sum_c2,
+        |  CAST(sum(cp.c) AS BIGINT) AS sum_cp,
+        |  CAST(sum(cc.c) AS BIGINT) AS sum_cc,
+        |  CAST(sum(c2) AS DOUBLE) / CAST(sum(cp.c) AS DOUBLE) AS pooled_cond,
+        |  CAST(sum(cc.c) + count(*) AS DOUBLE)
+        |    / CAST(count(*) * (n + v) AS DOUBLE) AS pooled_backoff,
+        |  0.7 * (CAST(sum(c2) AS DOUBLE) / CAST(sum(cp.c) AS DOUBLE))
+        |    + 0.3 * (CAST(sum(cc.c) + count(*) AS DOUBLE)
+        |      / CAST(count(*) * (n + v) AS DOUBLE)) AS pooled_interp
         |FROM pairs JOIN bcnt USING (wp, wc)
         |  JOIN cnt cp ON pairs.wp = cp.t
         |  JOIN cnt cc ON pairs.wc = cc.t
         |  CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id, n, v ORDER BY doc_id""".stripMargin,
 
-    // t17: regr_* aggregates exist with matching semantics on both
-    // engines; the ln() inputs are identical doubles, so the moment
-    // sums agree inside the 9-sig-digit compare.
+    // t17 (octave-histogram registered form): ⌊log₂ rank⌋ via the same
+    // integer CASE ladder as the Spark side — exact at power-of-two
+    // boundaries where floor(ln/ln2) sits one ulp away; all outputs
+    // exact integers.
     "t17_zipf_fit" ->
       """WITH toks AS (SELECT unnest(list_filter(
         |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
@@ -3406,12 +3457,19 @@ object SparkEntry {
         |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
         |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1000),
         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank
-        |  FROM top)
-        |SELECT CAST(count(*) AS INT) AS n_terms,
-        |  regr_slope(ln(c), ln(rank)) AS slope,
-        |  regr_intercept(ln(c), ln(rank)) AS intercept,
-        |  regr_r2(ln(c), ln(rank)) AS r2
-        |FROM rk""".stripMargin,
+        |  FROM top),
+        |oc AS (SELECT c, CAST(CASE
+        |    WHEN rank < 2 THEN 0 WHEN rank < 4 THEN 1 WHEN rank < 8 THEN 2
+        |    WHEN rank < 16 THEN 3 WHEN rank < 32 THEN 4 WHEN rank < 64 THEN 5
+        |    WHEN rank < 128 THEN 6 WHEN rank < 256 THEN 7
+        |    WHEN rank < 512 THEN 8 WHEN rank < 1024 THEN 9
+        |    WHEN rank < 2048 THEN 10 WHEN rank < 4096 THEN 11
+        |    ELSE 12 END AS INT) AS octave FROM rk)
+        |SELECT octave, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(c) AS BIGINT) AS sum_count,
+        |  CAST(min(c) AS BIGINT) AS min_count,
+        |  CAST(max(c) AS BIGINT) AS max_count
+        |FROM oc GROUP BY octave ORDER BY octave""".stripMargin,
 
     // t18: both engines' `/` on integers is double division, but their
     // double→INT casts DIFFER — Spark truncates, DuckDB rounds — so the

@@ -1431,4 +1431,58 @@ object Dedup {
         min(col("doc_id")).as("keep_doc"))
       .filter(col("n_copies") >= 2)
       .orderBy(col("n_copies").desc, col("chunk_md5"))
+
+  /** d35's novelty accounting against a chunk store, shared VERBATIM
+    * by the batch registered query (IndexStore.persistedChunkNovelty)
+    * and the streaming mirror [[chunkNoveltyStream]]: chunk the docs
+    * with the d34 chunker, LEFT-join membership against the store's
+    * distinct chunk hashes, and aggregate per doc into chunk counts,
+    * byte masses, and the byte-weighted `known_frac` (one double
+    * divide of exact longs). No presentation sort here — batch adds
+    * its orderBy, a stream cannot sort an unbounded relation.
+    */
+  private[graft] def chunkNoveltyAgainst(docsIn: DataFrame,
+      store: DataFrame, w: Int = 8, m: Int = 64): DataFrame = {
+    val known = store.select(col("chunk_md5")).distinct()
+      .withColumn("known", lit(true))
+    cdcChunks(docsIn, w, m)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .join(known, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+        sum(col("chunk_len")).as("n_bytes"),
+        sum(when(col("known"), col("chunk_len")).otherwise(0L))
+          .as("n_known_bytes"))
+      .withColumn("known_frac",
+        col("n_known_bytes").cast("double") / col("n_bytes").cast("double"))
+  }
+
+  /** d35's STREAMING form (r13 verdict #4) — the storage-dedup ingest
+    * gate run continuously: a live doc feed (`streamDocs`: readStream
+    * with (doc_id, text)) is chunked IN-STREAM by the d34
+    * content-defined chunker and membership-joined against the STATIC
+    * persisted chunk store, emitting the same per-doc novelty
+    * accounting as batch d35 — "this arriving document is 85%
+    * already-stored bytes" at ingest time, before any pairwise
+    * comparison or even a full batch accumulates.
+    *
+    * Mechanism: the chunker is a pure per-row projection + explode
+    * (bounded-long rolling-hash folds, no window, no sort), so it
+    * runs unchanged on an unbounded relation; the store side of the
+    * join is static (at 100 TB: a bucketed hash table, pruned per
+    * micro-batch); the per-doc aggregate keeps one small state row
+    * per in-flight document. Values are BIT-identical to batch d35 on
+    * any closed prefix — both paths run [[chunkNoveltyAgainst]]
+    * verbatim — which is what StreamingSpec asserts row-for-row.
+    * State note: doc_ids are assumed non-recurring across the feed
+    * (an ingest id contract); under `complete` output the aggregate
+    * state is corpus-lifetime like every global-key streaming agg —
+    * bound it with a watermarked window when ids carry event time.
+    */
+  def chunkNoveltyStream(streamDocs: DataFrame, store: DataFrame,
+      w: Int = 8, m: Int = 64): DataFrame =
+    chunkNoveltyAgainst(
+      streamDocs.select(col("doc_id"), col("text")), store, w, m)
 }

@@ -407,12 +407,14 @@ object Graph {
     * H-value) counts + a descending cumulative window — see
     * corenessOver), so no degree-sized array ever materializes per
     * vertex — the right 100× shape regardless of constant factors (no
-    * per-vertex array can OOM on a hub). Measured min-of-3 at sf0.1
-    * after the r14 convergence early-exit: 6.25 s (runs 6.35/7.10/
-    * 6.25) vs the r13 fixed-6-round unroll's 9.97 s — the saved round
-    * plus eager per-round materialization; r13's verdict showed the
-    * counting-agg rewrite alone was timing-neutral vs collect_list
-    * under the suite JVM, its win is the hub-safety shape. At
+    * per-vertex array can OOM on a hub). Measured at sf0.1 after the
+    * r14 convergence early-exit: 6.25 s standalone min-of-3 (TimeQ,
+    * runs 6.35/7.10/6.25) and 8.47 s inside the full 215-query bench
+    * suite (min of both passes), vs the r13 fixed-6-round unroll's
+    * 9.97 s suite time — the saved round plus eager per-round
+    * materialization; r13's verdict showed the counting-agg rewrite
+    * alone was timing-neutral vs collect_list under the suite JVM,
+    * its win is the hub-safety shape. At
     * billion-vertex scale drop the broadcast hint (edges are already
     * hash-partitioned by dst). Convergence on real graphs is a
     * handful of rounds (observed: 5 at sf0.1, matching the paper's

@@ -27,6 +27,19 @@ import graft.operators.Similarity.{IvfIndex, LshIndex}
   * deployment shares an index: as a TABLE, not as session state. The
   * only driver-side piece is the K×dim centroid array — the same
   * bounded collect the build path already does.
+  *
+  * CONCURRENCY CONTRACT (r13 verdict #8): every store here is
+  * SINGLE-WRITER. Manifest-last gives crash safety for that one
+  * writer (a torn build is rebuildable, never trusted); it does NOT
+  * serialize two concurrent builders/appenders, whose file-level
+  * appends and manifest writes can interleave into a store that
+  * passes the scheme check but double- or half-counts a slice.
+  * Deployments needing multi-writer maintenance should front these
+  * paths with the versioned write-audit-publish protocol in
+  * [[LakehouseMerge]] (immutable `v=N` directories, audit gate,
+  * optimistic head check on publish) — that protocol exists precisely
+  * because append-in-place cannot be made concurrent-safe on a plain
+  * filesystem.
   */
 object IndexStore {
 
@@ -174,7 +187,7 @@ object IndexStore {
     * regenerated in place — a path keyed on dir+params alone would
     * happily serve an index built from superseded bytes.
     */
-  private def corpusTag(s: SparkSession, dir: String,
+  private[graft] def corpusTag(s: SparkSession, dir: String,
       table: String): String = {
     // Hadoop-FS enumeration (like manifestExists): (name, length,
     // modification time) triples are identical to java.io.File's on a
@@ -462,6 +475,21 @@ object IndexStore {
     */
   def persistedChunkNovelty(s: SparkSession, dir: String, mod: Int = 3,
       w: Int = 8, m: Int = 64): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    Dedup.chunkNoveltyAgainst(
+        docs.filter(pmod(col("doc_id"), lit(mod)) === 0),
+        chunkStoreFor(s, dir, mod, w, m), w, m)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Load-or-build the persisted chunk store for `dir`'s existing
+    * slices (doc_id % mod != 0): the (chunk_md5, chunk_len) relation
+    * d35 batch and its streaming mirror both probe. Build follows the
+    * d30 convention — initial slice, incremental append, manifest
+    * LAST.
+    */
+  def chunkStoreFor(s: SparkSession, dir: String, mod: Int = 3,
+      w: Int = 8, m: Int = 64): DataFrame = {
     // chunker params ride the tag: a different (w, m) builds ITS OWN
     // store; the manifest scheme check guards externally-shared paths
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_w${w}c$m" +
@@ -486,22 +514,6 @@ object IndexStore {
         docs.filter(pmod(col("doc_id"), lit(mod)) > 1)))
       writeManifest(s, path, "chunkstore", chunkScheme(w, m))
     }
-    val store = loadChunks(s, path, w, m)
-      .select(col("chunk_md5")).distinct()
-      .withColumn("known", lit(true))
-    val incoming = Dedup.cdcChunks(
-      docs.filter(pmod(col("doc_id"), lit(mod)) === 0), w, m)
-      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"),
-        length(col("chunk")).cast("long").as("chunk_len"))
-    incoming.join(store, Seq("chunk_md5"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
-        sum(col("chunk_len")).as("n_bytes"),
-        sum(when(col("known"), col("chunk_len")).otherwise(0L))
-          .as("n_known_bytes"))
-      .withColumn("known_frac",
-        col("n_known_bytes").cast("double") / col("n_bytes").cast("double"))
-      .orderBy(col("doc_id"))
+    loadChunks(s, path, w, m)
   }
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q88 — write-audit-publish MERGE/upsert into a VERSIONED persisted
+  * table (r13 verdict #5): the lakehouse maintenance primitive the
+  * 100 TB story needs — a base snapshot is published, a delta is
+  * merged in, and readers NEVER see a half-written state because a
+  * version becomes visible only when its manifest lands, and the
+  * manifest lands only after the written files are read back and
+  * audited. Builds on q74's mergeability gate (the audit re-derives
+  * the new version's mass from the previous manifest + the delta and
+  * requires exact conservation) and the IndexStore manifest-last
+  * convention, generalized to MULTIPLE immutable versions.
+  *
+  * Table layout under one directory:
+  *   `v=N/`           immutable parquet data files for version N
+  *   `manifest_vN/`   1-row parquet (version, n_rows, orders_mass,
+  *                    price_mass) — written LAST; its `_SUCCESS`
+  *                    marker IS the publish. Manifests are
+  *                    append-only: publishing N never touches N−1, so
+  *                    a reader holds a consistent snapshot for as
+  *                    long as it wants (time travel falls out free).
+  *
+  * Crash safety (spec-pinned): a crash BEFORE publish leaves
+  * `v=N` data files but no `manifest_vN/_SUCCESS` — readers keep
+  * serving N−1, and the next writer run overwrites `v=N` and
+  * publishes, self-healing. A crash DURING the manifest write leaves
+  * no `_SUCCESS`, same story.
+  *
+  * Concurrent writers (r13 verdict #8): publish performs an
+  * OPTIMISTIC version check — it re-lists published manifests and
+  * fails if the head moved past the version this writer based its
+  * merge on, or if the target manifest already exists. This narrows
+  * the lost-update window to the manifest write itself; closing it
+  * entirely needs the store's conditional-put/rename primitive
+  * (HDFS atomic rename, S3 If-None-Match), which is a deployment
+  * binding, not plan logic. Single-writer-per-table remains the
+  * documented operating mode.
+  *
+  * Scale posture: the merge is ONE full-outer join of the current
+  * version with the delta summary, both keyed on the merge key (at
+  * 100 TB both sides are bucketed by o_custkey — zero-Exchange, the
+  * q78 layout); the audit reads ONE manifest row plus the new
+  * version's own aggregate (group-cardinality-sized, not fact-sized);
+  * nothing ever rewrites history. Reference behavior for the family
+  * cited at `Sample.cs:1-264` (the reference has no table-maintenance
+  * surface; SURVEY §2.3 absent category).
+  *
+  * Exactness: counts are bigint; money is decimal(18,2)-cast (exact
+  * for the 2 dp generator values) summed as exact decimal and merged
+  * by exact decimal addition — the merged totals are bit-identical to
+  * the oracle's full recompute; the one double appears at the final
+  * output cast. `last_orderdate` is a max of dates. The merged total
+  * is re-normalized to decimal(28,2) (sum type of the slices) —
+  * exact below 1e26 cents, i.e. always.
+  */
+object LakehouseMerge {
+
+  private def tablePath(s: SparkSession, dir: String, mod: Int): String = {
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_" +
+      IndexStore.corpusTag(s, dir, "orders.parquet")
+    s"target/graft_table/orders_summary/$tag"
+  }
+
+  private def fs(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Highest version with a complete (SUCCESS-marked) manifest; 0 if
+    * none. Probed through the Hadoop FS API (HDFS/S3 paths work). */
+  private[graft] def publishedVersion(s: SparkSession, path: String): Int = {
+    val f = fs(s, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(base)) 0
+    else f.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest_v") =>
+        n.stripPrefix("manifest_v").toInt }
+      .filter(v => f.exists(
+        new org.apache.hadoop.fs.Path(s"$path/manifest_v$v/_SUCCESS")))
+      .sorted.lastOption.getOrElse(0)
+  }
+
+  /** Write version files WITHOUT publishing — the crash-window state
+    * the spec drives directly. Overwrite: re-running a failed writer
+    * self-heals. */
+  private[graft] def writeVersion(df: DataFrame, path: String,
+      v: Int): Unit =
+    df.write.mode("overwrite").parquet(s"$path/v=$v")
+
+  private[graft] def readVersion(s: SparkSession, path: String,
+      v: Int): DataFrame =
+    s.read.parquet(s"$path/v=$v")
+
+  /** The published view of the table: resolves the manifest head,
+    * then reads that version's files. */
+  def readTable(s: SparkSession, path: String): DataFrame = {
+    val v = publishedVersion(s, path)
+    require(v > 0, s"no published version at $path")
+    readVersion(s, path, v)
+  }
+
+  /** AUDIT then PUBLISH version `v`: read the just-written files BACK
+    * from storage, compare (rows, orders_mass, price_mass) against
+    * the caller's expectation, optimistically re-check the version
+    * head, and only then write `manifest_vN` (the publish). A failed
+    * audit throws with both sides — the unpublished `v=N` files are
+    * inert. */
+  private[graft] def auditAndPublish(s: SparkSession, path: String, v: Int,
+      expRows: Long, expOrders: Long, expPrice: java.math.BigDecimal): Unit = {
+    val back = readVersion(s, path, v)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_orders")).as("om"),
+        sum(col("total_dec")).as("pm")).head()
+    val (gotRows, gotOrders) = (back.getLong(0), back.getLong(1))
+    val gotPrice = back.getDecimal(2)
+    require(gotRows == expRows && gotOrders == expOrders &&
+      gotPrice.compareTo(expPrice) == 0,
+      s"audit failed for v$v at $path: read back ($gotRows rows, " +
+        s"$gotOrders orders, $gotPrice) expected ($expRows, $expOrders, " +
+        s"$expPrice) — NOT publishing")
+    // optimistic concurrency check (r13 verdict #8): fail rather than
+    // publish over a version another writer landed first
+    val head = publishedVersion(s, path)
+    require(head == v - 1,
+      s"publish conflict at $path: head is v$head, this writer merged " +
+        s"from v${v - 1} — rebase required")
+    import s.implicits._
+    Seq((v, gotRows, gotOrders, gotPrice.toPlainString))
+      .toDF("version", "n_rows", "orders_mass", "price_mass")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$path/manifest_v$v")
+  }
+
+  private def readManifestRow(s: SparkSession, path: String,
+      v: Int): (Long, Long, java.math.BigDecimal) = {
+    val r = s.read.parquet(s"$path/manifest_v$v").head()
+    (r.getLong(1), r.getLong(2), new java.math.BigDecimal(r.getString(3)))
+  }
+
+  private def summarize(o: DataFrame): DataFrame =
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("total_dec"),
+        max(col("o_orderdate").cast("date")).as("last_orderdate"))
+
+  private def massOf(summary: DataFrame):
+      (Long, Long, java.math.BigDecimal) = {
+    val r = summary.agg(count(lit(1)).as("n"), sum(col("n_orders")),
+      sum(col("total_dec")).cast("decimal(38,2)")).head()
+    (r.getLong(0), r.getLong(1), r.getDecimal(2))
+  }
+
+  /** The registered q88: publish a v1 base snapshot (orders with
+    * o_orderkey % mod != 0 summarized per customer), MERGE the
+    * remaining slice in as v2 under write-audit-publish, and return
+    * the table AS A READER SEES IT (through the manifest head) —
+    * which the oracle checks against a full recompute over ALL
+    * orders: conservation end-to-end, through two publishes and a
+    * crash-safe merge. Warm runs resolve the manifest head and go
+    * straight to the read.
+    */
+  def upsertOrdersSummary(s: SparkSession, dir: String,
+      mod: Int = 3): DataFrame = {
+    val path = tablePath(s, dir, mod)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    if (publishedVersion(s, path) < 1) {
+      val base = summarize(
+        orders.filter(pmod(col("o_orderkey"), lit(mod)) =!= 0))
+      val (r, om, pm) = massOf(base)
+      writeVersion(base, path, 1)
+      auditAndPublish(s, path, 1, r, om, pm)
+    }
+    if (publishedVersion(s, path) < 2) {
+      val delta = summarize(
+        orders.filter(pmod(col("o_orderkey"), lit(mod)) === 0))
+      val current = readVersion(s, path, 1)
+      // MERGE: matched customers add their masses (decimal-exact) and
+      // take the later date; unmatched insert as-is. greatest()
+      // ignores nulls on the outer join's unmatched sides.
+      val merged = current.as("c")
+        .join(delta.as("d"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("c.n_orders"), lit(0L)) +
+            coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
+          (coalesce(col("c.total_dec"), lit(0).cast("decimal(28,2)")) +
+            coalesce(col("d.total_dec"), lit(0).cast("decimal(28,2)")))
+            .cast("decimal(28,2)").as("total_dec"),
+          greatest(col("c.last_orderdate"), col("d.last_orderdate"))
+            .as("last_orderdate"))
+      writeVersion(merged, path, 2)
+      // expected v2 mass = published v1 manifest + computed delta mass:
+      // the q74-style conservation gate, derived WITHOUT re-reading v1
+      val (_, om1, pm1) = readManifestRow(s, path, 1)
+      val (_, omD, pmD) = massOf(delta)
+      val expRows = merged.count()
+      auditAndPublish(s, path, 2, expRows, om1 + omD, pm1.add(pmD))
+    }
+    readTable(s, path)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("total_price"),
+        col("last_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+}

@@ -281,9 +281,13 @@ object TextAnalysis {
     * only k rows per doc survive the final shuffle. ~3 shuffles total
     * (doc+term, term, doc) regardless of corpus size.
     */
-  /** ULP AUDIT (r12): idf carries `ln` — JVM/libm last-ulp drift is
-    * possible on any rerun; allowlisted in check_oracle.py, fold
-    * order pinned, observed max ~2 ulp at sf0.01. */
+  /** DEMOTED to spec-gated (r13 verdict #1): idf carries `ln`, and
+    * r12 proved JVM `Math.log` vs DuckDB libm drift in the last ulp
+    * on identical args — this form can never clear a bit-exact hash
+    * gate. The REGISTERED t6 is [[tfidfTopKLin]] (rational idf, exact
+    * arithmetic); TextAnalysisSpec gates this classic-idf form at
+    * 1e-9 against a driver-side scalar reference (the
+    * mixtureDriftJsd convention). */
   def tfidfTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df (per term) and doc length (per doc) as windows over the ONE tf
@@ -305,6 +309,52 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** t6 (REGISTERED form, r13 verdict #1) — top-k terms per document
+    * under tf-idf with the RATIONAL idf variant: score = (cnt/n_tok)·
+    * (nd/dfr), emitted as `tfidf_lin` = (cnt·nd)/(n_tok·dfr) — ONE
+    * IEEE divide of two exact bigint products, bit-identical across
+    * engines (the t28 lift-over-PMI / t32 TVD convention: a
+    * transcendental-free companion is the hash-gated statistic; the
+    * classic ln-idf ranking survives as the spec-gated
+    * [[tfidfTopK]]). Linear idf is its own documented weighting, not
+    * an approximation of ln: within a document it ranks by the exact
+    * rational cnt/dfr (n_tok and nd are per-doc constants), which
+    * up-weights rare terms more aggressively than ln-idf.
+    *
+    * Exactness envelope: cnt·nd and n_tok·dfr stay below 2^53 while
+    * docs are ≲1e5 tokens and the corpus ≲1e9 documents (cnt ≤ doc
+    * length, dfr ≤ nd), so the double casts are value-exact and the
+    * single divide is correctly rounded on both engines; equal-double
+    * ties (including genuinely equal rationals) break on `term` —
+    * fully deterministic. The exact integer evidence (cnt, dfr,
+    * n_tok, nd) rides along so ANY idf weighting is recomputable
+    * downstream without a corpus rescan.
+    *
+    * Plan shape is [[tfidfTopK]]'s (~3 shuffles, rank filter →
+    * WindowGroupLimit); only the scoring expression changed.
+    */
+  def tfidfTopKLin(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dfr", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("n_tok", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_lin").desc, col("term"))
+    tf.crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_lin",
+        (col("cnt") * col("nd")).cast("double") /
+          (col("n_tok") * col("dfr")).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("cnt"),
+        col("dfr"), col("n_tok"), col("nd"), col("tfidf_lin"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -341,9 +391,12 @@ object TextAnalysis {
     * no probability mass and are absent, on both engines, by the inner
     * join's construction.
     */
-  /** ULP AUDIT (r12): per-token `ln` terms — engine last-ulp drift
-    * possible; allowlisted in check_oracle.py, token-sorted fold
-    * pinned, observed max ~4 ulp at sf0.01. */
+  /** DEMOTED to spec-gated (r13 verdict #1): the per-token `ln` terms
+    * carry engine last-ulp drift. The REGISTERED t10 is
+    * [[unigramMeanProb]] (exact integer mass + one divide); this
+    * geometric-mean form stays the t19 tercile input (t19 rounds at
+    * 1e-6 before any comparison, absorbing the drift) and is gated in
+    * TextAnalysisSpec at 1e-9 against a driver-side reference. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
@@ -358,6 +411,45 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         avg(-log((col("c") + lit(1.0)) / (col("n") + col("v"))))
           .as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t10 (REGISTERED form, r13 verdict #1) — the unigram LM quality
+    * proxy as EXACT arithmetic: per document the ARITHMETIC-mean token
+    * probability under the corpus add-one unigram model,
+    * mean p = Σ_t (c(t)+1) / (n_tokens · (N+V)), alongside the exact
+    * integer mass Σ_t (c(t)+1) it derives from. Same signal axis as
+    * the geometric-mean [[unigramLogprob]] (low = stereotyped
+    * high-frequency text, high = rare-token soup, inverted: HIGH mean
+    * prob = stereotyped) but transcendental-free: the sum is an exact
+    * bigint, the denominator an exact bigint product, and the score
+    * ONE correctly-rounded IEEE divide — bit-identical across engines
+    * (the t32 TVD convention). The −ln form is spec-gated and remains
+    * t19's tercile input.
+    *
+    * Exactness envelope: Σ(c+1) ≤ n_tokens·(max c+1) and
+    * n_tokens·(N+V) both stay below 2^53 for ≲1e5-token docs against
+    * a ≲1e12-token corpus — documented headroom, not an assumption.
+    * Same dataflow/scale posture as [[unigramLogprob]] (one cached
+    * tokenize pass, term-count join, 1-row broadcast totals).
+    */
+  def unigramMeanProb(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .cache()
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"), count_distinct(col("t")).as("v"))
+    toks.join(cnt, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("c") + lit(1L)).as("sum_cp1"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cp1"),
+        (col("sum_cp1").cast("double") /
+          (col("n_tokens").cast("bigint") * (col("n") + col("v")))
+            .cast("double")).as("mean_token_prob"))
       .orderBy(col("doc_id"))
   }
 
@@ -569,8 +661,13 @@ object TextAnalysis {
     * (distributed heap-k, no total sort); the rank window runs over the
     * ≤ topK surviving rows — bounded, not a scale concern.
     */
-  /** ULP AUDIT (r12): idf `ln` — engine last-ulp drift possible;
-    * allowlisted in check_oracle.py, observed max ~1 ulp at sf0.01. */
+  /** DEMOTED to spec-gated (r13 verdict #1): the idf `ln` carries
+    * engine last-ulp drift. The REGISTERED t15 is [[bm25RankLin]]
+    * (RSJ-odds idf — ln-free, deterministic double tree);
+    * TextAnalysisSpec gates this classic form at 1e-9 against a
+    * driver-side scalar reference, and s18's RRF fusion keeps
+    * consuming it (RRF reads only the rank ORDER, which drift can
+    * touch only where two docs' scores sit within an ulp). */
   def bm25Rank(s: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("table", "scan", "join"),
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
@@ -613,6 +710,64 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** t15 (REGISTERED form, r13 verdict #1) — BM25 ranking with the
+    * RSJ ODDS idf variant: idf_lin = (N − df + 0.5)/(df + 0.5) — the
+    * exact odds whose logarithm classic BM25 takes (Robertson &
+    * Spärck Jones's relevance weight without the log). Everything
+    * else is BM25 verbatim (k1/b saturation, per-term conditional
+    * sums in fixed query-term order). Ln-free, so every score is a
+    * FIXED tree of correctly-rounded IEEE basic ops evaluated in the
+    * same order on both engines — bit-identical, full hash oracle
+    * (the t32 TVD convention). The odds transform is monotone PER
+    * TERM but not across a multi-term sum, so this is its own
+    * documented ranking (it sharpens the rare-term preference), not a
+    * reproduction of the ln ranking — which survives as the
+    * spec-gated [[bm25Rank]].
+    *
+    * Determinism inventory: avgdl is one double divide of exact
+    * aggregates; idf_lin two exact-int adds + one divide; the weight
+    * one multiply chain and one divide, parenthesized identically in
+    * the oracle SQL; the ≤|queryTerms| additions fold in pinned
+    * order. No sum of data-dependent cardinality touches a double.
+    */
+  def bm25RankLin(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("table", "scan", "join"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok",
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .cache()
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val stats = tf.agg((sum(col("cnt")) * lit(1.0) /
+      count_distinct(col("doc_id"))).as("avgdl"))
+    val hits = tf.filter(col("term").isin(queryTerms: _*))
+      .withColumn("dfr", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val idfLin =
+      (col("nd") - col("dfr") + lit(0.5)) / (col("dfr") + lit(0.5))
+    val w = (idfLin * (col("cnt") * (lit(k1) + lit(1.0)))) /
+      (col("cnt") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("n_tok") / col("avgdl")))
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("w"))).as(s"w_$i") }
+    val scored = hits
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(stats))
+      .withColumn("w", w)
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("bm25_lin",
+        queryTerms.indices.map(i => coalesce(col(s"w_$i"), lit(0.0)))
+          .reduce(_ + _))
+    scored
+      .orderBy(col("bm25_lin").desc, col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25_lin").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), col("bm25_lin"))
+      .orderBy(col("rank"))
+  }
+
   /** t16 — bigram-interpolated LM score: each document's mean negative
     * log-probability of its adjacent token pairs under a corpus bigram
     * model with unigram back-off, p(w_i | w_{i-1}) = λ·c(w_{i-1},w_i)/
@@ -637,9 +792,11 @@ object TextAnalysis {
     * broadcast. Docs with <2 tokens have no pairs and are absent, on
     * both engines, by construction.
     */
-  /** ULP AUDIT (r12): per-bigram `ln` terms — engine last-ulp drift
-    * possible; allowlisted in check_oracle.py, sorted fold pinned,
-    * observed max ~7 ulp at sf0.01. */
+  /** DEMOTED to spec-gated (r13 verdict #1): the per-bigram `ln`
+    * terms carry engine last-ulp drift. The REGISTERED t16 is
+    * [[bigramMoments]] (exact integer count moments + ratio-of-sums
+    * scores); TextAnalysisSpec gates this interpolated-logprob form
+    * at 1e-9 against a driver-side scalar reference. */
   def bigramLogprob(s: SparkSession, dir: String,
       lambda: Double = 0.7): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -671,6 +828,71 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t16 (REGISTERED form, r13 verdict #1) — the bigram fluency
+    * signal as EXACT count moments: per document the exact integer
+    * sums of the three count components every interpolated LM score
+    * is built from — Σc₂ (bigram counts), Σc_prev, Σc_cur (unigram
+    * counts at each pair position) — plus two ratio-of-sums scores
+    * that are each deterministic double arithmetic:
+    *
+    *   pooled_cond    = Σc₂ / Σc_prev           (one IEEE divide)
+    *   pooled_backoff = (Σc_cur + n_bigrams) / (n_bigrams·(N+V))
+    *   pooled_interp  = 0.7·pooled_cond + 0.3·pooled_backoff
+    *
+    * Ratio-of-sums (aggregate THEN divide) replaces t16's
+    * mean-of-ratios: the sums are exact bigints whatever the
+    * aggregation order, so nothing transcendental or
+    * order-sensitive remains and the hash oracle is full
+    * (the t32 TVD convention). Same fluency axis — a shuffled-token
+    * doc has low pooled_cond (its pairs are rare relative to their
+    * head words); the per-pair geometric mean survives as the
+    * spec-gated [[bigramLogprob]]. Exactness envelope: each sum ≤
+    * n_bigrams·max-count < 2^53 for ≲1e5-token docs against a
+    * ≲1e12-token corpus; n_bigrams·(N+V) likewise.
+    *
+    * Dataflow identical to [[bigramLogprob]] (one cached tokenize
+    * pass, pair-position generator, three vocab joins, broadcast
+    * totals).
+    */
+  def bigramMoments(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    val toks = d.select(col("doc_id"), explode(col("toks")).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"), count_distinct(col("t")).as("v"))
+    val pairs = d
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("wp"),
+        element_at(col("toks"), col("i") + 1).as("wc"))
+    val bcnt = pairs.groupBy(col("wp"), col("wc")).agg(count(lit(1)).as("c2"))
+    val cp = cnt.select(col("t").as("wp"), col("c").as("cp"))
+    val cc = cnt.select(col("t").as("wc"), col("c").as("cc"))
+    pairs.join(bcnt, Seq("wp", "wc")).join(cp, "wp").join(cc, "wc")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("c2")).as("sum_c2"),
+        sum(col("cp")).as("sum_cp"),
+        sum(col("cc")).as("sum_cc"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_c2"),
+        col("sum_cp"), col("sum_cc"),
+        (col("sum_c2").cast("double") / col("sum_cp").cast("double"))
+          .as("pooled_cond"),
+        ((col("sum_cc") + col("n_bigrams")).cast("double") /
+          (col("n_bigrams").cast("bigint") * (col("n") + col("v")))
+            .cast("double")).as("pooled_backoff"))
+      .withColumn("pooled_interp",
+        lit(0.7) * col("pooled_cond") + lit(0.3) * col("pooled_backoff"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t17 — Zipf rank–frequency fit: OLS regression of ln(count) on
     * ln(rank) over the corpus's top-R unigrams (Zipf's law predicts
     * slope ≈ −1 on natural text; a natural-language corpus that fits
@@ -687,10 +909,12 @@ object TextAnalysis {
     * partial-aggregable pass over R rows (regr_* carry their moment
     * sums through the merge).
     */
-  /** ULP AUDIT (r12): regression over `ln(rank)`/`ln(freq)` — engine
-    * last-ulp drift possible and AMPLIFIED by the closing divides
-    * (observed max ~77 ulp at sf0.01); allowlisted in
-    * check_oracle.py. */
+  /** DEMOTED to spec-gated (r13 verdict #1): the regression runs over
+    * `ln(rank)`/`ln(count)` and the closing divides AMPLIFY last-ulp
+    * drift ~77× (r12 measurement) — the worst ulp exposure in the
+    * suite. The REGISTERED t17 is [[zipfOctaves]] (exact integer
+    * rank-octave histogram); TextAnalysisSpec gates this OLS form at
+    * 1e-9 against a driver-side reference. */
   def zipfFit(s: SparkSession, dir: String, topR: Int = 1000): DataFrame = {
     val cnt = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
@@ -704,6 +928,47 @@ object TextAnalysis {
         regr_slope(log(col("c")), log(col("rank"))).as("slope"),
         regr_intercept(log(col("c")), log(col("rank"))).as("intercept"),
         regr_r2(log(col("c")), log(col("rank"))).as("r2"))
+  }
+
+  /** t17 (REGISTERED form, r13 verdict #1) — the Zipf health check as
+    * an EXACT rank-octave histogram: the top-R unigrams bucketed by
+    * octave = ⌊log₂ rank⌋ (computed by an integer CASE ladder — no
+    * transcendental anywhere), with per-octave exact aggregates
+    * (n_terms, sum_count, min_count, max_count). Under Zipf's law
+    * c(r) ≈ K/r, each octave's count SUM is ≈ K·ln 2 — a FLAT
+    * sum_count across octaves is slope ≈ −1; a rising/falling trend
+    * is the shallow/steep-slope red flag "What's in My Big Data?"
+    * (Elazar et al. 2024) monitors — so the histogram carries the
+    * same distributional health signal as the OLS fit, in exact
+    * integers with a full hash oracle (the t32 TVD convention). The
+    * slope/intercept/r² regression survives as the spec-gated
+    * [[zipfFit]].
+    *
+    * Scale posture: identical to [[zipfFit]] (one vocab aggregate,
+    * TakeOrderedAndProject head, rank window over ≤topR rows); the
+    * octave aggregate groups ≤⌈log₂ topR⌉+1 rows.
+    */
+  def zipfOctaves(s: SparkSession, dir: String, topR: Int = 1000): DataFrame = {
+    require(topR <= 4096, s"octave ladder covers topR <= 4096, got $topR")
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id")))
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val top = cnt.orderBy(col("c").desc, col("t")).limit(topR)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("t"))))
+    // ⌊log₂ rank⌋ as a CASE ladder over integer literals: exact on
+    // both engines (floor(ln(r)/ln 2) would put exact powers of two
+    // one ulp from the boundary)
+    val octave = (1 to 11).foldLeft(when(col("rank") < 2, 0)) {
+      (acc, k) => acc.when(col("rank") < (1 << (k + 1)), k)
+    }.otherwise(12).cast("int")
+    top.withColumn("octave", octave)
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("sum_count"),
+        min(col("c")).as("min_count"), max(col("c")).as("max_count"))
+      .orderBy(col("octave"))
   }
 
   /** t18 — Heaps'-law vocabulary growth: cumulative corpus tokens vs

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LakehouseMerge
+
+/** q88 write-audit-publish: crash safety, audit gating, optimistic
+  * publish, and end-to-end conservation against a full recompute.
+  */
+class LakehouseMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def tmpTable(): String = {
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "lakehouse").toString
+  }
+
+  private def planted(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("o_custkey", "n_orders", "td", "ld")
+      .select(col("o_custkey"), col("n_orders"),
+        col("td").cast("decimal(28,2)").as("total_dec"),
+        col("ld").cast("date").as("last_orderdate"))
+  }
+
+  test("crash between write and publish leaves the old version readable") {
+    val path = tmpTable()
+    val v1 = planted(Seq((1L, 2L, "10.00", "1997-01-01"),
+      (2L, 1L, "5.00", "1997-02-01")))
+    LakehouseMerge.writeVersion(v1, path, 1)
+    LakehouseMerge.auditAndPublish(spark, path, 1,
+      2L, 3L, new java.math.BigDecimal("15.00"))
+    assert(LakehouseMerge.publishedVersion(spark, path) == 1)
+    assert(LakehouseMerge.readTable(spark, path).count() == 2)
+
+    // CRASH WINDOW: v2 files land, publish never runs — readers must
+    // keep serving v1
+    val v2 = planted(Seq((1L, 3L, "12.00", "1997-03-01"),
+      (2L, 1L, "5.00", "1997-02-01"), (3L, 1L, "7.00", "1997-04-01")))
+    LakehouseMerge.writeVersion(v2, path, 2)
+    assert(LakehouseMerge.publishedVersion(spark, path) == 1,
+      "unpublished files must not move the head")
+    assert(LakehouseMerge.readTable(spark, path)
+      .agg(sum(col("n_orders"))).head().getLong(0) == 3L,
+      "reader must still see v1's rows")
+
+    // the writer re-runs (self-heal): publish succeeds, head moves
+    LakehouseMerge.auditAndPublish(spark, path, 2,
+      3L, 5L, new java.math.BigDecimal("24.00"))
+    assert(LakehouseMerge.publishedVersion(spark, path) == 2)
+    assert(LakehouseMerge.readTable(spark, path).count() == 3)
+  }
+
+  test("a failed audit refuses to publish") {
+    val path = tmpTable()
+    LakehouseMerge.writeVersion(
+      planted(Seq((1L, 1L, "10.00", "1997-01-01"))), path, 1)
+    val e = intercept[IllegalArgumentException] {
+      // wrong expected mass: files are corrupt/incomplete by hypothesis
+      LakehouseMerge.auditAndPublish(spark, path, 1,
+        1L, 1L, new java.math.BigDecimal("999.00"))
+    }
+    assert(e.getMessage.contains("NOT publishing"))
+    assert(LakehouseMerge.publishedVersion(spark, path) == 0,
+      "no manifest may land after a failed audit")
+  }
+
+  test("optimistic publish refuses a moved head and a double publish") {
+    val path = tmpTable()
+    val v1 = planted(Seq((1L, 1L, "10.00", "1997-01-01")))
+    LakehouseMerge.writeVersion(v1, path, 1)
+    LakehouseMerge.auditAndPublish(spark, path, 1,
+      1L, 1L, new java.math.BigDecimal("10.00"))
+    // double publish of v1: head is already 1, not 0 → conflict
+    val e = intercept[IllegalArgumentException] {
+      LakehouseMerge.auditAndPublish(spark, path, 1,
+        1L, 1L, new java.math.BigDecimal("10.00"))
+    }
+    assert(e.getMessage.contains("conflict"))
+    // skipping a version (publish v3 while head is 1) → conflict
+    LakehouseMerge.writeVersion(v1, path, 3)
+    val e2 = intercept[IllegalArgumentException] {
+      LakehouseMerge.auditAndPublish(spark, path, 3,
+        1L, 1L, new java.math.BigDecimal("10.00"))
+    }
+    assert(e2.getMessage.contains("conflict"))
+  }
+
+  test("q88 end-to-end conserves mass vs a full recompute; warm read idempotent") {
+    val got = LakehouseMerge.upsertOrdersSummary(spark, sfDir).collect()
+    val want = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderdate").cast("date")).as("last_orderdate"))
+      .orderBy(col("o_custkey")).collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getDouble(2) == w.getDouble(2),
+        s"cust ${g.getLong(0)}: ${g.getDouble(2)} != ${w.getDouble(2)}")
+      assert(g.getDate(3) == w.getDate(3))
+    }
+    // warm rerun: head already at v2 — a pure manifest-head read
+    val again = LakehouseMerge.upsertOrdersSummary(spark, sfDir).collect()
+    assert(again.map(_.toString).toSeq == got.map(_.toString).toSeq)
+  }
+}

@@ -265,6 +265,43 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache() // batch d11 caches its shingle table
   }
 
+  test("streaming CDC novelty equals batch d35 row-for-row") {
+    // d35's ingest gate as a stream: the incoming slice chunked
+    // in-stream, membership-joined against the PERSISTED chunk store
+    // (load-or-build, same path the registered batch query uses), and
+    // compared row-for-row — both run Dedup.chunkNoveltyAgainst
+    // verbatim, so every column including the known_frac double must
+    // be exactly equal on the closed prefix.
+    val docs = Tables.documents(spark, sfDir)
+    val store = graft.operators.IndexStore.chunkStoreFor(spark, sfDir)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "chunknovelty").toString
+    // two source files + maxFilesPerTrigger=1: the per-doc aggregate
+    // state must hold across micro-batches
+    incoming.repartition(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val out = graft.operators.Dedup.chunkNoveltyStream(stream, store)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("chunknovelty_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("chunknovelty_out")
+    val want = graft.operators.IndexStore.persistedChunkNovelty(spark, sfDir)
+    assert(got.count() > 0)
+    val joined = got.as("g").join(want.as("b"), Seq("doc_id"), "full_outer")
+    assert(joined.filter(
+      col("g.n_chunks").isNull || col("b.n_chunks").isNull ||
+      col("g.n_chunks") =!= col("b.n_chunks") ||
+      col("g.n_known") =!= col("b.n_known") ||
+      col("g.n_bytes") =!= col("b.n_bytes") ||
+      col("g.n_known_bytes") =!= col("b.n_known_bytes") ||
+      col("g.known_frac") =!= col("b.known_frac"))
+      .count() === 0)
+  }
+
   test("streaming exact dedup keeps exactly batch d1's fingerprint set") {
     import graft.functions.TextFunctions.fingerprint
     val docs = Tables.documents(spark, sfDir)

@@ -179,6 +179,187 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t6 ln-idf tfidf (spec-gated form) matches a driver-side reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val nd = docs.length.toLong
+    val dfr = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val expected = docs.flatMap { case (id, toks) =>
+      if (toks.isEmpty) Nil
+      else {
+        val nTok = toks.size.toLong
+        toks.groupBy(identity).toSeq.map { case (t, xs) =>
+          // the same double ops the operator runs, in the same order
+          val score = (xs.length * 1.0 / nTok) * math.log(nd * 1.0 / dfr(t))
+          (id, t, score)
+        }.sortBy { case (_, t, sc) => (-sc, t) }.take(3).zipWithIndex
+          .map { case ((i, t, sc), r) => (i, r + 1, t, sc) }
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = TextAnalysis.tfidfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got.length == expected.length, s"${got.length} != ${expected.length}")
+    got.zip(expected).foreach { case ((gi, gr, gt, gs), (ei, er, et, es)) =>
+      assert(gi == ei && gr == er && gt == et, s"($gi,$gr,$gt) != ($ei,$er,$et)")
+      assert(math.abs(gs - es) < 1e-9, s"doc $gi term $gt: $gs != $es")
+    }
+  }
+
+  test("t6 registered lin-idf form: exact integer evidence and one-divide score") {
+    val rows = TextAnalysis.tfidfTopKLin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, t, cnt, dfr, nTok, nd, lin) =>
+      assert(cnt >= 1 && dfr >= 1 && cnt <= nTok && dfr <= nd)
+      // the emitted score IS the single divide of the exact products
+      assert(lin == (cnt * nd).toDouble / (nTok * dfr).toDouble,
+        s"doc $id term $t: score not the declared divide")
+    }
+    // per-doc: ranks dense, scores descending with term tiebreak
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array((_, _, ta, _, _, _, _, sa), (_, _, tb, _, _, _, _, sb)) =>
+          assert(sa > sb || (sa == sb && ta < tb), s"doc $id rank order")
+        case _ =>
+      }
+    }
+  }
+
+  test("t10 ln form (spec-gated) and registered mean-prob form agree with references") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val cnt = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val n = docs.map(_._2.size.toLong).sum
+    val v = cnt.size.toLong
+    // spec-gated -ln form at 1e-9 (fold-order drift is sub-1e-12 here)
+    val expLn = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      id -> toks.map(t => -math.log((cnt(t) + 1.0) / (n + v))).sum / toks.size
+    }.toMap
+    val gotLn = TextAnalysis.unigramLogprob(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotLn.keySet == expLn.keySet)
+    gotLn.foreach { case (id, sc) =>
+      assert(math.abs(sc - expLn(id)) < 1e-9, s"doc $id: $sc != ${expLn(id)}") }
+    // registered exact form: integer mass EXACT, score is the divide
+    val expSum = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      id -> toks.map(t => cnt(t) + 1L).sum
+    }.toMap
+    val got = TextAnalysis.unigramMeanProb(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expSum.keySet)
+    got.foreach { case (id, (nt, sumCp1, mp)) =>
+      assert(sumCp1 == expSum(id), s"doc $id: sum_cp1 $sumCp1 != ${expSum(id)}")
+      assert(mp == sumCp1.toDouble / (nt.toLong * (n + v)).toDouble,
+        s"doc $id: mean_token_prob not the declared divide")
+    }
+  }
+
+  test("t15 registered RSJ-odds form matches a driver-side scalar reference") {
+    val queryTerms = Seq("table", "scan", "join")
+    val (k1, b) = (1.2, 0.75)
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val nd = docs.length.toLong
+    val withToks = docs.filter(_._2.nonEmpty)
+    val avgdl = withToks.map(_._2.size.toLong).sum * 1.0 / withToks.length
+    val df = queryTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val score = queryTerms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val idf = (nd - df(t) + 0.5) / (df(t) + 0.5)
+          (idf * (tf * (k1 + 1.0))) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+        }
+      }.sum
+      if (queryTerms.exists(toks.contains)) Some(id -> score) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = TextAnalysis.bm25RankLin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == (1 to got.length).toSeq, "ranks not dense")
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq, "doc order mismatch")
+    got.zip(expected).foreach { case ((_, _, sc), (_, ref)) =>
+      assert(math.abs(sc - ref) < 1e-9, s"score $sc != $ref")
+    }
+  }
+
+  test("t16 registered count-moment form matches a driver-side exact reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq))
+    val uni = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val n = docs.map(_._2.size.toLong).sum
+    val v = uni.size.toLong
+    val bi = docs.flatMap(_._2.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = docs.flatMap { case (id, toks) =>
+      val pairs = toks.sliding(2).filter(_.size == 2).toSeq
+      if (pairs.isEmpty) None
+      else Some(id -> ((pairs.length,
+        pairs.map(p => bi((p(0), p(1)))).sum,
+        pairs.map(p => uni(p(0))).sum,
+        pairs.map(p => uni(p(1))).sum)))
+    }.toMap
+    val got = TextAnalysis.bigramMoments(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nb, s2, sp, sc, pc, pb, pi)) =>
+      val (enb, es2, esp, esc) = expected(id)
+      assert(nb == enb && s2 == es2 && sp == esp && sc == esc,
+        s"doc $id: moments ($nb,$s2,$sp,$sc) != ($enb,$es2,$esp,$esc)")
+      assert(pc == s2.toDouble / sp.toDouble)
+      assert(pb == (sc + nb).toDouble / (nb.toLong * (n + v)).toDouble)
+      assert(math.abs(pi - (0.7 * pc + 0.3 * pb)) < 1e-15)
+    }
+  }
+
+  test("t17 registered octave histogram matches a driver-side exact reference") {
+    import org.apache.spark.sql.functions.col
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val top = toks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val expected = top.zipWithIndex
+      .map { case ((_, c), i) =>
+        val rank = i + 1
+        (63 - java.lang.Long.numberOfLeadingZeros(rank.toLong), c) }
+      .groupBy(_._1).map { case (o, xs) =>
+        val cs = xs.map(_._2)
+        (o.toInt, (cs.length.toLong, cs.sum, cs.min, cs.max)) }
+    val got = TextAnalysis.zipfOctaves(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"octaves: $got != $expected")
+    // Zipf health on this corpus: octave sums must not be wildly
+    // unbalanced (each octave within 10x of the median octave mass)
+    val sums = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(sums.length >= 5, "corpus head should span >= 5 octaves")
+  }
+
   test("t17 zipf fit matches a driver-side OLS reference") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)

@@ -24,13 +24,12 @@ import duckdb
 
 # Queries allowed to drift at the ulp level (and why). Shrink this
 # list; never grow it without a documented exactness argument at the
-# operator. Every entry is ln-arithmetic or reference-semantics double
-# averaging where exact decimal reformulation would change semantics.
+# operator. r14 (r13 verdict #1): the five ln-bearing text statistics
+# (t6/t10/t15/t16/t17) registered transcendental-free companion forms
+# and left the list — their ln variants are spec-gated in
+# TextAnalysisSpec. Every remaining entry is contractual double
+# arithmetic where exact reformulation would change semantics.
 ULP_DRIFT_ALLOWED = {
-    # JVM Math.log vs DuckDB libm last-ulp disagreement (documented at
-    # each operator; fold orders are pinned so ln is the only source):
-    "t6_tfidf", "t10_unigram_logprob", "t15_bm25_rank",
-    "t16_bigram_logprob", "t17_zipf_fit",
     # EWMA recurrence: multiplicative double recurrence, order-pinned
     # but rounding accumulates per step on both engines:
     "q62_anomaly",
