@@ -301,6 +301,9 @@ object SparkEntry {
     // base publish + delta merge + conservation audit, read through
     // the manifest head; oracled against a full recompute
     "q88_upsert_publish" -> (LakehouseMerge.upsertOrdersSummary(_, _)),
+    // Time travel: concurrent read of two published versions, exact
+    // per-customer insert/update deltas (snapshot diff on the store)
+    "q89_version_diff" -> (LakehouseMerge.versionDiff(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1728,6 +1731,24 @@ object SparkEntry {
         |    AS total_price,
         |  max(CAST(o_orderdate AS DATE)) AS last_orderdate
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q89: the oracle derives the diff from the raw slices — insert =
+    // no base-slice order, update = both slices present; deltas are
+    // the delta-slice masses exactly (decimal-exact through the
+    // engine's two publishes).
+    "q89_version_diff" ->
+      """WITH delta AS (SELECT o_custkey, count(*) AS d_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS d_price
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey),
+        |base AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderkey % 3 <> 0)
+        |SELECT d.o_custkey,
+        |  CASE WHEN b.o_custkey IS NULL THEN 'insert' ELSE 'update' END
+        |    AS change,
+        |  CAST(d.d_orders AS BIGINT) AS n_orders_delta,
+        |  CAST(d.d_price AS DOUBLE) AS price_delta
+        |FROM delta d LEFT JOIN base b USING (o_custkey)
+        |ORDER BY d.o_custkey""".stripMargin,
 
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-

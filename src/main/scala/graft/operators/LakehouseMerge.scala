@@ -154,6 +154,67 @@ object LakehouseMerge {
     (r.getLong(0), r.getLong(1), r.getDecimal(2))
   }
 
+  /** q88's STREAMING form — continuous lakehouse ingest: every
+    * micro-batch of a live orders feed runs the SAME summarize →
+    * merge → write → audit → publish cycle against the current
+    * manifest head, so the versioned table advances one audited,
+    * crash-safe version per non-empty batch and a reader at any
+    * moment sees a complete published snapshot (never a half-merged
+    * batch). Because the merge is mass-ADDITIVE (exact decimal sums,
+    * max dates), the final table is independent of how the feed was
+    * batched — StreamingSpec asserts equality with the one-shot batch
+    * recompute over the whole feed, and that each intermediate
+    * version was published in sequence.
+    *
+    * foreachBatch is the right sink: the merge needs the previous
+    * VERSION (a table read), the conservation audit, and a
+    * manifest publish — per-batch actions outside what a streaming
+    * aggregate state can express. Restart semantics: a batch
+    * replayed after a crash re-runs its merge against the head it
+    * finds; the optimistic head check makes the publish safe, and a
+    * batch that fully published before the crash re-merges as a
+    * no-op only if the caller's feed is exactly-once — otherwise use
+    * the checkpointed batchId to skip (documented, not defaulted:
+    * dedup-on-replay is a feed contract, not plan logic).
+    */
+  def upsertOrdersStream(streamOrders: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamOrders.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val delta = summarize(batch
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate"))).cache()
+          val (_, omD, pmD) = massOf(delta)
+          val head = publishedVersion(s, path)
+          if (head == 0) {
+            writeVersion(delta, path, 1)
+            val (r1, om1, pm1) = massOf(delta)
+            auditAndPublish(s, path, 1, r1, om1, pm1)
+          } else {
+            val current = readVersion(s, path, head)
+            val merged = current.as("c")
+              .join(delta.as("d"), Seq("o_custkey"), "full_outer")
+              .select(col("o_custkey"),
+                (coalesce(col("c.n_orders"), lit(0L)) +
+                  coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
+                (coalesce(col("c.total_dec"), lit(0).cast("decimal(28,2)")) +
+                  coalesce(col("d.total_dec"), lit(0).cast("decimal(28,2)")))
+                  .cast("decimal(28,2)").as("total_dec"),
+                greatest(col("c.last_orderdate"), col("d.last_orderdate"))
+                  .as("last_orderdate"))
+            writeVersion(merged, path, head + 1)
+            val (_, omH, pmH) = readManifestRow(s, path, head)
+            val expRows = merged.count()
+            auditAndPublish(s, path, head + 1,
+              expRows, omH + omD, pmH.add(pmD))
+          }
+          delta.unpersist()
+          ()
+        }
+    }
+
   /** The registered q88: publish a v1 base snapshot (orders with
     * o_orderkey % mod != 0 summarized per customer), MERGE the
     * remaining slice in as v2 under write-audit-publish, and return
@@ -163,6 +224,46 @@ object LakehouseMerge {
     * crash-safe merge. Warm runs resolve the manifest head and go
     * straight to the read.
     */
+  /** q89 — TIME-TRAVEL version diff: read versions 1 and 2 of the
+    * published table CONCURRENTLY (immutable `v=N` directories make
+    * this free — publishing v2 never touched v1's files) and emit the
+    * per-customer change report: customers INSERTED by the merge and
+    * customers UPDATED, with their exact order-count and price deltas.
+    * This is the snapshot-diff primitive (d31's shape, on the
+    * versioned table store): an incremental downstream consumer reads
+    * the delta between two published versions instead of re-scanning
+    * the table. Runs the q88 flow first if the table is unpublished
+    * (warm runs resolve manifests only).
+    *
+    * Exactness: deltas are exact bigint/decimal differences of
+    * version rows; the oracle recomputes them from the raw slices —
+    * conservation must hold through both publishes for the hashes to
+    * agree. Deletes cannot occur in this merge (it only adds mass),
+    * so every changed row classifies as insert or update.
+    *
+    * Scale posture: one full-outer join of two versions co-keyed on
+    * the merge key (bucketed at 100 TB → zero Exchange, the q78
+    * layout); nothing touches the fact table.
+    */
+  def versionDiff(s: SparkSession, dir: String, mod: Int = 3): DataFrame = {
+    upsertOrdersSummary(s, dir, mod) // ensure v1+v2 are published
+    val path = tablePath(s, dir, mod)
+    val v1 = readVersion(s, path, 1).as("a")
+    val v2 = readVersion(s, path, 2).as("b")
+    v2.join(v1, Seq("o_custkey"), "left")
+      .filter(col("a.n_orders").isNull ||
+        col("b.n_orders") =!= col("a.n_orders"))
+      .select(col("o_custkey"),
+        when(col("a.n_orders").isNull, lit("insert"))
+          .otherwise(lit("update")).as("change"),
+        (col("b.n_orders") - coalesce(col("a.n_orders"), lit(0L)))
+          .as("n_orders_delta"),
+        (col("b.total_dec") -
+          coalesce(col("a.total_dec"), lit(0).cast("decimal(28,2)")))
+          .cast("double").as("price_delta"))
+      .orderBy(col("o_custkey"))
+  }
+
   def upsertOrdersSummary(s: SparkSession, dir: String,
       mod: Int = 3): DataFrame = {
     val path = tablePath(s, dir, mod)

@@ -91,6 +91,67 @@ class LakehouseMergeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("conflict"))
   }
 
+  test("streaming upsert publishes one audited version per batch; final equals batch recompute") {
+    val path = tmpTable()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val base = Paths.get("target", "test-tmp")
+    val d = Files.createTempDirectory(base, "upsertstream").toString
+    // two source files + maxFilesPerTrigger=1: the merge must carry
+    // the published head across micro-batches
+    orders.repartition(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val q = graft.operators.LakehouseMerge.upsertOrdersStream(stream, path)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    assert(graft.operators.LakehouseMerge.publishedVersion(spark, path) == 2,
+      "two non-empty batches must publish exactly v1 and v2")
+    val got = graft.operators.LakehouseMerge.readTable(spark, path)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("tp"), col("last_orderdate"))
+      .orderBy(col("o_custkey")).collect()
+    val want = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tp"),
+        max(col("o_orderdate").cast("date")).as("last_orderdate"))
+      .orderBy(col("o_custkey")).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getDouble(2) == w.getDouble(2))
+      assert(g.getDate(3) == w.getDate(3))
+    }
+  }
+
+  test("q89 version diff classifies inserts/updates with exact slice deltas") {
+    val got = LakehouseMerge.versionDiff(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference straight from the raw slices
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val delta = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val baseCust = orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == delta.keySet, "diff rows must be exactly the delta customers")
+    assert(got.nonEmpty)
+    got.foreach { case (c, (change, nD, pD)) =>
+      val (en, ep) = delta(c)
+      assert(nD == en && pD == ep, s"cust $c: ($nD,$pD) != ($en,$ep)")
+      assert(change == (if (baseCust(c)) "update" else "insert"))
+    }
+    // both classes should occur on the sf corpus
+    assert(got.values.map(_._1).toSet == Set("insert", "update"))
+  }
+
   test("q88 end-to-end conserves mass vs a full recompute; warm read idempotent") {
     val got = LakehouseMerge.upsertOrdersSummary(spark, sfDir).collect()
     val want = Tables.orders(spark, sfDir)
