@@ -274,6 +274,9 @@ object SparkEntry {
     // Per-channel normalization stats (interleaved RGB stand-in):
     // exact integer moments, one divide + one IEEE sqrt
     "m15_channel_stats" -> (Multimodal.channelStats(_, _)),
+    // Patch-pool embedding bridge: m11's plane pooled to an integer
+    // patch-sum vector, probes ranked by exact-arithmetic cosine
+    "m16_patch_embed_topk" -> (Multimodal.patchEmbedTopK(_, _)),
     // Storage-novelty scoring from a PERSISTED chunk store (build →
     // append → load → membership join; byte-weighted known fraction)
     "d35_chunk_novelty" -> (IndexStore.persistedChunkNovelty(_, _)),
@@ -1806,6 +1809,43 @@ object SparkEntry {
         |  sqrt(CAST(n_samples * sum_x2 - sum_x * sum_x AS DOUBLE)
         |    / CAST(n_samples * n_samples AS DOUBLE)) AS stddev
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+
+    // m16: integer patch-sum embeddings (exact in any fold order),
+    // explicit cosine dot/(sqrt(na)*sqrt(nb)) with the same tree as
+    // the Spark side — never list_cosine_similarity, whose internal
+    // op order is unspecified.
+    "m16_patch_embed_topk" ->
+      """WITH d AS (SELECT doc_id,
+        |    [CAST(ascii(x) AS BIGINT)
+        |      for x in string_split(text, '')[1:256]] AS codes
+        |  FROM documents WHERE length(text) >= 256),
+        |e AS (SELECT doc_id,
+        |    list_transform(range(0, 16), kk ->
+        |      list_sum(list_transform(range(0, 16), j ->
+        |        codes[CAST(((kk // 4) * 4 + (j // 4)) * 16
+        |          + (kk % 4) * 4 + (j % 4) + 1 AS INT)]))) AS emb
+        |  FROM d),
+        |v AS (SELECT doc_id, emb,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> emb[CAST(i AS INT)] * emb[CAST(i AS INT)])) AS BIGINT)
+        |      AS n2
+        |  FROM e),
+        |pairs AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> q.emb[CAST(i AS INT)] * c.emb[CAST(i AS INT)]))
+        |      AS BIGINT) AS dot,
+        |    q.n2 AS na, c.n2 AS nb
+        |  FROM v q JOIN v c ON q.doc_id % 50 = 0
+        |    AND q.doc_id <> c.doc_id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |    CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |      AS cos
+        |  FROM pairs),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, rank, neighbor_id, cos FROM rk
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // d35: both slices' chunks recomputed from first principles (the
     // d34 CTEs, emitted per slice), membership replayed as a LEFT

@@ -352,6 +352,98 @@ object Multimodal {
       .orderBy(col("doc_id"), col("channel"))
   }
 
+  /** m16 — patch-embedding similarity bridge: the multimodal →
+    * embedding → similarity-search pipeline in one query. Each
+    * payload's leading side×side byte plane (m11's patchify contract)
+    * is pooled per p×p patch into a (side/p)²-dim vector, and each
+    * probe payload (doc_id % queryMod == 0) is ranked against the
+    * corpus by cosine over those vectors — how a vision dedup/retrieval
+    * pipeline actually consumes patch features (pool → embed → ANN),
+    * bridging the m-family's byte planes into the s-family's
+    * similarity machinery. A production deployment pools decoded
+    * pixels or a ViT's patch activations through the same shape.
+    *
+    * Exactness: the embedding is the EXACT INTEGER patch-sum vector —
+    * cosine is invariant under the uniform 1/p² scaling, so pooling
+    * by SUM instead of mean changes nothing semantically and buys
+    * bit-exactness structurally: dot products and squared norms are
+    * sums of products of small integers (< 2^53 — exact longs in ANY
+    * fold order, so not even aggregation order can drift), and the
+    * one float expression per pair is dot/(√na·√nb) — three
+    * correctly-rounded IEEE ops over exactly-representable operands,
+    * written with the same tree in the oracle. Norms are always
+    * positive (ASCII codes ≥ 1 on a full plane), so the divide is
+    * total.
+    *
+    * Scale posture: embedding is a shuffle-free codegen projection
+    * (the m15 `bind` lets); the probe set is a pmod filter, so the
+    * candidate join is |probes|×|corpus| with a 16-element fold per
+    * pair — the s1 brute-force shape, and the s2/s19 banding paths
+    * apply unchanged to the patch vectors when the probe set grows
+    * (they key on the vector, not its provenance). Top-k per probe is
+    * a WindowGroupLimit, never a global sort.
+    */
+  def patchEmbedTopK(s: SparkSession, dir: String, side: Int = 16,
+      p: Int = 4, k: Int = 3, queryMod: Int = 50): DataFrame =
+    patchEmbedTopKFrom(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.Tables.spread(_, col("doc_id"))),
+      side, p, k, queryMod)
+
+  /** The relation form for spec-planted payloads ((doc_id, text)). */
+  private[graft] def patchEmbedTopKFrom(docs: DataFrame, side: Int = 16,
+      p: Int = 4, k: Int = 3, queryMod: Int = 50): DataFrame = {
+    require(side % p == 0, s"side $side must be divisible by patch $p")
+    val g = side / p
+    val dims = g * g
+    val codes = transform(
+      slice(filter(split(col("text"), ""), c => c =!= ""), 1, side * side),
+      c => ascii(c).cast("long"))
+    // patch kk (row-major pr=kk÷g, pc=kk%g) pools elements j
+    // (r=j÷p, c=j%p) at plane index (pr·p+r)·side + pc·p + c (+1 for
+    // element_at's 1-base) — all integer Column arithmetic
+    val emb = Multimodal.bind(codes) { cs =>
+      transform(sequence(lit(0), lit(dims - 1)), kk => {
+        val pr = (kk / lit(g)).cast("int")
+        val pc = pmod(kk, lit(g))
+        aggregate(
+          transform(sequence(lit(0), lit(p * p - 1)), j => {
+            val r = (j / lit(p)).cast("int")
+            val c = pmod(j, lit(p))
+            element_at(cs,
+              ((pr * p + r) * side + pc * p + c + 1).cast("int"))
+          }),
+          lit(0L), (a, x) => a + x)
+      })
+    }
+    val vecs = docs
+      .filter(length(col("text")) >= side * side)
+      .select(col("doc_id"), emb.as("e"))
+      .withColumn("n2",
+        aggregate(zip_with(col("e"), col("e"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x))
+      .cache()
+    val q = vecs.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
+      .select(col("doc_id").as("query_id"), col("e").as("qe"),
+        col("n2").as("na"))
+    val c = vecs.select(col("doc_id").as("neighbor_id"),
+      col("e").as("ne"), col("n2").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qe"), col("ne"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** m7 — perceptual (average-hash) signature per payload: the aHash
     * family's shape (public: mean-threshold bits over downsampled
     * content) computed on the payload samples directly — 60 positional

@@ -428,4 +428,57 @@ class MultimodalSpec extends AnyFunSuite {
     // offsets follow the m6 1-based stride convention
     assert(rows.forall(r => r.getInt(2) === r.getInt(1) * 64 + 1))
   }
+
+  test("m16 planted: identical plane ranks first at cos 1.0, scaled plane ties by construction") {
+    import spark.implicits._
+    // doc 0 (probe) and doc 7: identical 256-char planes → cos exactly
+    // 1.0 (dot == na == nb). doc 3: same plane with every code's
+    // brightness doubled via a different char — 'b'(98) vs '1'(49):
+    // exact 2× per patch sum → also cos 1.0 (scale invariance), ties
+    // break on neighbor_id. doc 5: an unrelated plane, lower cos.
+    val a = "1" * 256
+    val b = "b" * 256
+    val mix = ("1" * 128) + ("z" * 128)
+    val docs = Seq((0L, a), (7L, a), (3L, b), (5L, mix)).toDF("doc_id", "text")
+    val got = Multimodal.patchEmbedTopKFrom(docs, queryMod = 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).distinct.toSeq == Seq(0L), "only doc 0 probes")
+    // ranks 1 and 2 are the two cos==1.0 matches, id-ordered
+    assert(got(0) == ((0L, 1, 3L, 1.0)), s"got ${got(0)}")
+    assert(got(1) == ((0L, 2, 7L, 1.0)), s"got ${got(1)}")
+    assert(got(2)._3 == 5L && got(2)._4 < 1.0 && got(2)._4 > 0.0)
+  }
+
+  test("m16 on the corpus matches a driver-side exact recompute") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 256)
+    def embOf(t: String): Array[Long] =
+      Array.tabulate(16) { kk =>
+        (0 until 16).map { j =>
+          t.charAt(((kk / 4) * 4 + j / 4) * 16 + (kk % 4) * 4 + j % 4)
+            .toLong
+        }.sum
+      }
+    val embs = docs.map { case (id, t) => id -> embOf(t) }.toMap
+    def cos(x: Array[Long], y: Array[Long]): Double = {
+      val dot = x.zip(y).map { case (u, v) => u * v }.sum
+      val na = x.map(u => u * u).sum
+      val nb = y.map(v => v * v).sum
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = embs.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { qid =>
+      embs.keys.filter(_ != qid).toSeq
+        .map(n => (n, cos(embs(qid), embs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((n, c), i) => (qid, i + 1, n, c) }
+    }
+    val got = Multimodal.patchEmbedTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected, s"got ${got.take(3).mkString(",")} " +
+      s"want ${expected.take(3).mkString(",")}")
+    assert(got.nonEmpty)
+  }
 }
