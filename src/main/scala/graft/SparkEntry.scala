@@ -606,6 +606,8 @@ object SparkEntry {
     // Full core decomposition via h-index iteration (Lü 2016): fixed
     // unrolled rounds, all-integer updates, fixpoint spec-pinned
     "g5_coreness" -> (Graph.coreness(_, _)),
+    // Synchronous label-propagation communities, fixed unrolled rounds
+    "g9_communities" -> (Graph.communities(_, _)),
     // Bipartite projection: supplier pairs ranked by shared-customer
     // Jaccard (d2's set-similarity mathematics on a relation)
     "g6_supplier_overlap" -> (Graph.supplierOverlap(_, _)),
@@ -3893,6 +3895,7 @@ object SparkEntry {
     // window form of the h-index (count of ranks rn with H ≥ rn) is
     // order-tie-insensitive, so row_number ties cannot diverge it.
     "g5_coreness" -> corenessOracle(rounds = 6),
+    "g9_communities" -> lpaOracle(rounds = 3),
 
     // g6: bigint intersection/degree counts; the Jaccard is one
     // division of exact integers, spelled identically on both sides.
@@ -4295,6 +4298,42 @@ object SparkEntry {
     * max{rn : H_(rn) ≥ rn} over the descending row_number ranking —
     * tie order between equal H values cannot change the count.
     */
+  /** g9's unrolled synchronous LPA: integer vertex-id labels (the
+    * Spark side's 2k / 2k+1 encoding, so tie-break order matches —
+    * STRING label ordering would disagree with the engine's long
+    * ordering), plurality argmax per round as a windowed row_number
+    * over (count desc, label asc), names rendered only at the end.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      |    l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst, src FROM e0),
+      |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |l$k AS (SELECT v, lab FROM (
+        |    SELECT e.src AS v, p.lab AS lab,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY count(*) DESC, p.lab) AS rn
+        |    FROM e JOIN l${k - 1} p ON e.dst = p.v
+        |    GROUP BY e.src, p.lab) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"""
+      |, sz AS (SELECT lab, count(*) AS community_size
+      |    FROM l$rounds GROUP BY lab)
+      |SELECT CASE WHEN l.v % 2 = 0 THEN 'c' || (l.v // 2)
+      |    ELSE 's' || ((l.v - 1) // 2) END AS vertex,
+      |  CASE WHEN l.lab % 2 = 0 THEN 'c' || (l.lab // 2)
+      |    ELSE 's' || ((l.lab - 1) // 2) END AS community,
+      |  CAST(sz.community_size AS BIGINT) AS community_size
+      |FROM l$rounds l JOIN sz ON l.lab = sz.lab
+      |ORDER BY vertex""".stripMargin
+    sb.toString
+  }
+
   private def corenessOracle(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src,

@@ -490,6 +490,74 @@ object Graph {
       .select(deg("src").as("v"), col("deg"), col("h"))
   }
 
+  /** g9 — community detection by SYNCHRONOUS label propagation
+    * (Raghavan et al. 2007, public): every vertex starts labeled with
+    * its own id; each round every vertex adopts the PLURALITY label
+    * among its neighbors (ties → smallest label id), all vertices
+    * simultaneously, for exactly `rounds` rounds. The label blocks
+    * that emerge are the trade graph's dense customer–supplier
+    * communities — the market-segmentation primitive next to g7's
+    * thresholded components (g7 answers "what is CONNECTED above a
+    * volume"; g9 answers "what clusters DENSELY regardless of
+    * volume"). Output: (vertex, community, community_size), community
+    * rendered as the same c…/s… id space.
+    *
+    * Exactness contract: labels are vertex ids (bigint), plurality
+    * counts are bigint, and the (count desc, label asc) argmax is a
+    * total order — every round is a deterministic integer function of
+    * the previous one, so a FIXED round count is bit-identical across
+    * engines (the g1 unrolled-iteration convention; the oracle unrolls
+    * the same `rounds` CTEs). No convergence early-exit here, unlike
+    * g5: synchronous LPA on a bipartite graph can 2-cycle, so "no
+    * change" never fires and the contract is the round count itself.
+    * Production variants (async order-dependent updates, semi-sync
+    * bipartite alternation) trade determinism for faster settling —
+    * the synchronous form is the one with a cross-engine oracle.
+    *
+    * Scale posture: the label relation is vertex-sized (two longs)
+    * and BROADCASTS onto the cached symmetrized edge relation each
+    * round (the g1/g5 rank-join shape — no per-round edge shuffle);
+    * the plurality close is one (vertex, label) count with map-side
+    * combine plus a per-vertex window over the DISTINCT neighbor
+    * labels (spill-able, never an in-memory array). At billion-vertex
+    * scale drop the broadcast hint — edges are already partitioned by
+    * dst.
+    */
+  def communities(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    def decode(n: String) =
+      when(pmod(col(n), lit(2)) === 0, concat(lit("c"), expr(s"$n div 2")))
+        .otherwise(concat(lit("s"), expr(s"($n - 1) div 2")))
+    communitiesOver(tradeEdges(s, dir), rounds)
+      .select(decode("v").as("vertex"), decode("lab").as("community"),
+        col("community_size"))
+      .orderBy(col("vertex"))
+  }
+
+  /** The edge-relation form for spec-planted graphs. `edges` must be
+    * symmetrized (both directions present). */
+  private[graft] def communitiesOver(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist()
+    var lab: DataFrame = e.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v")).persist()
+    lab.count() // stage the cache fills in dependency order (see g2)
+    for (_ <- 1 to rounds) {
+      val next = e.join(broadcast(lab), e("dst") === lab("v"))
+        .groupBy(e("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(e("src")).orderBy(col("c").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(e("src").as("v"), col("lab"))
+        .persist()
+      next.count() // materialize eagerly: flat lineage (the g5 shape)
+      lab.unpersist()
+      lab = next
+    }
+    val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    lab.join(sz, "lab").select(col("v"), col("lab"), col("community_size"))
+  }
+
   /** g6 — supplier similarity by shared-customer Jaccard: project the
     * bipartite trade graph onto suppliers and rank pairs by
     * |customers(a) ∩ customers(b)| / |customers(a) ∪ customers(b)| —

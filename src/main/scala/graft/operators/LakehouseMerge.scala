@@ -96,6 +96,15 @@ object LakehouseMerge {
       v: Int): DataFrame =
     s.read.parquet(s"$path/v=$v")
 
+  /** Drop the persisted table for `dir` entirely (bench cold-path
+    * probe; Hadoop FS so cluster paths work). */
+  def invalidateOrdersSummary(s: SparkSession, dir: String,
+      mod: Int = 3): Unit = {
+    val path = tablePath(s, dir, mod)
+    fs(s, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
   /** The published view of the table: resolves the manifest head,
     * then reads that version's files. */
   def readTable(s: SparkSession, path: String): DataFrame = {

@@ -199,6 +199,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g9 planted: hand-traced synchronous LPA keeps labels inside blocks") {
+    import spark.implicits._
+    // two complete bipartite blocks ({0,2}×{1,3} and {10,12}×{11,13})
+    // plus one weak bridge 3–10. Hand-traced 3 synchronous rounds
+    // (plurality, ties → min label): the sides of each block swap
+    // labels every round (the documented bipartite 2-cycle), but no
+    // label ever crosses the bridge — block structure holds.
+    val und = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L),
+      (10L, 11L), (10L, 13L), (12L, 11L), (12L, 13L), (3L, 10L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.communitiesOver(sym, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 2L)), 2L -> ((1L, 2L)), 1L -> ((0L, 2L)),
+      3L -> ((0L, 2L)), 10L -> ((3L, 2L)), 12L -> ((3L, 2L)),
+      11L -> ((10L, 2L)), 13L -> ((10L, 2L))))
+  }
+
+  test("g9 on the corpus: total census conserved, labels are real vertices") {
+    val rows = Graph.communities(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val vertices = rows.map(_._1).toSet
+    assert(rows.map(_._2).forall(vertices), "every community label is a vertex")
+    // community_size is the exact census of its label
+    val byLab = rows.groupBy(_._2)
+    rows.foreach { case (v, lab, sz) =>
+      assert(sz == byLab(lab).length, s"$v: size $sz != ${byLab(lab).length}")
+    }
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per vertex")
+  }
+
   test("g6 capped-customer telemetry: 0 on the corpus, planted hub counted") {
     import spark.implicits._
     // the sf corpus has no customer within an order of magnitude of
