@@ -256,6 +256,9 @@ object SparkEntry {
     // Point-in-time reconstruction over the SCD-2 history (as-of walk
     // vs an independent modulus-rule oracle)
     "q76_asof_dimension" -> (RelationalQueries3.asOfDimension(_, _)),
+    // Per-event point-in-time enrichment against the SCD-2 history
+    // (two probes per event cover v1, v2, and churned-NULL regimes)
+    "q90_pit_enrich" -> (RelationalQueries3.pointInTimeEnrich(_, _)),
     // Bucketed-layout fact⋈fact join: scan-satisfied SMJ, zero
     // Exchange/Sort below the join (the write-once-shuffle-never path)
     "q78_bucketed_join" -> (BucketedLayout.revenueByPriority(_, _)),
@@ -4004,6 +4007,45 @@ object SparkEntry {
         |  CAST(NULL AS DATE) AS valid_to, true AS is_current
         |FROM changes
         |ORDER BY c_custkey, version""".stripMargin,
+
+    // q90: the q75 history rebuilt inline, each event probed at its
+    // own date and +8 months; CAST(... AS DATE) keeps the shifted
+    // probe a DATE on both engines (DuckDB date+interval yields a
+    // timestamp), and both engines clamp month-ends identically
+    // (moot here: January days shift into September losslessly).
+    "q90_pit_enrich" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |  FROM customer),
+        |changes AS (SELECT c_custkey, c_name,
+        |    'MACHINERY' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+        |  FROM dim WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0),
+        |touched AS (SELECT c_custkey FROM dim
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0),
+        |hist AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+        |    1 AS version, DATE '2024-01-01' AS valid_from,
+        |    CASE WHEN t.c_custkey IS NOT NULL THEN DATE '2024-06-01' END
+        |      AS valid_to
+        |  FROM dim d LEFT JOIN touched t ON d.c_custkey = t.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    2 AS version, DATE '2024-06-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to
+        |  FROM changes),
+        |ev AS (SELECT event_id, user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d0 FROM events),
+        |pr AS (SELECT event_id, user_id, 'asis' AS probe, d0 AS event_date
+        |    FROM ev
+        |  UNION ALL
+        |  SELECT event_id, user_id, 'shifted',
+        |    CAST(d0 + INTERVAL 8 MONTH AS DATE) FROM ev)
+        |SELECT p.event_id, p.probe, p.user_id, p.event_date,
+        |  h.c_mktsegment AS mktsegment, h.c_acctbal AS acctbal,
+        |  CAST(h.version AS INT) AS dim_version
+        |FROM pr p LEFT JOIN hist h ON p.user_id = h.c_custkey
+        |  AND h.valid_from <= p.event_date
+        |  AND (h.valid_to IS NULL OR h.valid_to > p.event_date)
+        |ORDER BY event_id, probe""".stripMargin,
 
     // d32: the identical winnowing comprehension over the identical
     // md5-convention gram hashes; slice h[i : i+w-1] (inclusive) is

@@ -898,6 +898,68 @@ object RelationalQueries3 {
           .as("total_acctbal"))
       .orderBy(col("as_of"), col("c_mktsegment"))
 
+  /** q90 — PER-EVENT point-in-time enrichment: every event joined to
+    * the dimension attributes valid AT ITS OWN DATE (q76 answers "the
+    * census on date D"; q90 answers "what did THIS event's customer
+    * look like when the event happened" — the fact-table enrichment
+    * every feature pipeline and revenue report runs against an SCD-2
+    * dimension). Each event probes twice — at its own date (inside
+    * version 1's validity) and shifted +8 months (inside version 2 /
+    * after churn) — so one registered query exercises the full
+    * interval algebra: v1 matches, v2 matches, and churned-customer
+    * NULL extensions.
+    *
+    * Exactness: the validity predicate is date compares; attributes
+    * ride unchanged (the one +100.0 is q75's single IEEE add);
+    * add_months(Jan, 8) lands in September on both engines (no
+    * month-end clamp divergence on this corpus's day range). Full
+    * hash oracle.
+    *
+    * Scale posture: the history is dimension-sized → broadcast; the
+    * interval predicate joins ≤1 version per (key, date) by SCD-2's
+    * disjoint-validity invariant, so output = input rows exactly.
+    * The same kernel [[enrichPointInTime]] runs unchanged on a
+    * STREAM (stream-static left join — StreamingSpec asserts parity
+    * row-for-row), which is the production shape: events arrive,
+    * the dimension is the slowly-changing side.
+    */
+  def pointInTimeEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d0"))
+      .select(col("event_id"), col("user_id"),
+        explode(array(
+          struct(lit("asis").as("probe"), col("d0").as("event_date")),
+          struct(lit("shifted").as("probe"),
+            add_months(col("d0"), 8).as("event_date")))).as("p"))
+      .select(col("event_id"), col("p.probe").as("probe"), col("user_id"),
+        col("p.event_date").as("event_date"))
+    enrichPointInTime(ev, scd2History(s, dir))
+      .orderBy(col("event_id"), col("probe"))
+  }
+
+  /** The shared point-in-time enrichment kernel (batch q90 and its
+    * streaming mirror — ONE implementation, streaming-ness comes from
+    * the input): left-join each row's `event_date` into the SCD-2
+    * validity interval (`valid_from <= d < valid_to`, open end = ∞)
+    * on the business key, appending (mktsegment, acctbal,
+    * dim_version); unmatched rows (pre-history or churned) null-
+    * extend. `events` must carry `user_id` and `event_date`; all its
+    * columns are preserved.
+    */
+  def enrichPointInTime(events: DataFrame, history: DataFrame): DataFrame = {
+    val h = history.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"), col("version"), col("valid_from"), col("valid_to"))
+    events.join(h,
+      events("user_id") === h("c_custkey") &&
+        h("valid_from") <= events("event_date") &&
+        (h("valid_to").isNull || h("valid_to") > events("event_date")),
+      "left")
+      .select(events.columns.map(events(_)) ++ Seq(
+        h("c_mktsegment").as("mktsegment"),
+        h("c_acctbal").as("acctbal"),
+        h("version").as("dim_version")): _*)
+  }
+
   /** The general SCD-2 merge: `base` is the open dimension snapshot
     * keyed by `c_custkey`, `changes` carries full new attribute rows
     * for updated keys, `deletes` lists churned keys. Output is the

@@ -265,6 +265,50 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache() // batch d11 caches its shingle table
   }
 
+  test("streaming point-in-time SCD-2 enrichment equals the batch kernel row-for-row") {
+    // q90's kernel on a live feed: stream-static LEFT join of events
+    // into the SCD-2 validity intervals. Half the events are shifted
+    // +8 months so the stream crosses all three regimes (v1, v2,
+    // churned-NULL) — parity must hold on every one.
+    val probes = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.to_date(col("ts")).as("event_date"))
+      .withColumn("event_date",
+        when(pmod(col("event_id"), lit(2)) === 0,
+          org.apache.spark.sql.functions.add_months(col("event_date"), 8))
+          .otherwise(col("event_date")))
+    val hist = graft.operators.RelationalQueries3.scd2History(spark, sfDir)
+      .cache()
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "pitstream").toString
+    probes.repartition(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val out = graft.operators.RelationalQueries3
+      .enrichPointInTime(stream, hist)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pit_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("pit_out")
+    val want = graft.operators.RelationalQueries3
+      .enrichPointInTime(probes, hist)
+    assert(got.count() === want.count())
+    assert(got.count() > 0)
+    // row-for-row on the (event_id) key: every column equal, including
+    // the null-extended churn rows
+    val joined = got.as("g").join(want.as("b"), Seq("event_id"), "full_outer")
+    assert(joined.filter(
+      col("g.user_id").isNull || col("b.user_id").isNull ||
+      col("g.event_date") =!= col("b.event_date") ||
+      !(col("g.mktsegment") <=> col("b.mktsegment")) ||
+      !(col("g.acctbal") <=> col("b.acctbal")) ||
+      !(col("g.dim_version") <=> col("b.dim_version")))
+      .count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("streaming CDC novelty equals batch d35 row-for-row") {
     // d35's ingest gate as a stream: the incoming slice chunked
     // in-stream, membership-joined against the PERSISTED chunk store
