@@ -367,6 +367,9 @@ object SparkEntry {
     // primitive — integer pair counts + deterministic argmax + an
     // exact boundary-wrapped replace, unrolled-CTE hash oracle
     "t29_bpe_merges" -> (TextAnalysis.bpeMerges(_, _)),
+    // BPE ENCODE: apply t29's learned merges corpus-wide (the
+    // learn->encode tokenizer loop closed); per-doc piece accounting
+    "t35_bpe_encode" -> (TextAnalysis.bpeEncode(_, _)),
     // Per-language token-budget report: tokenizer fertility + packing
     // efficiency at a fixed sequence length (pre-run cost estimate)
     "t30_token_budget" -> (TextAnalysis.tokenBudgetReport(_, _)),
@@ -2225,6 +2228,7 @@ object SparkEntry {
     // and the SAME boundary-wrapped replace as Spark's — unrolled CTE
     // per merge step, full hash gate.
     "t29_bpe_merges" -> bpeOracle(steps = 6),
+    "t35_bpe_encode" -> bpeEncodeOracle(steps = 6),
 
     // t30: bigint masses + integer ceils; fertility and padding are
     // each ONE division of exact integers (IEEE-identical).
@@ -4331,6 +4335,62 @@ object SparkEntry {
       |  CAST(pc AS BIGINT) AS pair_count
       |FROM t$k""".stripMargin).mkString("", " UNION ALL", "")
     sb ++= "\nORDER BY step"
+    sb.toString
+  }
+
+  /** t35's oracle: t29's learning CTEs verbatim (word-TYPE relation,
+    * argmax merge per step, boundary-wrapped replace), then the
+    * application replayed per doc-word instance with the same
+    * replaces in the same learned order; per-doc exact counts close
+    * with one ratio-of-sums divide.
+    */
+  private def bpeEncodeOracle(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS w FROM documents) GROUP BY w),
+      |w0 AS (SELECT chr(1) || array_to_string(string_split(w, ''),
+      |    chr(2) || chr(1)) || chr(2) AS wrapped, cnt FROM wc)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+        |p$k AS (SELECT l, r, sum(cnt) AS pc FROM (
+        |    SELECT cnt, unnest(syms[1:len(syms) - 1]) AS l,
+        |      unnest(syms[2:len(syms)]) AS r
+        |    FROM (SELECT cnt, string_split(
+        |        substr(wrapped, 2, length(wrapped) - 2),
+        |        chr(2) || chr(1)) AS syms FROM w${k - 1})
+        |    WHERE len(syms) >= 2)
+        |  GROUP BY l, r),
+        |t$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+        |w$k AS (SELECT replace(w.wrapped,
+        |    chr(1) || t.l || chr(2) || chr(1) || t.r || chr(2),
+        |    chr(1) || t.l || t.r || chr(2)) AS wrapped, w.cnt
+        |  FROM w${k - 1} w CROSS JOIN t$k t)""".stripMargin
+    }
+    sb ++= """,
+      |dw AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS w FROM documents),
+      |d0 AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_chars,
+      |    chr(1) || array_to_string(string_split(w, ''),
+      |      chr(2) || chr(1)) || chr(2) AS wrapped FROM dw)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+        |d$k AS (SELECT doc_id, n_chars, replace(d.wrapped,
+        |    chr(1) || t.l || chr(2) || chr(1) || t.r || chr(2),
+        |    chr(1) || t.l || t.r || chr(2)) AS wrapped
+        |  FROM d${k - 1} d CROSS JOIN t$k t)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(len(string_split(substr(wrapped, 2, length(wrapped) - 2),
+      |    chr(2) || chr(1)))) AS BIGINT) AS n_pieces,
+      |  CAST(sum(n_chars) AS DOUBLE)
+      |    / CAST(sum(len(string_split(substr(wrapped, 2,
+      |      length(wrapped) - 2), chr(2) || chr(1)))) AS DOUBLE)
+      |    AS compression
+      |FROM d$steps GROUP BY doc_id ORDER BY doc_id""".stripMargin
     sb.toString
   }
 

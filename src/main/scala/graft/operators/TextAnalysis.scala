@@ -1554,6 +1554,65 @@ object TextAnalysis {
     merges.reduce(_ unionAll _).orderBy(col("step"))
   }
 
+  /** t35 — BPE ENCODE: apply the merge table t29 LEARNS to every
+    * document, closing the tokenizer loop (learn → encode) the way a
+    * real pipeline runs it — t29 is the training job, this is the
+    * corpus-wide application pass. Each document's words are wrapped
+    * in the same per-symbol markers, the `steps` learned merges
+    * replay IN LEARNED ORDER (each a broadcast-1-row map-side
+    * replace — the exact rewrite the learner itself applies between
+    * rounds, so learn-time and encode-time segmentation agree by
+    * construction), and the output is per-doc wordpiece accounting:
+    * words, characters, pieces after merging, and the
+    * chars-per-piece compression ratio a tokenizer report tracks.
+    *
+    * Exactness: all counts are exact integers; compression is ONE
+    * divide of two exact sums (ratio-of-sums, the t16 convention).
+    * The oracle unrolls the same learning CTEs as t29's and then
+    * replays the application per doc-word — full hash oracle.
+    *
+    * Scale posture: learning is t29 (vocab-sized rounds); encoding
+    * is `steps` chained map-side replaces over the doc-word stream —
+    * shuffle-free until the final per-doc aggregate (map-side
+    * combined). The merge rows ride broadcasts; nothing collects.
+    */
+  def bpeEncode(s: SparkSession, dir: String, steps: Int = 6): DataFrame =
+    bpeEncodeFrom(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Tables.spread(_, col("doc_id"))), steps)
+
+  /** The relation form for spec-planted corpora ((doc_id, text)). */
+  private[graft] def bpeEncodeFrom(docs: DataFrame, steps: Int): DataFrame = {
+    val A = "\u0001"; val B = "\u0002" // t29's open/close markers
+    val merges = bpeMergesFrom(docs, steps).persist()
+    merges.count() // materialize the learning once; K filters reuse it
+    var cur = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), length(col("w")).as("n_chars"),
+        concat(lit(A),
+          array_join(filter(split(col("w"), ""), c => c =!= ""), B + A),
+          lit(B)).as("wrapped"))
+    for (k <- 1 to steps) {
+      cur = cur.crossJoin(broadcast(merges
+          .filter(col("step") === k)
+          .select(col("left_sym").as("ml"), col("right_sym").as("mr"))))
+        .select(col("doc_id"), col("n_chars"),
+          replace(col("wrapped"),
+            concat(lit(A), col("ml"), lit(B + A), col("mr"), lit(B)),
+            concat(lit(A), col("ml"), col("mr"), lit(B))).as("wrapped"))
+    }
+    cur
+      .select(col("doc_id"), col("n_chars"),
+        size(split(expr("substring(wrapped, 2, length(wrapped) - 2)"),
+          B + A)).as("pieces"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("pieces")).as("n_pieces"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_pieces").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t30 — token-budget report per language: document/word/wordpiece
     * mass, tokenizer FERTILITY (wordpieces per word — the tokenizer-
     * efficiency number multilingual pipelines track per language,

@@ -360,6 +360,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sums.length >= 5, "corpus head should span >= 5 octaves")
   }
 
+  test("t35 planted: learned merges replay per doc with exact piece counts") {
+    import spark.implicits._
+    // words: aa(x2), ab(x2 across docs) — pair counts (a,a)=2,
+    // (a,b)=2, tie breaks (l,r) ascending → step 1 merges (a,a),
+    // step 2 merges (a,b). Hand-traced encodings below.
+    val docs = Seq((1L, "aa aa ab"), (2L, "ab")).toDF("doc_id", "text")
+    val s1 = TextAnalysis.bpeEncodeFrom(docs, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(s1.toSeq == Seq((1L, 3L, 6L, 4L, 1.5), (2L, 1L, 2L, 2L, 1.0)),
+      s"steps=1: ${s1.mkString(",")}")
+    val s2 = TextAnalysis.bpeEncodeFrom(docs, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(s2.toSeq == Seq((1L, 3L, 6L, 3L, 2.0), (2L, 1L, 2L, 1L, 2.0)),
+      s"steps=2: ${s2.mkString(",")}")
+  }
+
+  test("t35 on the corpus: piece counts bounded, more merges never split finer") {
+    val at3 = TextAnalysis.bpeEncode(spark, sfDir, steps = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val at6 = TextAnalysis.bpeEncode(spark, sfDir, steps = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(at6.nonEmpty && at3.keySet == at6.keySet)
+    at6.foreach { case (id, (w, c, p)) =>
+      assert(w <= p && p <= c, s"doc $id: words $w pieces $p chars $c")
+      val (_, _, p3) = at3(id)
+      assert(p <= p3, s"doc $id: 6-step pieces $p > 3-step $p3")
+    }
+    // the corpus must actually compress somewhere (merges fire)
+    assert(at6.exists { case (id, (_, c, p)) => p < c })
+  }
+
   test("t17 zipf fit matches a driver-side OLS reference") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
