@@ -409,9 +409,10 @@ object Graph {
     * vertex — the right 100× shape regardless of constant factors (no
     * per-vertex array can OOM on a hub). Measured at sf0.1 after the
     * r14 convergence early-exit: 6.25 s standalone min-of-3 (TimeQ,
-    * runs 6.35/7.10/6.25) and 8.47 s inside the full 215-query bench
-    * suite (min of both passes), vs the r13 fixed-6-round unroll's
-    * 9.97 s suite time — the saved round plus eager per-round
+    * runs 6.35/7.10/6.25) and 8.3–8.5 s inside the full bench suite
+    * (min of both passes across two r14 runs; 8.29 s in the final
+    * 221-query artifact), vs the r13 fixed-6-round unroll's 9.97 s
+    * suite time — the saved round plus eager per-round
     * materialization; r13's verdict showed the counting-agg rewrite
     * alone was timing-neutral vs collect_list under the suite JVM,
     * its win is the hub-safety shape. At
