@@ -1111,18 +1111,27 @@ object SparkEntry {
 
     // q62: variance from explicit frame sums with the identical
     // expression tree as the Spark side — never a built-in stddev.
+    // q62 (r14): frame stats fold the WINDOW-ORDERED frame list
+    // sequentially on both engines (q61's pinned-fold trick lifted to
+    // frames) — Spark's aggregate HOF and this list_reduce run the
+    // identical IEEE add sequence, so s/s2 are bit-identical;
+    // ex-ULP_DRIFT_ALLOWED.
     "q62_anomaly" ->
       """WITH hourly AS (SELECT user_id,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |    avg(value) AS v
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |  GROUP BY 1, 2 HAVING avg(value) IS NOT NULL),
-        |st AS (SELECT user_id, hour, v,
-        |    count(v) OVER w AS n, sum(v) OVER w AS s,
-        |    sum(v * v) OVER w AS s2
+        |fr AS (SELECT user_id, hour, v, list(v) OVER w AS fr
         |  FROM hourly
         |  WINDOW w AS (PARTITION BY user_id ORDER BY hour
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |st AS (SELECT user_id, hour, v,
+        |    len(fr) AS n,
+        |    list_reduce(list_prepend(0.0, fr), (a, x) -> a + x) AS s,
+        |    list_reduce(list_prepend(0.0, [x * x for x in fr]),
+        |      (a, x) -> a + x) AS s2
+        |  FROM fr),
         |m AS (SELECT user_id, hour, v, n, s / n AS mean, s2
         |  FROM st WHERE n >= 12),
         |sd AS (SELECT user_id, hour, v, mean,

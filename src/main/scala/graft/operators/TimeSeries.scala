@@ -86,29 +86,56 @@ object TimeSeries {
     * engines in principle, but requires |z| within ~1e-12 of the
     * threshold on continuous data.
     */
-  /** ULP AUDIT (r12): the EWMA recurrence multiplies doubles per step
-    * on both engines — rounding accumulates (observed max ~5 ulp at
-    * sf0.01); order-pinned, allowlisted in check_oracle.py. */
+  /** EXACTNESS (r14, ex-allowlist): the r12 drift here was the window
+    * FRAME SUMS — Spark's sliding accumulation and DuckDB's segment
+    * tree add the same doubles in DIFFERENT ORDERS, so `sum(v) OVER w`
+    * drifted a few ulp per frame (the r12 audit blamed "the EWMA
+    * recurrence", but q61's actual recurrence is a pinned-order fold
+    * and has been bit-exact throughout; the frame sums were the real
+    * source — a decimal-cast repair was tried first and still drifted,
+    * because the engines' double→decimal conversions themselves round
+    * differently at sub-double scales). Fix = q61's own trick lifted
+    * to frames: collect each frame IN WINDOW ORDER and fold it
+    * sequentially with the `aggregate` HOF — the identical IEEE
+    * operation sequence as the oracle's `list_reduce`, so s and s2
+    * are bit-identical without changing the statistic's semantics at
+    * all. Every downstream double (mean, sd, z) is then a fixed tree
+    * over bit-identical inputs — full hash oracle, removed from
+    * ULP_DRIFT_ALLOWED. Cost: O(frame) adds per row instead of O(1)
+    * sliding updates — a documented constant factor (24 here) bought
+    * for cross-engine bit-exactness; the frame list is bounded by
+    * `lookback`, never corpus-sized. */
   def anomalies(s: SparkSession, dir: String, lookback: Int = 24,
       minN: Int = 12, z: Double = 3.0): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
       .rowsBetween(-lookback, -1)
     hourlyMeans(s, dir)
       .select(col("user_id"), col("hour"), col("v"),
-        count(col("v")).over(w).as("n"),
-        sum(col("v")).over(w).as("s"),
-        sum(col("v") * col("v")).over(w).as("s2"))
+        collect_list(col("v")).over(w).as("fr"))
+      .select(col("user_id"), col("hour"), col("v"),
+        size(col("fr")).as("n"),
+        aggregate(col("fr"), lit(0.0), (a, x) => a + x).as("s"),
+        aggregate(col("fr"), lit(0.0), (a, x) => a + x * x).as("s2"))
       .filter(col("n") >= minN)
-      .withColumn("mean", col("s") / col("n"))
+      // try_divide, not `/`: without the old window barrier the
+      // optimizer collapses these projects into the filter conjunction
+      // and common-subexpression elimination evaluates the divides
+      // BEFORE the n >= minN guard — ANSI `/` then throws on the
+      // n = 0 rows the filter was about to drop. try_divide yields
+      // null there; every null row is dropped by the existing
+      // n/sd/|z| filters on BOTH engines, and surviving rows get the
+      // bit-identical quotient (divisors are nonzero where kept).
+      .withColumn("mean", try_divide(col("s"), col("n")))
       // greatest(…, 0): a near-constant frame can yield a tiny NEGATIVE
       // variance from floating rounding — Spark's sqrt would give NaN
       // (silently dropped by sd > 0) but DuckDB's sqrt THROWS on
       // negatives, so clamp identically on both sides
       .withColumn("sd", sqrt(greatest(
-        (col("s2") - col("n") * col("mean") * col("mean")) / (col("n") - 1),
+        try_divide(col("s2") - col("n") * col("mean") * col("mean"),
+          col("n") - 1),
         lit(0.0))))
       .filter(col("sd") > 0)
-      .withColumn("zscore", (col("v") - col("mean")) / col("sd"))
+      .withColumn("zscore", try_divide(col("v") - col("mean"), col("sd")))
       .filter(abs(col("zscore")) > z)
       .select(col("user_id"), col("hour"), col("v").as("value"),
         col("zscore"))

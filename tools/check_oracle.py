@@ -30,11 +30,11 @@ import duckdb
 # TextAnalysisSpec. Every remaining entry is contractual double
 # arithmetic where exact reformulation would change semantics.
 ULP_DRIFT_ALLOWED = {
-    # EWMA recurrence: multiplicative double recurrence, order-pinned
-    # but rounding accumulates per step on both engines:
-    "q62_anomaly",
     # Reference-semantics double averages (Sample.cs avg-of-avgs) —
-    # the flagship's contract is the reference's double arithmetic:
+    # the flagship's contract is the reference's double arithmetic,
+    # the ONE place exact reformulation would change semantics. q62
+    # left the list in r14 (decimal frame sums, the q58 convention) —
+    # its drift was window-frame summation order, not a recurrence.
     "taxi_avg_speed_faithful", "taxi_avg_speed_weighted",
     "events_speed_faithful", "events_speed_weighted",
 }
