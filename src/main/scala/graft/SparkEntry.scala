@@ -415,6 +415,9 @@ object SparkEntry {
     "d29_edit_distance_pairs" -> (Dedup.editDistancePairs(_, _)),
     // Pair graph → canonical keeper per cluster (iterative min-label CC)
     "d9_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
+    // Quality-keeper consolidation: each near-dup cluster keeps its
+    // highest-t3-quality member, not the min id
+    "d36_quality_keeper"   -> (Dedup.qualityKeeperDedup(_, _)),
     // The deduplicated corpus: one representative per cluster + size
     "d10_dedup_corpus"     -> (Dedup.dedupCorpus(_, _)),
     // Benchmark decontamination: broadcast the held-out shingle set
@@ -2860,6 +2863,45 @@ object SparkEntry {
         |  CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS component
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // d36: d9's closure + t3's quality expression + the keeper window
+    // (score desc, doc_id) — exact-dup cluster members carry equal
+    // scores and resolve on id identically on both engines.
+    "d36_quality_keeper" ->
+      s"""WITH RECURSIVE
+        |p AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id,
+        |    CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+        |      AS component
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |tq AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  0.5 * (CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+        |    / len(toks))
+        |   + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+        |      AS DOUBLE) / length(text))
+        |   + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |    AS quality_score
+        |  FROM tq),
+        |r AS (SELECT l.doc_id, l.component, q.quality_score,
+        |    row_number() OVER (PARTITION BY l.component
+        |      ORDER BY q.quality_score DESC, l.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY l.component) AS cs
+        |  FROM lab l JOIN q USING (doc_id))
+        |SELECT doc_id, component, CAST(cs AS BIGINT) AS cluster_size,
+        |  quality_score, rn = 1 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same component relation as d9, aggregated to the kept corpus:
     // the representative IS the component label (min id), so grouping

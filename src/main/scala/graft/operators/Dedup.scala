@@ -759,6 +759,45 @@ object Dedup {
       Tables.documents(s, dir).select(col("doc_id")))
       .orderBy(col("doc_id"))
 
+  /** d36 — QUALITY-KEEPER consolidation of the near-dup clusters: d9
+    * picks each component's MIN-ID doc as canonical; a real curation
+    * pipeline keeps the BEST one. This operator ranks every cluster
+    * member by t3's composite quality score and marks the argmax
+    * (ties → smallest doc_id) as the keeper, emitting the keep/drop
+    * decision with cluster context per doc — dedup that preserves
+    * corpus QUALITY instead of insertion order, d18's exact-group
+    * quality decision generalized to NEAR-dup components.
+    *
+    * Exactness: components are d9's exact min-label CC; quality_score
+    * is t3's deterministic double (bit-exact cross-engine for 13
+    * rounds); the keeper window is the total order (score desc,
+    * doc_id) — exact duplicates inside a cluster carry EQUAL scores
+    * and resolve on id identically in both engines. Full hash oracle:
+    * d9's recursive-CTE closure + t3's score expression + the same
+    * window, composed.
+    *
+    * Scale posture: everything upstream is d9's sub-quadratic chain
+    * (banded candidates → exact verify → log-round CC); this adds one
+    * join of the component labels to the scored scan (both keyed by
+    * doc_id — co-partitioned) and one window over components, whose
+    * partitions are cluster-sized (shallow by construction).
+    */
+  def qualityKeeperDedup(s: SparkSession, dir: String,
+      t: Double = 0.5): DataFrame = {
+    val comp = dedupClusters(s, dir, t)
+    val q = TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("quality_score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d13 — near-dup clusters in EMBEDDING space: the same min-label CC
     * fixpoint as d9, but over the cosine-threshold pair graph (d6)
     * instead of the MinHash shingle graph — semantic near-dups

@@ -1072,4 +1072,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // corpus smoke at the default threshold: planted near-dups pair up
     assert(Dedup.winnowPairs(spark, sfDir).count() > 0)
   }
+
+  test("d36 quality keeper: one keeper per cluster, always the score argmax") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Dedup.qualityKeeperDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.forall(_._3 == ms.length), s"component $comp: size mismatch")
+      val keepers = ms.filter(_._5)
+      assert(keepers.length == 1, s"component $comp: ${keepers.length} keepers")
+      // the keeper is the (score desc, doc_id asc) argmax
+      val best = ms.minBy { case (id, _, _, q, _) => (-q, id) }
+      assert(keepers.head._1 == best._1,
+        s"component $comp: keeper ${keepers.head._1} != argmax ${best._1}")
+    }
+    // the corpus must exercise the semantic difference vs d9: at least
+    // one multi-member cluster keeps a doc that is NOT the min id
+    assert(byComp.values.exists(ms =>
+      ms.length > 1 && ms.find(_._5).exists(k => k._1 != k._2)),
+      "no cluster kept a non-min-id doc - d36 degenerated to d9")
+    spark.catalog.clearCache()
+  }
 }
