@@ -310,6 +310,10 @@ object SparkEntry {
     // Time travel: concurrent read of two published versions, exact
     // per-customer insert/update deltas (snapshot diff on the store)
     "q89_version_diff" -> (LakehouseMerge.versionDiff(_, _)),
+    // Right-to-be-forgotten erasure by partition-targeted copy-on-
+    // write: only hit partitions rewrite; manifest maps each partition
+    // to its owning version; read resolves the mixed-ownership head
+    "q91_erase_cow" -> (CowErasure.erasedSummary(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -418,6 +422,9 @@ object SparkEntry {
     // Quality-keeper consolidation: each near-dup cluster keeps its
     // highest-t3-quality member, not the min id
     "d36_quality_keeper"   -> (Dedup.qualityKeeperDedup(_, _)),
+    // URL-canonicalization dedup: tracking-param scrub, host lowering,
+    // param sort — the cheapest (pre-content) web-corpus dedup tier
+    "d37_url_canonical"    -> (Dedup.urlCanonicalDedup(_, _)),
     // The deduplicated corpus: one representative per cluster + size
     "d10_dedup_corpus"     -> (Dedup.dedupCorpus(_, _)),
     // Benchmark decontamination: broadcast the held-out shingle set
@@ -626,6 +633,9 @@ object SparkEntry {
     // Bounded BFS from a seed set: min-hop census per distance ring
     // (level-synchronous frontier joins vs a recursive-CTE oracle)
     "g8_reachability" -> (Graph.reachability(_, _)),
+    // Bounded weighted SSSP: frontier Bellman-Ford over cheapest-lane
+    // edges, min-cost census per distance (vs unrolled min-group CTEs)
+    "g10_shortest_paths" -> (Graph.shortestPaths(_, _)),
     // RAKE keyphrases: degree/frequency word scores over stopword-free
     // phrase runs, order-pinned phrase-score folds, top-3 per doc
     "t34_rake_keywords" -> (TextAnalysis.rakeKeywords(_, _)),
@@ -1773,6 +1783,25 @@ object SparkEntry {
         |FROM delta d LEFT JOIN base b USING (o_custkey)
         |ORDER BY d.o_custkey""".stripMargin,
 
+    // q91: post-erasure summary recomputed with the deletion predicate
+    // anti-applied; owner_version falls out as "partition had any
+    // hit". The engine side must conserve rows through base publish +
+    // copy-on-write rewrite + mixed-ownership manifest read for the
+    // hashes to agree. All-integer: bit-exact. (Envelope: a partition
+    // with EVERY row erased would drop from the engine's summary while
+    // the oracle keeps a zero row — impossible under the registered
+    // mod-50 list at 25+ docs/partition, and documented at the
+    // operator.)
+    "q91_erase_cow" ->
+      """SELECT source,
+        |  CAST(CASE WHEN max(CASE WHEN doc_id % 50 = 7 THEN 1 ELSE 0 END)
+        |    = 1 THEN 2 ELSE 1 END AS INT) AS owner_version,
+        |  CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 0 ELSE n_chars END)
+        |    AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-
     // array slicing for reassembly (never substring), md5 group keys.
@@ -1958,6 +1987,43 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_suppliers
         |FROM md GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // g10: maxHops=4 Bellman-Ford rounds unrolled as nested min-group
+    // CTEs — round k holds min cost over paths of <= k edges, exactly
+    // the invariant the Spark frontier relaxation maintains. Integer
+    // weights (quantities are integral decimals), so bit-exact.
+    "g10_shortest_paths" ->
+      """WITH base AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    min(CAST(l_quantity AS INT)) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT src, dst, w FROM base
+        |  UNION ALL SELECT dst, src, w FROM base),
+        |d0 AS (SELECT c_custkey * 2 AS v, 0 AS dist FROM customer
+        |  WHERE c_custkey % 500 = 0),
+        |d1 AS (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d0 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d0 d JOIN edges e ON e.src = d.v)
+        |  GROUP BY v),
+        |d2 AS (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d1 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d1 d JOIN edges e ON e.src = d.v)
+        |  GROUP BY v),
+        |d3 AS (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d2 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d2 d JOIN edges e ON e.src = d.v)
+        |  GROUP BY v),
+        |d4 AS (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d3 UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d3 d JOIN edges e ON e.src = d.v)
+        |  GROUP BY v)
+        |SELECT dist, count(*) AS n_vertices,
+        |  CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_customers,
+        |  CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppliers
+        |FROM d4 GROUP BY dist ORDER BY dist""".stripMargin,
 
     // t34: post-filter positions (the t23 ix pattern), running-stopword
     // phrase ids, integer degree/freq, ONE double divide per word, and
@@ -2902,6 +2968,43 @@ object SparkEntry {
         |SELECT doc_id, component, CAST(cs AS BIGINT) AS cluster_size,
         |  quality_score, rn = 1 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // d37: same synthetic URL derivation, same normalization algebra —
+    // anchored regexp splits, substr prefix tests (no LIKE
+    // metacharacters), lexicographic param sort. Pure string ops:
+    // bit-exact.
+    "d37_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+        |    '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |         WHEN doc_id % 5 = 1 THEN '?a=1&ref=home&b=2'
+        |         WHEN doc_id % 5 = 2 THEN '?b=2&a=1' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+        |      AS raw_url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, raw_url,
+        |    regexp_replace(raw_url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (SELECT doc_id, raw_url,
+        |    lower(regexp_extract(nofrag, '^(https?://[^/?]*)', 1)) AS sh,
+        |    regexp_replace(regexp_extract(nofrag,
+        |      '^https?://[^/?]*([^?]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS query
+        |  FROM nf),
+        |canon AS (SELECT doc_id, raw_url,
+        |    sh || path || CASE WHEN len(kept) = 0 THEN ''
+        |      ELSE '?' || array_to_string(kept, '&') END AS canonical_url
+        |  FROM (SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+        |        AND substr(p, 1, 4) <> 'ref=')) AS kept
+        |    FROM parts))
+        |SELECT canonical_url, min(doc_id) AS keeper_id,
+        |  count(*) AS n_dups,
+        |  CAST(sum(CASE WHEN raw_url <> canonical_url THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_noisy
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same component relation as d9, aggregated to the kept corpus:
     // the representative IS the component label (min id), so grouping

@@ -798,6 +798,69 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d37 — URL-canonicalization dedup: the CommonCrawl-style first
+    * pass of every web-corpus pipeline — collapse fetches of the SAME
+    * page that differ only in URL noise (host case, tracking
+    * parameters, parameter order, trailing slashes, fragments) BEFORE
+    * any content hashing runs. The corpus has no URL column, so the
+    * registered query derives a deterministic URL per doc from
+    * (doc_id, source) on BOTH sides — t11's synthetic-column
+    * convention — planting exactly the variation classes the
+    * canonicalizer must collapse.
+    *
+    * Canonical form (RFC 3986 normalization + the tracking-param scrub
+    * every crawler applies): lowercase scheme+host, drop the fragment,
+    * drop `utm_*`/`ref=` params, SORT surviving params, strip trailing
+    * path slashes. Emits one row per canonical URL with the kept doc
+    * (min doc_id — insertion-order keep, d1's convention), the group
+    * size, and how many members carried tracking noise.
+    *
+    * Exactness: pure string algebra — regexp splits on anchored
+    * classes valid in both engines, prefix tests by substr (no LIKE
+    * metacharacter pitfalls), lexicographic param sort. Bit-exact by
+    * construction; full hash oracle.
+    *
+    * Scale posture: one shuffle (groupBy canonical_url) after a
+    * shuffle-free codegen projection — the cheapest dedup tier there
+    * is, which is why production pipelines run it FIRST to shrink the
+    * corpus before shingling (d3) or embedding (d6) spend anything.
+    */
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".example.com/articles/"),
+      pmod(col("doc_id"), lit(100)).cast("string"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("?utm_source=feed&b=2&a=1"))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit("?a=1&ref=home&b=2"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("?b=2&a=1"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("#section-2"))
+        .otherwise(lit("")))
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val schemeHost = lower(regexp_extract(noFrag, "^(https?://[^/?]*)", 1))
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^https?://[^/?]*([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && substring(p, 1, 4) =!= "utm_" &&
+        substring(p, 1, 4) =!= "ref="))
+    val canonical = concat(schemeHost, path,
+      when(size(kept) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(kept, "&"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw_url"), canonical.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_dups"),
+        sum(when(col("raw_url") =!= col("canonical_url"), 1L).otherwise(0L))
+          .as("n_noisy"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** d13 — near-dup clusters in EMBEDDING space: the same min-label CC
     * fixpoint as d9, but over the cosine-threshold pair graph (d6)
     * instead of the MinHash shingle graph — semantic near-dups
