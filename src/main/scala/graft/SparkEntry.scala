@@ -314,6 +314,9 @@ object SparkEntry {
     // write: only hit partitions rewrite; manifest maps each partition
     // to its owning version; read resolves the mixed-ownership head
     "q91_erase_cow" -> (CowErasure.erasedSummary(_, _)),
+    // DESCRIBE HISTORY: the versioned table's audit log straight from
+    // the append-only manifests (metadata-only; conservation ledger)
+    "q92_table_history" -> (LakehouseMerge.tableHistory(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1782,6 +1785,23 @@ object SparkEntry {
         |  CAST(d.d_price AS DOUBLE) AS price_delta
         |FROM delta d LEFT JOIN base b USING (o_custkey)
         |ORDER BY d.o_custkey""".stripMargin,
+
+    // q92: every version's masses recomputed from the raw slices (v1 =
+    // the base slice, v2 = all orders) — the manifests' conservation
+    // ledger must match a from-scratch recount for the hashes to
+    // agree. version is the INT literal both sides.
+    "q92_table_history" ->
+      """WITH v1 AS (SELECT count(DISTINCT o_custkey) AS n_rows,
+        |    count(*) AS om, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS pm
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |v2 AS (SELECT count(DISTINCT o_custkey) AS n_rows, count(*) AS om,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS pm FROM orders)
+        |SELECT 1 AS version, n_rows, om AS orders_mass,
+        |  CAST(pm AS DOUBLE) AS price_mass FROM v1
+        |UNION ALL
+        |SELECT 2 AS version, n_rows, om AS orders_mass,
+        |  CAST(pm AS DOUBLE) AS price_mass FROM v2
+        |ORDER BY version""".stripMargin,
 
     // q91: post-erasure summary recomputed with the deletion predicate
     // anti-applied; owner_version falls out as "partition had any

@@ -825,7 +825,20 @@ object Dedup {
     * is, which is why production pipelines run it FIRST to shrink the
     * corpus before shingling (d3) or embedding (d6) spend anything.
     */
-  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame =
+    withCanonicalUrl(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_dups"),
+        sum(when(col("raw_url") =!= col("canonical_url"), 1L).otherwise(0L))
+          .as("n_noisy"))
+      .orderBy(col("canonical_url"))
+
+  /** d37's canonicalization kernel: adds (raw_url, canonical_url) to a
+    * (doc_id, source) relation — a stateless codegen projection shared
+    * verbatim by the batch dedup and the streaming ingest gate. */
+  private[graft] def withCanonicalUrl(docs: DataFrame): DataFrame = {
     val raw = concat(
       lit("https://"),
       when(pmod(col("doc_id"), lit(3)) === 0, upper(col("source")))
@@ -851,15 +864,26 @@ object Dedup {
     val canonical = concat(schemeHost, path,
       when(size(kept) === 0, lit(""))
         .otherwise(concat(lit("?"), array_join(kept, "&"))))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), raw.as("raw_url"), canonical.as("canonical_url"))
-      .groupBy(col("canonical_url"))
-      .agg(min(col("doc_id")).as("keeper_id"),
-        count(lit(1)).as("n_dups"),
-        sum(when(col("raw_url") =!= col("canonical_url"), 1L).otherwise(0L))
-          .as("n_noisy"))
-      .orderBy(col("canonical_url"))
+    docs.select(col("doc_id"), raw.as("raw_url"),
+      canonical.as("canonical_url"))
   }
+
+  /** d37's STREAMING form — the crawl-frontier URL gate: every incoming
+    * doc canonicalizes in-stream (stateless projection, no state store)
+    * and probes the STATIC keeper table (batch d37's output, the
+    * d23/d35 stream-static pattern) — emitting, per incoming doc, its
+    * canonical URL and whether a keeper already holds it. A crawler
+    * consumes the `known = false` rows (fetch) and drops the rest
+    * (skip) — the cheapest dedup decision in the ingest path, made
+    * before a byte of content is read. Spec-asserted equal to the
+    * batch join on the same slice.
+    */
+  def urlNoveltyStream(streamDocs: DataFrame, keepers: DataFrame): DataFrame =
+    withCanonicalUrl(streamDocs.select(col("doc_id"), col("source")))
+      .join(keepers.select(col("canonical_url"),
+        col("keeper_id")), Seq("canonical_url"), "left")
+      .select(col("doc_id"), col("canonical_url"),
+        col("keeper_id").isNotNull.as("known"))
 
   /** d13 — near-dup clusters in EMBEDDING space: the same min-label CC
     * fixpoint as d9, but over the cosine-threshold pair graph (d6)

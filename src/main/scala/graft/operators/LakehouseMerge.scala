@@ -273,6 +273,33 @@ object LakehouseMerge {
       .orderBy(col("o_custkey"))
   }
 
+  /** q92 — table HISTORY: the audit log of every published version
+    * (the DESCRIBE HISTORY primitive of a lakehouse table) read
+    * straight from the append-only manifests — version, row count,
+    * and the conserved masses, one row per publish. Because manifests
+    * are immutable and publish-last, this is a metadata-only scan
+    * (head-count manifest files, one row each — never the data), and
+    * because each manifest's masses were AUDITED against the previous
+    * manifest + delta at publish time, the history doubles as the
+    * table's conservation ledger: the oracle recomputes every
+    * version's masses from the raw slices and all must agree.
+    *
+    * Exactness: counts bigint; price mass is the manifest's exact
+    * decimal string rendered to double at the output boundary (same
+    * nearest-double both engines). Runs the q88 flow first if the
+    * table is unpublished.
+    */
+  def tableHistory(s: SparkSession, dir: String, mod: Int = 3): DataFrame = {
+    upsertOrdersSummary(s, dir, mod) // ensure v1+v2 are published
+    val path = tablePath(s, dir, mod)
+    val head = publishedVersion(s, path)
+    (1 to head).map(v => s.read.parquet(s"$path/manifest_v$v"))
+      .reduce(_ unionByName _)
+      .select(col("version"), col("n_rows"), col("orders_mass"),
+        col("price_mass").cast("double").as("price_mass"))
+      .orderBy(col("version"))
+  }
+
   def upsertOrdersSummary(s: SparkSession, dir: String,
       mod: Int = 3): DataFrame = {
     val path = tablePath(s, dir, mod)

@@ -126,6 +126,26 @@ class LakehouseMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 history lists every published version with conserved masses") {
+    val hist = LakehouseMerge.tableHistory(spark, sfDir).collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
+    // masses re-derived from the raw slices
+    val orders = Tables.orders(spark, sfDir)
+    def mass(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(countDistinct(col("o_custkey")), count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())
+    }
+    val v1 = mass(orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0))
+    val v2 = mass(orders)
+    assert((hist(0).getLong(1), hist(0).getLong(2), hist(0).getDouble(3))
+      === v1)
+    assert((hist(1).getLong(1), hist(1).getLong(2), hist(1).getDouble(3))
+      === v2)
+    // history grows monotonically: v2 strictly dominates v1
+    assert(hist(1).getLong(2) > hist(0).getLong(2))
+  }
+
   test("q89 version diff classifies inserts/updates with exact slice deltas") {
     val got = LakehouseMerge.versionDiff(spark, sfDir).collect()
       .map(r => r.getLong(0) ->

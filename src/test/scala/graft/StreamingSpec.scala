@@ -346,6 +346,50 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("streaming URL novelty gate equals the batch join row-for-row") {
+    // d37's ingest gate as a stream: incoming docs canonicalize
+    // in-stream (stateless projection) and probe a STATIC keeper
+    // table built from the already-crawled slice — both paths run
+    // Dedup.urlNoveltyStream verbatim, so every row must be equal.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    // the incoming batch: one never-crawled domain (src3, whose URL
+    // groups live entirely inside the batch → novel) plus re-crawls
+    // of known domains (doc_id % 8, whose group-mates are already
+    // kept → known); mod 4 would NOT work — 4 divides the 100-doc
+    // path cycle, so a mod-4 slice contains whole canonical groups
+    val isIncoming = col("source") === "src3" ||
+      pmod(col("doc_id"), lit(8)) === 0
+    val existing = docs.filter(!isIncoming)
+    val keepers = graft.operators.Dedup.withCanonicalUrl(existing)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val incoming = docs.filter(isIncoming)
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, "urlnovelty").toString
+    incoming.repartition(2).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val out = graft.operators.Dedup.urlNoveltyStream(stream, keepers)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("urlnovelty_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("urlnovelty_out")
+    val want = graft.operators.Dedup.urlNoveltyStream(incoming, keepers)
+    assert(got.count() > 0)
+    val joined = got.as("g").join(want.as("b"), Seq("doc_id"), "full_outer")
+    assert(joined.filter(
+      col("g.canonical_url").isNull || col("b.canonical_url").isNull ||
+      col("g.canonical_url") =!= col("b.canonical_url") ||
+      col("g.known") =!= col("b.known"))
+      .count() === 0)
+    // the gate actually differentiates: both verdicts occur
+    assert(got.filter(col("known")).count() > 0)
+    assert(got.filter(!col("known")).count() > 0)
+  }
+
   test("streaming exact dedup keeps exactly batch d1's fingerprint set") {
     import graft.functions.TextFunctions.fingerprint
     val docs = Tables.documents(spark, sfDir)
