@@ -317,6 +317,12 @@ object SparkEntry {
     // DESCRIBE HISTORY: the versioned table's audit log straight from
     // the append-only manifests (metadata-only; conservation ledger)
     "q92_table_history" -> (LakehouseMerge.tableHistory(_, _)),
+    // Declarative constraint suite: per-table checks folded into one
+    // conditional aggregate per scan; RI as a broadcast anti probe
+    "q93_quality_constraints" -> (DataQuality.constraintReport(_, _)),
+    // Token-sort-invariant dedup: word-reordered docs collapse at
+    // d1's one-shuffle cost (the pre-shingle gate)
+    "d38_token_sort_dedup" -> (Dedup.tokenSortDedup(_, _)),
     // Stratified per-language hash sampling (training-mix rebalance)
     "q51_stratified_sample" -> (CorpusOps.stratifiedSample(_, _)),
     // Mix rates as a broadcast config TABLE, not plan literals
@@ -1802,6 +1808,59 @@ object SparkEntry {
         |SELECT 2 AS version, n_rows, om AS orders_mass,
         |  CAST(pm AS DOUBLE) AS price_mass FROM v2
         |ORDER BY version""".stripMargin,
+
+    // q93: each check restated as plain SQL over the raw tables; the
+    // verdict is count = 0. NULL status rows count as non-violations
+    // in both engines (CASE WHEN NULL → ELSE). All-integer: bit-exact.
+    "q93_quality_constraints" ->
+      """WITH o AS (SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_custkey,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+        |  FROM orders),
+        |l AS (SELECT
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
+        |  FROM lineitem),
+        |ri AS (SELECT count(*) AS orphan_custkey FROM orders o
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL),
+        |tc AS (SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |rows_ AS (
+        |  SELECT 'orders.o_custkey not_null' AS constraint_name,
+        |    null_custkey AS n_violations FROM o
+        |  UNION ALL SELECT 'orders.o_orderstatus accepted_values',
+        |    bad_status FROM o
+        |  UNION ALL SELECT 'orders.o_orderkey unique', dup_orderkey FROM o
+        |  UNION ALL SELECT 'lineitem.l_quantity range_1_50',
+        |    bad_quantity FROM l
+        |  UNION ALL SELECT 'lineitem.l_discount range_0_0.1',
+        |    bad_discount FROM l
+        |  UNION ALL SELECT 'orders.o_custkey references customer',
+        |    orphan_custkey FROM ri
+        |  UNION ALL SELECT 'lineitem.l_shipdate >= orders.o_orderdate',
+        |    ship_before_order FROM tc)
+        |SELECT constraint_name, n_violations, n_violations = 0 AS pass
+        |FROM rows_ ORDER BY constraint_name""".stripMargin,
+
+    // d38: identical string algebra — regex tokenize, lexicographic
+    // list sort, md5 of the space-joined sorted tokens (the d34 md5
+    // group-key convention).
+    "d38_token_sort_dedup" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    md5(array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '')), ' '))
+        |      AS sig
+        |  FROM documents)
+        |SELECT sig, min(doc_id) AS keeper_id, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_texts
+        |FROM t GROUP BY sig ORDER BY sig""".stripMargin,
 
     // q91: post-erasure summary recomputed with the deletion predicate
     // anti-applied; owner_version falls out as "partition had any

@@ -878,6 +878,40 @@ object Dedup {
     * before a byte of content is read. Spec-asserted equal to the
     * batch join on the same slice.
     */
+  /** d38 — token-sort-invariant exact dedup: group documents by the
+    * md5 of their SORTED lowercase token sequence, so two docs that
+    * are word-for-word reorderings of each other (shuffled boilerplate
+    * lists, templated sentences re-ordered by a scraper, the
+    * "token sort ratio" family's exact case) collapse into one group —
+    * strictly coarser than d1's exact-text dedup at the identical
+    * one-shuffle cost, strictly cheaper than d2/d3's shingle pipeline
+    * (which this gate runs BEFORE, shrinking its input). Emits the
+    * keeper (min doc_id), group size, and the count of distinct raw
+    * texts in the group — `n_distinct_texts > 1` is exactly the
+    * reorder-collapse evidence an operator inspects before trusting
+    * the gate.
+    *
+    * Exactness: tokenization, lexicographic sort, and md5 are
+    * identical string algebra in both engines — bit-exact, full hash
+    * oracle. Scale posture: a shuffle-free codegen projection
+    * (split/sort/hash per row) and ONE groupBy shuffle on the
+    * signature — d1's plan shape with a token-multiset key.
+    */
+  def tokenSortDedup(s: SparkSession, dir: String): DataFrame =
+    tokenSortGroups(Tables.documents(s, dir))
+
+  /** d38's kernel on any (doc_id, text) relation. */
+  private[graft] def tokenSortGroups(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val sig = md5(array_join(array_sort(toks), " "))
+    docs.select(col("doc_id"), col("text"), sig.as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .orderBy(col("sig"))
+  }
+
   def urlNoveltyStream(streamDocs: DataFrame, keepers: DataFrame): DataFrame =
     withCanonicalUrl(streamDocs.select(col("doc_id"), col("source")))
       .join(keepers.select(col("canonical_url"),

@@ -105,6 +105,51 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0)
   }
 
+  test("d38 collapses word reorderings but never distinct multisets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma  ALPHA beta"),      // reorder + case + extra space
+      (3L, "alpha beta gamma"),       // exact dup of 1
+      (4L, "alpha beta beta gamma"),  // different MULTISET (extra beta)
+      (5L, "delta")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.tokenSortGroups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // {1,2,3} collapse (keeper 1, 2 distinct raw texts); 4 and 5 alone
+    assert(got === Set((1L, 3L, 2L), (4L, 1L, 1L), (5L, 1L, 1L)))
+    // and on the corpus: strictly coarser than exact-text dedup
+    val corpus = Tables.documents(spark, sfDir)
+    val nTokenSort = graft.operators.Dedup.tokenSortDedup(spark, sfDir).count()
+    val nExactText = corpus.select(col("text")).distinct().count()
+    assert(nTokenSort <= nExactText)
+    assert(nTokenSort > 0)
+  }
+
+  test("q93 constraint suite: six pass, temporal check counts real violations") {
+    val report = graft.operators.DataQuality.constraintReport(spark, sfDir)
+      .collect()
+    assert(report.length === 7)
+    val byName = report.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the generated corpus satisfies the structural constraints
+    byName.filterKeys(_ != "lineitem.l_shipdate >= orders.o_orderdate")
+      .foreach { case (name, (n, pass)) =>
+        assert(n === 0L && pass, name)
+      }
+    // ...but genuinely violates the temporal one — the report COUNTS
+    // (independent recompute of the violation count)
+    val wantTemporal = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    val (gotTemporal, tPass) =
+      byName("lineitem.l_shipdate >= orders.o_orderdate")
+    assert(gotTemporal === wantTemporal)
+    assert(wantTemporal > 0L && !tPass)
+  }
+
   test("q91 erasure: COW rewrites only hit partitions; unpublished erase invisible") {
     val (mod, rem) = (50, 7)
     CowErasure.invalidate(spark, sfDir, mod, rem)
