@@ -196,6 +196,25 @@ object Bench {
       e.printStackTrace()
       (-1.0, -1.0)
     }
+    // q91 cold-erase vs warm-read split (same contract): cold = drop
+    // the COW store, publish base + erase + mixed-ownership read;
+    // warm = manifest resolve + partition-pruned read only.
+    val (q91Cold, q91Warm) = try {
+      graft.operators.CowErasure.invalidate(spark, sfDir)
+      val c0 = System.nanoTime()
+      run(graft.operators.CowErasure.erasedSummary(spark, sfDir))
+      val c = (System.nanoTime() - c0) / 1e9
+      spark.catalog.clearCache()
+      val w0 = System.nanoTime()
+      run(graft.operators.CowErasure.erasedSummary(spark, sfDir))
+      val wv = (System.nanoTime() - w0) / 1e9
+      spark.catalog.clearCache()
+      (c, wv)
+    } catch { case NonFatal(e) =>
+      System.err.println("[bench] q91 cold/warm split failed:")
+      e.printStackTrace()
+      (-1.0, -1.0)
+    }
 
     // s13 IVF-PQ build-vs-query split, same contract as s3's: the
     // build is timed DIRECTLY (the index call materializes it — the
@@ -307,7 +326,7 @@ object Bench {
     // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
     // from the target, pass-0 times are NOT target-scale numbers and
     // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,"q88_cold_publish":$q88Cold,"q88_warm_read":$q88Warm,$accJson$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,"q88_cold_publish":$q88Cold,"q88_warm_read":$q88Warm,"q91_cold_erase":$q91Cold,"q91_warm_read":$q91Warm,$accJson$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
