@@ -46,6 +46,12 @@ import graft.Tables
   * v1 to unaffected partitions by partition filter, so no deleted
   * byte is ever re-read. The affected-source list collected to the
   * driver is partition-count-bounded — table metadata, not data.
+  *
+  * Reference: no table-maintenance surface exists in the reference
+  * (`Sample.cs:1-264`; SURVEY §2.3 absent category) — this extends the
+  * q88 versioned-store family. The partition-ownership manifest is the
+  * public lakehouse-format idea (Iceberg/Delta snapshot manifests),
+  * re-expressed on plain parquet + Hadoop FS.
   */
 object CowErasure {
 

@@ -32,6 +32,12 @@ import graft.Tables
   * order dates), so the report provably COUNTS rather than
   * rubber-stamps — the spec pins the violation count to an
   * independent recompute.
+  *
+  * Reference: the reference's only input validation is the per-line
+  * 17-field + int-probe accept filter (`Sample.cs:153-157`, F1 in
+  * SURVEY §2.1) — this generalizes that gate to declarative,
+  * table-level constraints (SURVEY §2.3 absent category; the dbt-test
+  * shape is public practice).
   */
 object DataQuality {
 
