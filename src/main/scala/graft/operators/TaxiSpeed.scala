@@ -71,6 +71,25 @@ object TaxiSpeed {
       groupsOpt = Some(files))
   }
 
+  /** Faithful mode over an EXPLICIT URI list — the reference's actual
+    * dataflow (`Sample.cs:70-75`: the lister's URI array fans out to
+    * the mappers verbatim), and the required form for listing-less
+    * transports (http(s) via [[graft.sources.HttpReadFileSystem]],
+    * where globs cannot expand). The group domain is the given list:
+    * an all-rejected file still contributes its zero row, exactly as
+    * in the glob form.
+    */
+  def faithfulAvgByDowListed(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val norm = graft.sources.TaxiCsv.normalizeUris(spark, paths)
+    TwoLevelMean.faithful(
+      withSpeed(graft.sources.TaxiCsv.tripsListed(spark, norm)),
+      col("file"), col("day"), col("speed_mph"),
+      0 to 6, keyName = "day", outName = "avg_speed_mph",
+      groupsOpt = Some(norm.toDF("_grp")))
+  }
+
   /** Weighted (corrected) mode: plain global mean per day — every trip
     * counts once. Output: (day int, avg_speed_mph double).
     */

@@ -106,6 +106,35 @@ object TaxiCsv {
         element_at(col("fields"), 1).try_cast("int").isNotNull)
   }
 
+  /** acceptedLines over an EXPLICIT URI list — the reference's
+    * lister→mapper hand-off (`Sample.cs:70-75` passes the lister's URI
+    * array to the mappers verbatim), and the only enumeration form a
+    * listing-less transport supports (http(s): plain HTTP has no
+    * directory protocol — see [[HttpReadFileSystem]]). URIs are
+    * status-qualified first so the `file` column (input_file_name)
+    * joins against them directly. */
+  def acceptedLinesListed(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    val lines = spark.read.text(normalizeUris(spark, paths): _*)
+      .select(input_file_name().as("file"), col("value"))
+    lines
+      .withColumn("fields", split(col("value"), ","))
+      .filter(size(col("fields")) === 17 &&
+        element_at(col("fields"), 1).try_cast("int").isNotNull)
+  }
+
+  /** Qualify each URI through its FileSystem's status (existence check
+    * + the scheme://authority/path normal form `listFiles` emits). */
+  private[graft] def normalizeUris(spark: SparkSession,
+      paths: Seq[String]): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val u = hp.getFileSystem(hconf).getFileStatus(hp).getPath.toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+  }
+
   /** Strict fixed-layout timestamp parse (custom codegen'd expression —
     * `gettimestamp`'s DateTimeFormatter path was the dominant cost of
     * the GB-scale flagship, ~20× the text scan; see ParseTs19's doc).
@@ -137,7 +166,14 @@ object TaxiCsv {
     * operate on these columns, never on re-derived parse chains.
     */
   def trips(spark: SparkSession, path: String): DataFrame =
-    acceptedLines(spark, path).select(
+    tripsProjection(acceptedLines(spark, path))
+
+  /** trips over an explicit URI list (see acceptedLinesListed). */
+  def tripsListed(spark: SparkSession, paths: Seq[String]): DataFrame =
+    tripsProjection(acceptedLinesListed(spark, paths))
+
+  private def tripsProjection(accepted: DataFrame): DataFrame =
+    accepted.select(
       col("file"),
       parseTs(element_at(col("fields"), 2), opaque = true).as("pickup_ts"),
       parseTs(element_at(col("fields"), 3)).as("dropoff_ts"),
