@@ -30,7 +30,11 @@ import graft.Tables
   * before the manifest write leaves `manifest_v1` as the head —
   * readers still see the pre-erasure corpus, consistently; re-running
   * the erasure overwrites `v=2` and publishes, self-healing (q88's
-  * contract). The audit gate before publish: each rewritten
+  * contract). A crash DURING the manifest write leaves a marker-less
+  * `manifest_v2` directory — unpublished by definition (head stays 1)
+  * — which the re-run clears before its own errorifexists publish
+  * ([[LakehouseMerge.clearUnpublishedManifest]]), so every crash
+  * window heals on re-run. The audit gate before publish: each rewritten
   * partition's read-back count must equal its v1 count minus its
   * planned deletions (row conservation per partition).
   *
@@ -102,6 +106,11 @@ object CowErasure {
     val m = s.read.parquet(s"$path/v=1")
       .groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
       .select(col("source"), lit(1).as("owner_version"), col("n_rows"))
+    // a crash DURING a manifest write leaves a marker-less directory
+    // (unresolvable, hence unpublished) — clear it so the self-healing
+    // re-run's errorifexists write can land (LakehouseMerge's shared
+    // healing rule)
+    LakehouseMerge.clearUnpublishedManifest(s, s"$path/manifest_v1")
     m.coalesce(1).write.mode("errorifexists").parquet(s"$path/manifest_v1")
   }
 
@@ -147,6 +156,7 @@ object CowErasure {
           (src, 2, r.getLong(2) - delBySrc(src))
         else (src, 1, r.getLong(2))
       }.toSeq
+      LakehouseMerge.clearUnpublishedManifest(s, s"$path/manifest_v2")
       rows.toDF("source", "owner_version", "n_rows")
         .coalesce(1).write.mode("errorifexists")
         .parquet(s"$path/manifest_v2")

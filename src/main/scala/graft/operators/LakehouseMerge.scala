@@ -29,7 +29,9 @@ import graft.Tables
   * `v=N` data files but no `manifest_vN/_SUCCESS` — readers keep
   * serving N−1, and the next writer run overwrites `v=N` and
   * publishes, self-healing. A crash DURING the manifest write leaves
-  * no `_SUCCESS`, same story.
+  * a marker-less `manifest_vN` directory — unpublished by definition —
+  * which the re-run clears before its own errorifexists publish
+  * ([[clearUnpublishedManifest]]), same story.
   *
   * Concurrent writers (r13 verdict #8): publish performs an
   * OPTIMISTIC version check — it re-lists published manifests and
@@ -85,6 +87,27 @@ object LakehouseMerge {
       .sorted.lastOption.getOrElse(0)
   }
 
+  /** Clear an UNPUBLISHED manifest directory (exists but has no
+    * `_SUCCESS`) so the subsequent `errorifexists` write can land.
+    * A manifest without its marker is by definition the debris of a
+    * writer that crashed MID-manifest-write — `publishedVersion`
+    * never resolves it, so deleting it changes nothing a reader can
+    * see, and leaving it would turn the self-healing re-run into a
+    * path-already-exists failure. A manifest WITH `_SUCCESS` is left
+    * alone — the errorifexists write then throws, which is exactly
+    * the optimistic-concurrency guard (another writer published
+    * first). Shared by this store and [[CowErasure]]'s. */
+  private[operators] def clearUnpublishedManifest(s: SparkSession,
+      manifestDir: String): Unit = {
+    val f = fs(s, manifestDir)
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    if (f.exists(p) &&
+        !f.exists(new org.apache.hadoop.fs.Path(s"$manifestDir/_SUCCESS"))) {
+      f.delete(p, true)
+      ()
+    }
+  }
+
   /** Write version files WITHOUT publishing — the crash-window state
     * the spec drives directly. Overwrite: re-running a failed writer
     * self-heals. */
@@ -138,6 +161,7 @@ object LakehouseMerge {
       s"publish conflict at $path: head is v$head, this writer merged " +
         s"from v${v - 1} — rebase required")
     import s.implicits._
+    clearUnpublishedManifest(s, s"$path/manifest_v$v")
     Seq((v, gotRows, gotOrders, gotPrice.toPlainString))
       .toDF("version", "n_rows", "orders_mass", "price_mass")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/manifest_v$v")
