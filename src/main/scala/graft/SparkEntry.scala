@@ -320,6 +320,16 @@ object SparkEntry {
     // Declarative constraint suite: per-table checks folded into one
     // conditional aggregate per scan; RI as a broadcast anti probe
     "q93_quality_constraints" -> (DataQuality.constraintReport(_, _)),
+    // VACUUM/retention: expire pre-head manifests, physically remove
+    // unreferenced partition files — the erasure's bytes are GONE;
+    // the v1_files_present witness column is probed from the FS
+    "q94_vacuum_retention" -> (CowErasure.vacuumedSummary(_, _)),
+    // Schema evolution: v3's delta adds a nullable column; untouched
+    // rows read as NULL (no backfill), time travel null-fills
+    "q95_schema_evolution" -> (LakehouseMerge.evolvedOrdersSummary(_, _)),
+    // Version diff ACROSS the evolution boundary: the pre-evolution
+    // side is read under the evolved schema (read-schema-merge)
+    "q96_evolution_diff" -> (LakehouseMerge.evolutionDiff(_, _)),
     // Token-sort-invariant dedup: word-reordered docs collapse at
     // d1's one-shuffle cost (the pre-shingle gate)
     "d38_token_sort_dedup" -> (Dedup.tokenSortDedup(_, _)),
@@ -1880,6 +1890,60 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 0 ELSE n_chars END)
         |    AS BIGINT) AS n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q94: q91's post-erasure summary, plus the physical-deletion
+    // witness — after vacuum, v1 partition files exist iff the
+    // partition had no deletion hit (owner stayed 1). The engine
+    // probes the FILESYSTEM for the witness; the oracle derives it
+    // from the predicate — a missed (or over-eager) vacuum deletion
+    // hash-mismatches.
+    "q94_vacuum_retention" ->
+      """SELECT source,
+        |  CAST(CASE WHEN max(CASE WHEN doc_id % 50 = 7 THEN 1 ELSE 0 END)
+        |    = 1 THEN 2 ELSE 1 END AS INT) AS owner_version,
+        |  CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 0 ELSE n_chars END)
+        |    AS BIGINT) AS n_chars,
+        |  max(CASE WHEN doc_id % 50 = 7 THEN 1 ELSE 0 END) = 0
+        |    AS v1_files_present
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q95: the evolved head recomputed from raw orders. n_urgent is
+    // NULL for customers the post-evolution slice (keys ≡0 mod 3)
+    // never touched — the no-backfill semantic is IN the oracle.
+    // Masses decimal-exact; the one double is the output cast.
+    "q95_schema_evolution" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  max(CAST(o_orderdate AS DATE)) AS last_orderdate,
+        |  CASE WHEN sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(sum(CASE WHEN o_orderkey % 3 = 0
+        |      AND o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS BIGINT)
+        |    ELSE NULL END AS n_urgent
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q96: the diff across the evolution boundary is exactly the
+    // evolved slice's per-customer masses; insert = customer absent
+    // from the two pre-evolution slices. n_urgent_delta counts the
+    // slice's urgent orders (the null-filled old side is zero mass).
+    "q96_evolution_diff" ->
+      """WITH delta AS (SELECT o_custkey, count(*) AS d_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS d_price,
+        |    sum(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+        |      AS d_urgent
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey),
+        |pre AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderkey % 3 <> 0)
+        |SELECT d.o_custkey,
+        |  CASE WHEN p.o_custkey IS NULL THEN 'insert' ELSE 'update' END
+        |    AS change,
+        |  CAST(d.d_orders AS BIGINT) AS n_orders_delta,
+        |  CAST(d.d_price AS DOUBLE) AS price_delta,
+        |  CAST(d.d_urgent AS BIGINT) AS n_urgent_delta
+        |FROM delta d LEFT JOIN pre p USING (o_custkey)
+        |ORDER BY d.o_custkey""".stripMargin,
 
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-

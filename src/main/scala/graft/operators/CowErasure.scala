@@ -169,7 +169,20 @@ object CowErasure {
   private[graft] def readTable(s: SparkSession, path: String): DataFrame = {
     val head = manifestHead(s, path)
     require(head > 0, s"no published version at $path")
-    val owners = s.read.parquet(s"$path/manifest_v$head")
+    readTableAt(s, path, head)
+  }
+
+  /** Time travel: read the table as of published version `v`. A
+    * version past the vacuum retention head fails CLEANLY here (its
+    * manifest was expired first, before any data file was touched —
+    * see [[vacuum]]), never with a half-resolved dangling read. */
+  private[graft] def readTableAt(s: SparkSession, path: String,
+      v: Int): DataFrame = {
+    val f = fs(s, path)
+    require(f.exists(
+      new org.apache.hadoop.fs.Path(s"$path/manifest_v$v/_SUCCESS")),
+      s"version $v at $path is not published (or expired by vacuum)")
+    val owners = s.read.parquet(s"$path/manifest_v$v")
       .select(col("source"), col("owner_version")).collect()
       .map(r => r.getString(0) -> r.getInt(1))
     def slice(v: Int): Option[DataFrame] = {
@@ -207,6 +220,121 @@ object CowErasure {
       .join(owners, Seq("source"))
       .select(col("source"), col("owner_version"), col("n_docs"),
         col("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q94 — VACUUM / retention (r14 verdict #3): right-to-be-forgotten
+    * at 100 TB ends with PHYSICAL file removal — after q91's
+    * copy-on-write, the deleted rows' bytes still live in the
+    * superseded `v=1` files of the rewritten partitions, readable
+    * forever via time travel. Vacuum expires every version below
+    * `retainFrom` and removes every data file no retained manifest
+    * references, in the Iceberg expire-snapshots → remove-orphans
+    * order (public):
+    *
+    *   1. EXPIRE manifests `< retainFrom` FIRST — after this, time
+    *      travel to an expired version fails cleanly at manifest
+    *      resolution ([[readTableAt]]); no reader can START a doomed
+    *      read. Marker-less manifest debris goes too.
+    *   2. REMOVE ORPHANS — delete each `v=V/source=S` partition
+    *      directory that no RETAINED manifest maps to (the retained
+    *      manifests' (owner_version, source) pairs are the complete
+    *      live-file census, partition-count-sized metadata).
+    *
+    * Crash safety: a crash between 1 and 2 leaves unreferenced files
+    * on disk but invisible (their manifests are gone) — the re-run
+    * deletes them; vacuum is idempotent (second run removes nothing).
+    * Reader safety (spec-pinned): a reader holding the RETAINED head
+    * is untouched — every file it resolves is referenced by a
+    * retained manifest; a reader of an expired version fails cleanly
+    * at [[readTableAt]]'s manifest check. Readers must finish within
+    * the retention window — the same contract every lakehouse vacuum
+    * publishes.
+    *
+    * Cost is proportional to DELETED partitions (the q91 affected
+    * set), never table size: the census is manifest metadata and the
+    * deletes are directory removals. Returns (manifests expired,
+    * partition dirs removed).
+    */
+  private[graft] def vacuum(s: SparkSession, path: String,
+      retainFrom: Int): (Int, Int) = {
+    val f = fs(s, path)
+    val head = manifestHead(s, path)
+    require(head >= retainFrom,
+      s"retention head $retainFrom is past the published head $head")
+    val base = new org.apache.hadoop.fs.Path(path)
+    // 1. expire manifests below the retention head (incl. marker-less
+    // debris of crashed writers — unpublished by definition)
+    val expired = f.listStatus(base).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("manifest_v") &&
+          n.stripPrefix("manifest_v").toInt < retainFrom
+      }
+    expired.foreach(p => f.delete(p, true))
+    // 2. the live census: (owner_version, source) across every
+    // retained manifest — partition-count-bounded metadata
+    val referenced = (retainFrom to head).flatMap { v =>
+      s.read.parquet(s"$path/manifest_v$v")
+        .select(col("owner_version"), col("source")).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+    }.toSet
+    // 3. remove unreferenced partition directories (and any version
+    // directory left with no partitions)
+    var removed = 0
+    f.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v=")).foreach { vdir =>
+        val ver = vdir.getName.stripPrefix("v=").toInt
+        val parts = f.listStatus(vdir).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("source="))
+        parts.foreach { sdir =>
+          val src = sdir.getName.stripPrefix("source=")
+          if (!referenced.contains((ver, src))) {
+            f.delete(sdir, true)
+            removed += 1
+          }
+        }
+        if (f.listStatus(vdir).forall(st =>
+            !st.getPath.getName.startsWith("source=")))
+          f.delete(vdir, true)
+      }
+    (expired.size, removed)
+  }
+
+  /** The registered q94: the q91 erasure COMPLETED — after the
+    * copy-on-write publish, vacuum to the head version, so the
+    * deleted doc_ids' bytes are physically gone from storage (the
+    * superseded `v=1` files of rewritten partitions are removed; the
+    * untouched partitions' original files remain, still served
+    * as-is). Returns the post-vacuum reader view with a
+    * `v1_files_present` witness column probed from the FILESYSTEM
+    * (not the manifest): true exactly for partitions still owned by
+    * v1 — the oracle derives the same truth from the deletion
+    * predicate, so a vacuum that failed to remove (or wrongly
+    * removed) a partition directory hash-mismatches. Idempotent:
+    * warm runs find nothing to expire and read straight through. */
+  def vacuumedSummary(s: SparkSession, dir: String, mod: Int = 50,
+      rem: Int = 7): DataFrame = {
+    val path = tablePath(s, dir, mod, rem)
+    if (manifestHead(s, path) < 1) publishBase(s, dir, path)
+    if (manifestHead(s, path) < 2) eraseCow(s, dir, path, mod, rem)
+    vacuum(s, path, retainFrom = manifestHead(s, path))
+    val head = manifestHead(s, path)
+    val f = fs(s, path)
+    val owners = s.read.parquet(s"$path/manifest_v$head")
+      .select(col("source"), col("owner_version")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    import s.implicits._
+    val witness = owners.toSeq.map { case (src, own) =>
+      (src, own, f.exists(new org.apache.hadoop.fs.Path(
+        s"$path/v=1/source=$src")))
+    }.toDF("source", "owner_version", "v1_files_present")
+    readTable(s, path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .join(witness, Seq("source"))
+      .select(col("source"), col("owner_version"), col("n_docs"),
+        col("n_chars"), col("v1_files_present"))
       .orderBy(col("source"))
   }
 }

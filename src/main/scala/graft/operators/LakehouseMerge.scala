@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.Tables
 
@@ -16,32 +17,47 @@ import graft.Tables
   * requires exact conservation) and the IndexStore manifest-last
   * convention, generalized to MULTIPLE immutable versions.
   *
-  * Table layout under one directory:
-  *   `v=N/`           immutable parquet data files for version N
-  *   `manifest_vN/`   1-row parquet (version, n_rows, orders_mass,
-  *                    price_mass) — written LAST; its `_SUCCESS`
-  *                    marker IS the publish. Manifests are
-  *                    append-only: publishing N never touches N−1, so
-  *                    a reader holds a consistent snapshot for as
-  *                    long as it wants (time travel falls out free).
+  * Table layout under one directory (the Iceberg/Delta split of
+  * DATA vs METADATA, public):
+  *   `data_vN_<token>/`  immutable parquet data files, STAGED under a
+  *                       writer-unique random token — two concurrent
+  *                       writers racing for the same version number
+  *                       write disjoint directories and can never
+  *                       clobber each other's files; only the
+  *                       manifest commit is contended.
+  *   `manifest_vN/`      1-row parquet (version, n_rows, orders_mass,
+  *                       price_mass, data_dir) — written LAST; its
+  *                       `_SUCCESS` marker IS the publish, and its
+  *                       `data_dir` names the winning staged
+  *                       directory. Manifests are append-only:
+  *                       publishing N never touches N−1, so a reader
+  *                       holds a consistent snapshot for as long as
+  *                       it wants (time travel falls out free).
   *
-  * Crash safety (spec-pinned): a crash BEFORE publish leaves
-  * `v=N` data files but no `manifest_vN/_SUCCESS` — readers keep
-  * serving N−1, and the next writer run overwrites `v=N` and
-  * publishes, self-healing. A crash DURING the manifest write leaves
-  * a marker-less `manifest_vN` directory — unpublished by definition —
+  * Crash safety (spec-pinned): a crash BEFORE publish leaves staged
+  * data files but no `manifest_vN/_SUCCESS` — readers keep serving
+  * N−1, and the next writer run stages fresh files and publishes,
+  * self-healing. A crash DURING the manifest write leaves a
+  * marker-less `manifest_vN` directory — unpublished by definition —
   * which the re-run clears before its own errorifexists publish
-  * ([[clearUnpublishedManifest]]), same story.
+  * ([[clearUnpublishedManifest]]), same story. Orphaned staged
+  * directories (crashed or rebased writers) are invisible to every
+  * reader and removed by the q94 vacuum contract ([[CowErasure]]'s
+  * retention sweep is the same idea on the partition-owned store).
   *
-  * Concurrent writers (r13 verdict #8): publish performs an
-  * OPTIMISTIC version check — it re-lists published manifests and
-  * fails if the head moved past the version this writer based its
-  * merge on, or if the target manifest already exists. This narrows
-  * the lost-update window to the manifest write itself; closing it
-  * entirely needs the store's conditional-put/rename primitive
-  * (HDFS atomic rename, S3 If-None-Match), which is a deployment
-  * binding, not plan logic. Single-writer-per-table remains the
-  * documented operating mode.
+  * Concurrent writers (r13 verdict #8, closed r15): publish performs
+  * an OPTIMISTIC version check — it re-lists published manifests and
+  * throws [[PublishConflictException]] if the head moved past the
+  * version this writer based its merge on, or if the target manifest
+  * already published. [[mergeDeltaWithRebase]] is the retry loop on
+  * top: the loser deletes its own staged files, re-reads the NEW
+  * head, re-derives the merge against it, re-audits, re-publishes —
+  * so interleaved writers both land and the final mass audit carries
+  * BOTH deltas (spec-pinned with an injected interleaving). The
+  * remaining race is two manifests landing the same version in the
+  * same instant; closing it needs the store's conditional-put/rename
+  * primitive (HDFS atomic rename, S3 If-None-Match), a deployment
+  * binding, not plan logic.
   *
   * Scale posture: the merge is ONE full-outer join of the current
   * version with the delta summary, both keyed on the merge key (at
@@ -62,10 +78,25 @@ import graft.Tables
   */
 object LakehouseMerge {
 
+  /** The optimistic-concurrency verdict: another writer published
+    * first; the caller must rebase (re-merge against the new head)
+    * and retry — [[mergeDeltaWithRebase]] does exactly that. */
+  final class PublishConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  // layout L2 (r15): staged data_vN_<token> dirs + manifest data_dir
+  // column — a path bump so stores persisted under the v=N layout are
+  // simply abandoned, never half-read
   private def tablePath(s: SparkSession, dir: String, mod: Int): String = {
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_m${mod}_" +
       IndexStore.corpusTag(s, dir, "orders.parquet")
-    s"target/graft_table/orders_summary/$tag"
+    s"target/graft_table/orders_summary/L2_$tag"
+  }
+
+  private def evoTablePath(s: SparkSession, dir: String): String = {
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_evo_" +
+      IndexStore.corpusTag(s, dir, "orders.parquet")
+    s"target/graft_table/orders_summary_evo/L2_$tag"
   }
 
   private def fs(s: SparkSession, path: String) =
@@ -108,16 +139,41 @@ object LakehouseMerge {
     }
   }
 
-  /** Write version files WITHOUT publishing — the crash-window state
-    * the spec drives directly. Overwrite: re-running a failed writer
-    * self-heals. */
+  /** STAGE version data WITHOUT publishing — the crash-window state
+    * the spec drives directly. Every call writes a fresh
+    * writer-unique directory (concurrent writers can never clobber
+    * each other's files) and returns its name for [[auditAndPublish]];
+    * a directory no manifest ever names is inert orphan debris. */
   private[graft] def writeVersion(df: DataFrame, path: String,
-      v: Int): Unit =
-    df.write.mode("overwrite").parquet(s"$path/v=$v")
+      v: Int): String = {
+    val dir = s"data_v${v}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    df.write.mode("errorifexists").parquet(s"$path/$dir")
+    dir
+  }
+
+  /** The staged directory the published manifest for `v` names. */
+  private[graft] def dataDirOf(s: SparkSession, path: String,
+      v: Int): String =
+    s.read.parquet(s"$path/manifest_v$v").head().getString(4)
 
   private[graft] def readVersion(s: SparkSession, path: String,
       v: Int): DataFrame =
-    s.read.parquet(s"$path/v=$v")
+    s.read.parquet(s"$path/${dataDirOf(s, path, v)}")
+
+  /** Read version `v` UNDER a (possibly newer) schema: columns the
+    * version predates come back as typed nulls — the Iceberg/Delta
+    * read-schema-merge primitive, what makes time travel work across
+    * a schema-evolution boundary (q95/q96). */
+  private[graft] def readVersionAs(s: SparkSession, path: String,
+      v: Int, schema: StructType): DataFrame = {
+    val df = readVersion(s, path, v)
+    val filled = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    filled.select(schema.fieldNames.map(col).toSeq: _*)
+  }
 
   /** Drop the persisted table for `dir` entirely (bench cold-path
     * probe; Hadoop FS so cluster paths work). */
@@ -136,15 +192,18 @@ object LakehouseMerge {
     readVersion(s, path, v)
   }
 
-  /** AUDIT then PUBLISH version `v`: read the just-written files BACK
-    * from storage, compare (rows, orders_mass, price_mass) against
-    * the caller's expectation, optimistically re-check the version
-    * head, and only then write `manifest_vN` (the publish). A failed
-    * audit throws with both sides — the unpublished `v=N` files are
-    * inert. */
+  /** AUDIT then PUBLISH version `v` from its staged directory: read
+    * the just-written files BACK from storage, compare (rows,
+    * orders_mass, price_mass) against the caller's expectation,
+    * optimistically re-check the version head, and only then write
+    * `manifest_vN` naming `dataDir` (the publish). A failed audit
+    * throws with both sides — the staged files are inert. A moved
+    * head (or a lost manifest-write race) throws
+    * [[PublishConflictException]] — rebase and retry. */
   private[graft] def auditAndPublish(s: SparkSession, path: String, v: Int,
-      expRows: Long, expOrders: Long, expPrice: java.math.BigDecimal): Unit = {
-    val back = readVersion(s, path, v)
+      dataDir: String, expRows: Long, expOrders: Long,
+      expPrice: java.math.BigDecimal): Unit = {
+    val back = s.read.parquet(s"$path/$dataDir")
       .agg(count(lit(1)).as("n_rows"), sum(col("n_orders")).as("om"),
         sum(col("total_dec")).as("pm")).head()
     val (gotRows, gotOrders) = (back.getLong(0), back.getLong(1))
@@ -154,17 +213,27 @@ object LakehouseMerge {
       s"audit failed for v$v at $path: read back ($gotRows rows, " +
         s"$gotOrders orders, $gotPrice) expected ($expRows, $expOrders, " +
         s"$expPrice) — NOT publishing")
-    // optimistic concurrency check (r13 verdict #8): fail rather than
-    // publish over a version another writer landed first
+    // optimistic concurrency check (r13 verdict #8): conflict rather
+    // than publish over a version another writer landed first
     val head = publishedVersion(s, path)
-    require(head == v - 1,
-      s"publish conflict at $path: head is v$head, this writer merged " +
-        s"from v${v - 1} — rebase required")
+    if (head != v - 1)
+      throw new PublishConflictException(
+        s"publish conflict at $path: head is v$head, this writer merged " +
+          s"from v${v - 1} — rebase required")
     import s.implicits._
     clearUnpublishedManifest(s, s"$path/manifest_v$v")
-    Seq((v, gotRows, gotOrders, gotPrice.toPlainString))
-      .toDF("version", "n_rows", "orders_mass", "price_mass")
+    try Seq((v, gotRows, gotOrders, gotPrice.toPlainString, dataDir))
+      .toDF("version", "n_rows", "orders_mass", "price_mass", "data_dir")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/manifest_v$v")
+    catch { case scala.util.control.NonFatal(e) =>
+      // errorifexists lost the manifest race: if a COMPLETE manifest
+      // now sits there, another writer won — conflict; anything else
+      // (an IO failure) propagates as itself
+      if (publishedVersion(s, path) >= v)
+        throw new PublishConflictException(
+          s"publish conflict at $path: another writer landed v$v first")
+      else throw e
+    }
   }
 
   private def readManifestRow(s: SparkSession, path: String,
@@ -187,9 +256,93 @@ object LakehouseMerge {
     (r.getLong(0), r.getLong(1), r.getDecimal(2))
   }
 
+  /** The MERGE: matched customers add their masses (decimal-exact)
+    * and take the later date; unmatched insert as-is. greatest()
+    * ignores nulls on the outer join's unmatched sides. When either
+    * side carries the evolved `n_urgent` column (q95), it merges
+    * additively like the other masses, EXCEPT that a row no
+    * post-evolution write ever touched keeps NULL — the lakehouse
+    * no-backfill semantic (old rows read as null through the new
+    * schema, they are not silently zero). */
+  private[graft] def mergeInto(current: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val evolved = current.columns.contains("n_urgent") ||
+      delta.columns.contains("n_urgent")
+    def withUrgent(df: DataFrame): DataFrame =
+      if (df.columns.contains("n_urgent")) df
+      else df.withColumn("n_urgent", lit(null).cast("bigint"))
+    val (c, d) =
+      if (evolved) (withUrgent(current), withUrgent(delta))
+      else (current, delta)
+    val base = c.as("c").join(d.as("d"), Seq("o_custkey"), "full_outer")
+    val cols = Seq(col("o_custkey"),
+      (coalesce(col("c.n_orders"), lit(0L)) +
+        coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
+      (coalesce(col("c.total_dec"), lit(0).cast("decimal(28,2)")) +
+        coalesce(col("d.total_dec"), lit(0).cast("decimal(28,2)")))
+        .cast("decimal(28,2)").as("total_dec"),
+      greatest(col("c.last_orderdate"), col("d.last_orderdate"))
+        .as("last_orderdate")) ++
+      (if (evolved) Seq(
+        when(col("c.n_urgent").isNull && col("d.n_urgent").isNull,
+          lit(null).cast("bigint"))
+          .otherwise(coalesce(col("c.n_urgent"), lit(0L)) +
+            coalesce(col("d.n_urgent"), lit(0L))).as("n_urgent"))
+      else Nil)
+    base.select(cols: _*)
+  }
+
+  /** Merge a summarized `delta` into the table under
+    * write-audit-publish with OPTIMISTIC RETRY (r14 verdict #6): on a
+    * publish conflict the loser deletes its own staged files, re-reads
+    * the NEW head, re-derives the merge against it, re-audits and
+    * re-publishes — so every writer's delta lands exactly once and
+    * the manifest chain's mass audit carries all of them. Returns the
+    * version this writer published. `beforePublish` is the spec's
+    * interleaving injection point (runs after staging, before the
+    * audit+publish — where a concurrent winner lands). */
+  private[graft] def mergeDeltaWithRebase(s: SparkSession, path: String,
+      delta: DataFrame, maxRetries: Int = 3,
+      beforePublish: Int => Unit = _ => ()): Int = {
+    val (_, omD, pmD) = massOf(delta)
+    var attempt = 0
+    var published = -1
+    while (published < 0) {
+      val head = publishedVersion(s, path)
+      require(head > 0, s"no published version at $path to merge into")
+      val merged = mergeInto(readVersion(s, path, head), delta)
+      val v = head + 1
+      val dataDir = writeVersion(merged, path, v)
+      val (_, omH, pmH) = readManifestRow(s, path, head)
+      val expRows = merged.count()
+      beforePublish(attempt)
+      try {
+        auditAndPublish(s, path, v, dataDir, expRows, omH + omD,
+          pmH.add(pmD))
+        published = v
+      } catch { case e: PublishConflictException =>
+        // drop this attempt's staged files (they are ours alone —
+        // writer-unique dir) and rebase onto whatever head won
+        fs(s, path).delete(
+          new org.apache.hadoop.fs.Path(s"$path/$dataDir"), true)
+        attempt += 1
+        if (attempt > maxRetries) throw e
+      }
+    }
+    published
+  }
+
+  /** First publish of a table: summarize, stage, audit, publish v1. */
+  private def publishBaseVersion(s: SparkSession, path: String,
+      base: DataFrame): Unit = {
+    val (r, om, pm) = massOf(base)
+    val dataDir = writeVersion(base, path, 1)
+    auditAndPublish(s, path, 1, dataDir, r, om, pm)
+  }
+
   /** q88's STREAMING form — continuous lakehouse ingest: every
     * micro-batch of a live orders feed runs the SAME summarize →
-    * merge → write → audit → publish cycle against the current
+    * merge → stage → audit → publish cycle against the current
     * manifest head, so the versioned table advances one audited,
     * crash-safe version per non-empty batch and a reader at any
     * moment sees a complete published snapshot (never a half-merged
@@ -204,11 +357,11 @@ object LakehouseMerge {
     * manifest publish — per-batch actions outside what a streaming
     * aggregate state can express. Restart semantics: a batch
     * replayed after a crash re-runs its merge against the head it
-    * finds; the optimistic head check makes the publish safe, and a
-    * batch that fully published before the crash re-merges as a
-    * no-op only if the caller's feed is exactly-once — otherwise use
-    * the checkpointed batchId to skip (documented, not defaulted:
-    * dedup-on-replay is a feed contract, not plan logic).
+    * finds; the optimistic head check + rebase makes the publish
+    * safe, and a batch that fully published before the crash
+    * re-merges as a no-op only if the caller's feed is exactly-once —
+    * otherwise use the checkpointed batchId to skip (documented, not
+    * defaulted: dedup-on-replay is a feed contract, not plan logic).
     */
   def upsertOrdersStream(streamOrders: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -219,46 +372,17 @@ object LakehouseMerge {
           val delta = summarize(batch
             .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
               col("o_orderdate"))).cache()
-          val (_, omD, pmD) = massOf(delta)
-          val head = publishedVersion(s, path)
-          if (head == 0) {
-            writeVersion(delta, path, 1)
-            val (r1, om1, pm1) = massOf(delta)
-            auditAndPublish(s, path, 1, r1, om1, pm1)
-          } else {
-            val current = readVersion(s, path, head)
-            val merged = current.as("c")
-              .join(delta.as("d"), Seq("o_custkey"), "full_outer")
-              .select(col("o_custkey"),
-                (coalesce(col("c.n_orders"), lit(0L)) +
-                  coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
-                (coalesce(col("c.total_dec"), lit(0).cast("decimal(28,2)")) +
-                  coalesce(col("d.total_dec"), lit(0).cast("decimal(28,2)")))
-                  .cast("decimal(28,2)").as("total_dec"),
-                greatest(col("c.last_orderdate"), col("d.last_orderdate"))
-                  .as("last_orderdate"))
-            writeVersion(merged, path, head + 1)
-            val (_, omH, pmH) = readManifestRow(s, path, head)
-            val expRows = merged.count()
-            auditAndPublish(s, path, head + 1,
-              expRows, omH + omD, pmH.add(pmD))
-          }
+          if (publishedVersion(s, path) == 0)
+            publishBaseVersion(s, path, delta)
+          else
+            mergeDeltaWithRebase(s, path, delta)
           delta.unpersist()
           ()
         }
     }
 
-  /** The registered q88: publish a v1 base snapshot (orders with
-    * o_orderkey % mod != 0 summarized per customer), MERGE the
-    * remaining slice in as v2 under write-audit-publish, and return
-    * the table AS A READER SEES IT (through the manifest head) —
-    * which the oracle checks against a full recompute over ALL
-    * orders: conservation end-to-end, through two publishes and a
-    * crash-safe merge. Warm runs resolve the manifest head and go
-    * straight to the read.
-    */
   /** q89 — TIME-TRAVEL version diff: read versions 1 and 2 of the
-    * published table CONCURRENTLY (immutable `v=N` directories make
+    * published table CONCURRENTLY (immutable staged directories make
     * this free — publishing v2 never touched v1's files) and emit the
     * per-customer change report: customers INSERTED by the merge and
     * customers UPDATED, with their exact order-count and price deltas.
@@ -324,48 +448,113 @@ object LakehouseMerge {
       .orderBy(col("version"))
   }
 
+  /** The registered q88: publish a v1 base snapshot (orders with
+    * o_orderkey % mod != 0 summarized per customer), MERGE the
+    * remaining slice in as v2 under write-audit-publish (through the
+    * rebase loop — uncontended here, it publishes first try), and
+    * return the table AS A READER SEES IT (through the manifest
+    * head) — which the oracle checks against a full recompute over
+    * ALL orders: conservation end-to-end, through two publishes and
+    * a crash-safe merge. Warm runs resolve the manifest head and go
+    * straight to the read.
+    */
   def upsertOrdersSummary(s: SparkSession, dir: String,
       mod: Int = 3): DataFrame = {
     val path = tablePath(s, dir, mod)
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderdate"))
-    if (publishedVersion(s, path) < 1) {
-      val base = summarize(
-        orders.filter(pmod(col("o_orderkey"), lit(mod)) =!= 0))
-      val (r, om, pm) = massOf(base)
-      writeVersion(base, path, 1)
-      auditAndPublish(s, path, 1, r, om, pm)
-    }
-    if (publishedVersion(s, path) < 2) {
-      val delta = summarize(
-        orders.filter(pmod(col("o_orderkey"), lit(mod)) === 0))
-      val current = readVersion(s, path, 1)
-      // MERGE: matched customers add their masses (decimal-exact) and
-      // take the later date; unmatched insert as-is. greatest()
-      // ignores nulls on the outer join's unmatched sides.
-      val merged = current.as("c")
-        .join(delta.as("d"), Seq("o_custkey"), "full_outer")
-        .select(col("o_custkey"),
-          (coalesce(col("c.n_orders"), lit(0L)) +
-            coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
-          (coalesce(col("c.total_dec"), lit(0).cast("decimal(28,2)")) +
-            coalesce(col("d.total_dec"), lit(0).cast("decimal(28,2)")))
-            .cast("decimal(28,2)").as("total_dec"),
-          greatest(col("c.last_orderdate"), col("d.last_orderdate"))
-            .as("last_orderdate"))
-      writeVersion(merged, path, 2)
-      // expected v2 mass = published v1 manifest + computed delta mass:
-      // the q74-style conservation gate, derived WITHOUT re-reading v1
-      val (_, om1, pm1) = readManifestRow(s, path, 1)
-      val (_, omD, pmD) = massOf(delta)
-      val expRows = merged.count()
-      auditAndPublish(s, path, 2, expRows, om1 + omD, pm1.add(pmD))
-    }
+    if (publishedVersion(s, path) < 1)
+      publishBaseVersion(s, path, summarize(
+        orders.filter(pmod(col("o_orderkey"), lit(mod)) =!= 0)))
+    if (publishedVersion(s, path) < 2)
+      mergeDeltaWithRebase(s, path, summarize(
+        orders.filter(pmod(col("o_orderkey"), lit(mod)) === 0)))
     readTable(s, path)
       .select(col("o_custkey"), col("n_orders"),
         col("total_dec").cast("double").as("total_price"),
         col("last_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** The delta whose schema EVOLVES the table (q95): alongside the
+    * standard masses it carries `n_urgent` — the count of
+    * '1-URGENT'-priority orders in the delta slice. */
+  private def summarizeUrgent(o: DataFrame): DataFrame =
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("total_dec"),
+        max(col("o_orderdate").cast("date")).as("last_orderdate"),
+        sum(when(col("o_orderpriority").startsWith("1-"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_urgent"))
+
+  /** q95 — SCHEMA EVOLUTION on the versioned store (r14 verdict #7):
+    * real tables add columns mid-life. This table publishes v1 and v2
+    * under the original summary schema, then v3's delta arrives with
+    * a NEW nullable column (`n_urgent`) — the merge widens the
+    * table's schema in place: rows the post-evolution write touched
+    * carry the value, rows it never touched read as NULL (the
+    * Iceberg/Delta no-backfill semantic — old data is never silently
+    * rewritten or zero-filled), and time travel to pre-evolution
+    * versions still works, with the missing column null-filled on
+    * read ([[readVersionAs]] — the read-schema-merge primitive;
+    * spec-pinned, and q96 exercises it across the boundary).
+    *
+    * The registered query returns the evolved head as a reader sees
+    * it; the oracle recomputes it from raw orders — `n_urgent` is the
+    * urgent count within the post-evolution slice for customers that
+    * slice touched, NULL for everyone else. All-integer + exact
+    * decimal: bit-exact. Three thirds of the orders land as v1
+    * (keys ≡1 mod 3), v2 (≡2), v3 (≡0, evolved).
+    */
+  def evolvedOrdersSummary(s: SparkSession, dir: String): DataFrame = {
+    val path = evoTablePath(s, dir)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    def slice(k: Int) = orders.filter(pmod(col("o_orderkey"), lit(3)) === k)
+    if (publishedVersion(s, path) < 1)
+      publishBaseVersion(s, path, summarize(slice(1)))
+    if (publishedVersion(s, path) < 2)
+      mergeDeltaWithRebase(s, path, summarize(slice(2)))
+    if (publishedVersion(s, path) < 3)
+      mergeDeltaWithRebase(s, path, summarizeUrgent(slice(0)))
+    readTable(s, path)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("total_price"),
+        col("last_orderdate"), col("n_urgent"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q96 — version diff ACROSS the schema-evolution boundary: the
+    * q89 change report between v2 (pre-evolution schema) and v3
+    * (evolved), with the pre-evolution side read UNDER the evolved
+    * schema ([[readVersionAs]] null-fills the missing column) so the
+    * delta of the new column is well-defined: `n_urgent_delta`
+    * treats the null-filled old side as zero mass. This is the
+    * incremental-consumer path surviving a column addition — the
+    * diff that breaks on naive schema-locked readers. Oracle: the
+    * post-evolution slice's masses per customer, exactly.
+    */
+  def evolutionDiff(s: SparkSession, dir: String): DataFrame = {
+    evolvedOrdersSummary(s, dir) // ensure v1..v3 are published
+    val path = evoTablePath(s, dir)
+    val v3 = readVersion(s, path, 3)
+    val v2 = readVersionAs(s, path, 2, v3.schema)
+    v3.as("b").join(v2.as("a"), Seq("o_custkey"), "left")
+      .filter(col("a.n_orders").isNull ||
+        col("b.n_orders") =!= col("a.n_orders"))
+      .select(col("o_custkey"),
+        when(col("a.n_orders").isNull, lit("insert"))
+          .otherwise(lit("update")).as("change"),
+        (col("b.n_orders") - coalesce(col("a.n_orders"), lit(0L)))
+          .as("n_orders_delta"),
+        (col("b.total_dec") -
+          coalesce(col("a.total_dec"), lit(0).cast("decimal(28,2)")))
+          .cast("double").as("price_delta"),
+        (coalesce(col("b.n_urgent"), lit(0L)) -
+          coalesce(col("a.n_urgent"), lit(0L))).as("n_urgent_delta"))
       .orderBy(col("o_custkey"))
   }
 }

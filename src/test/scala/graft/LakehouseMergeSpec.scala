@@ -32,17 +32,17 @@ class LakehouseMergeSpec extends AnyFunSuite {
     val path = tmpTable()
     val v1 = planted(Seq((1L, 2L, "10.00", "1997-01-01"),
       (2L, 1L, "5.00", "1997-02-01")))
-    LakehouseMerge.writeVersion(v1, path, 1)
-    LakehouseMerge.auditAndPublish(spark, path, 1,
+    val d1 = LakehouseMerge.writeVersion(v1, path, 1)
+    LakehouseMerge.auditAndPublish(spark, path, 1, d1,
       2L, 3L, new java.math.BigDecimal("15.00"))
     assert(LakehouseMerge.publishedVersion(spark, path) == 1)
     assert(LakehouseMerge.readTable(spark, path).count() == 2)
 
-    // CRASH WINDOW: v2 files land, publish never runs — readers must
-    // keep serving v1
+    // CRASH WINDOW: v2 files land (staged), publish never runs —
+    // readers must keep serving v1
     val v2 = planted(Seq((1L, 3L, "12.00", "1997-03-01"),
       (2L, 1L, "5.00", "1997-02-01"), (3L, 1L, "7.00", "1997-04-01")))
-    LakehouseMerge.writeVersion(v2, path, 2)
+    val d2 = LakehouseMerge.writeVersion(v2, path, 2)
     assert(LakehouseMerge.publishedVersion(spark, path) == 1,
       "unpublished files must not move the head")
     assert(LakehouseMerge.readTable(spark, path)
@@ -50,7 +50,7 @@ class LakehouseMergeSpec extends AnyFunSuite {
       "reader must still see v1's rows")
 
     // the writer re-runs (self-heal): publish succeeds, head moves
-    LakehouseMerge.auditAndPublish(spark, path, 2,
+    LakehouseMerge.auditAndPublish(spark, path, 2, d2,
       3L, 5L, new java.math.BigDecimal("24.00"))
     assert(LakehouseMerge.publishedVersion(spark, path) == 2)
     assert(LakehouseMerge.readTable(spark, path).count() == 3)
@@ -58,11 +58,11 @@ class LakehouseMergeSpec extends AnyFunSuite {
 
   test("a failed audit refuses to publish") {
     val path = tmpTable()
-    LakehouseMerge.writeVersion(
+    val d1 = LakehouseMerge.writeVersion(
       planted(Seq((1L, 1L, "10.00", "1997-01-01"))), path, 1)
     val e = intercept[IllegalArgumentException] {
       // wrong expected mass: files are corrupt/incomplete by hypothesis
-      LakehouseMerge.auditAndPublish(spark, path, 1,
+      LakehouseMerge.auditAndPublish(spark, path, 1, d1,
         1L, 1L, new java.math.BigDecimal("999.00"))
     }
     assert(e.getMessage.contains("NOT publishing"))
@@ -73,22 +73,122 @@ class LakehouseMergeSpec extends AnyFunSuite {
   test("optimistic publish refuses a moved head and a double publish") {
     val path = tmpTable()
     val v1 = planted(Seq((1L, 1L, "10.00", "1997-01-01")))
-    LakehouseMerge.writeVersion(v1, path, 1)
-    LakehouseMerge.auditAndPublish(spark, path, 1,
+    val d1 = LakehouseMerge.writeVersion(v1, path, 1)
+    LakehouseMerge.auditAndPublish(spark, path, 1, d1,
       1L, 1L, new java.math.BigDecimal("10.00"))
     // double publish of v1: head is already 1, not 0 → conflict
-    val e = intercept[IllegalArgumentException] {
-      LakehouseMerge.auditAndPublish(spark, path, 1,
+    val e = intercept[LakehouseMerge.PublishConflictException] {
+      LakehouseMerge.auditAndPublish(spark, path, 1, d1,
         1L, 1L, new java.math.BigDecimal("10.00"))
     }
     assert(e.getMessage.contains("conflict"))
     // skipping a version (publish v3 while head is 1) → conflict
-    LakehouseMerge.writeVersion(v1, path, 3)
-    val e2 = intercept[IllegalArgumentException] {
-      LakehouseMerge.auditAndPublish(spark, path, 3,
+    val d3 = LakehouseMerge.writeVersion(v1, path, 3)
+    val e2 = intercept[LakehouseMerge.PublishConflictException] {
+      LakehouseMerge.auditAndPublish(spark, path, 3, d3,
         1L, 1L, new java.math.BigDecimal("10.00"))
     }
     assert(e2.getMessage.contains("conflict"))
+  }
+
+  test("two interleaved writers: the loser rebases and BOTH deltas land in the final mass") {
+    val path = tmpTable()
+    LakehouseMerge.auditAndPublish(spark, path, 1,
+      LakehouseMerge.writeVersion(
+        planted(Seq((1L, 2L, "10.00", "1997-01-01"),
+          (2L, 1L, "5.00", "1997-02-01"))), path, 1),
+      2L, 3L, new java.math.BigDecimal("15.00"))
+
+    // writer A's delta and writer B's delta, disjoint + overlapping keys
+    val deltaA = planted(Seq((1L, 1L, "2.00", "1997-05-01"),
+      (3L, 2L, "8.00", "1997-06-01")))
+    val deltaB = planted(Seq((2L, 3L, "9.00", "1997-07-01")))
+
+    // INTERLEAVING: writer A stages its merge from head v1, and
+    // before A publishes, writer B lands v2 (injected via the
+    // beforePublish hook) — A's publish conflicts, A rebases onto
+    // B's v2 and publishes v3
+    var bPublished = -1
+    val vA = LakehouseMerge.mergeDeltaWithRebase(spark, path, deltaA,
+      beforePublish = attempt =>
+        if (attempt == 0)
+          bPublished = LakehouseMerge.mergeDeltaWithRebase(spark, path, deltaB))
+    assert(bPublished == 2, "writer B must win v2")
+    assert(vA == 3, "writer A must rebase onto B's head and land v3")
+    assert(LakehouseMerge.publishedVersion(spark, path) == 3)
+
+    // the final mass audit carries BOTH deltas: v1 + A + B exactly
+    val got = LakehouseMerge.readTable(spark, path)
+      .orderBy(col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDate(3).toString))
+    assert(got.toSeq == Seq(
+      (1L, 3L, "12.00", "1997-05-01"),
+      (2L, 4L, "14.00", "1997-07-01"),
+      (3L, 2L, "8.00", "1997-06-01")))
+    // the loser's abandoned staged dir was cleaned up on rebase:
+    // every remaining data dir is named by some manifest
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("data_v")).toSet
+    val named = (1 to 3)
+      .map(v => LakehouseMerge.dataDirOf(spark, path, v)).toSet
+    assert(dataDirs == named,
+      s"orphaned staged dirs left behind: ${dataDirs -- named}")
+  }
+
+  test("q95/q96 schema evolution: nulls for pre-evolution rows, time travel across the boundary") {
+    val got = LakehouseMerge.evolvedOrdersSummary(spark, sfDir)
+    // head schema carries the evolved column; the table equals the
+    // full recompute (n_urgent = urgent count within the evolved
+    // slice for its customers, NULL for everyone else)
+    val orders = Tables.orders(spark, sfDir)
+    val want = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderdate").cast("date")).as("last_orderdate"),
+        when(sum(when(pmod(col("o_orderkey"), lit(3)) === 0, 1L)
+          .otherwise(0L)) > 0,
+          sum(when(pmod(col("o_orderkey"), lit(3)) === 0 &&
+            col("o_orderpriority").startsWith("1-"), 1L).otherwise(0L)))
+          .as("n_urgent"))
+      .orderBy(col("o_custkey"))
+    val g = got.collect(); val w = want.collect()
+    assert(g.length == w.length && g.nonEmpty)
+    g.zip(w).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getDouble(2) == b.getDouble(2))
+      assert(a.getDate(3) == b.getDate(3))
+      assert(a.isNullAt(4) == b.isNullAt(4),
+        s"cust ${a.getLong(0)}: null-ness of n_urgent diverged")
+      if (!a.isNullAt(4)) assert(a.getLong(4) == b.getLong(4))
+    }
+    // both populated and NULL n_urgent rows must occur (no backfill)
+    assert(g.exists(_.isNullAt(4)) && g.exists(!_.isNullAt(4)))
+
+    // warm re-read is idempotent and keeps the evolved schema
+    val v3Schema = LakehouseMerge.evolvedOrdersSummary(spark, sfDir).schema
+    assert(v3Schema.fieldNames.contains("n_urgent"))
+
+    // diff across the evolution boundary: exactly the evolved slice's
+    // customers, with n_urgent_delta = their urgent count
+    val diff = LakehouseMerge.evolutionDiff(spark, sfDir).collect()
+    val slice0 = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").startsWith("1-"), 1L)
+          .otherwise(0L)).as("u"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(diff.map(_.getLong(0)).toSet == slice0.keySet)
+    diff.foreach { r =>
+      val (n, u) = slice0(r.getLong(0))
+      assert(r.getLong(2) == n, s"cust ${r.getLong(0)} n_orders_delta")
+      assert(r.getLong(4) == u, s"cust ${r.getLong(0)} n_urgent_delta")
+    }
   }
 
   test("streaming upsert publishes one audited version per batch; final equals batch recompute") {
