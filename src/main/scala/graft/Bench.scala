@@ -39,6 +39,14 @@ object Bench {
     // ramp measured 4× slower (336 s vs 78 s standalone) — a one-shot
     // deployment owns the whole machine, so the measurement must too.
     val gbJson = runFlagshipForked()
+    // Standalone-timed tier for the heaviest queries (r14 verdict #1):
+    // one fresh JVM per query, min-of-3 — the protocol immune to
+    // suite-JVM code-cache/profile pressure, run BEFORE the suite
+    // session exists for the same memory reason as the flagship. The
+    // artifact carries BOTH columns per query: queries.<q> (in-suite,
+    // throughput under load) and solo.<q>.solo_sec (fresh JVM) — any
+    // divergence is suite pressure by construction, not a regression.
+    val soloJson = runSoloForked()
     // Warm at the TARGET scale: interpreted-lambda paths need ~10k
     // invocations before C2 compiles them; sf0.001 volumes never get
     // there and the first timed query absorbs ~15s of JIT instead.
@@ -326,7 +334,7 @@ object Bench {
     // warm_sf labels pass 0's scale: when SPARK_GRAFT_WARM_DIR differs
     // from the target, pass-0 times are NOT target-scale numbers and
     // the artifact must say so rather than leave them misattributable.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,"q88_cold_publish":$q88Cold,"q88_warm_read":$q88Warm,"q91_cold_erase":$q91Cold,"q91_warm_read":$q91Warm,$accJson$gbJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"s3_ivf_build":$ivfBuild,"s3_ivf_query":$ivfQuery,"s2_lsh_build":$lshBuild,"s2_lsh_query":$lshQuery,"s13_ivfpq_build":$ivfPqBuild,"s13_ivfpq_query":$ivfPqQuery,"q88_cold_publish":$q88Cold,"q88_warm_read":$q88Warm,"q91_cold_erase":$q91Cold,"q91_warm_read":$q91Warm,$accJson$gbJson$soloJson"errors":$errs,"sf":"$sfDir","warm_sf":"$warmDir"}"""
     println(compact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -340,40 +348,74 @@ object Bench {
     spark.stop()
   }
 
-  // Fork graft.FlagshipBench into a fresh JVM (this JVM's flags and
-  // classpath) and return its gb_flagship JSON fragment, "" on any
-  // failure. Called at the TOP of main, before the suite
-  // SparkSession exists. Opt out with SPARK_GRAFT_GB=0.
+  // Fork `mainClass args` into a fresh JVM (this JVM's flags and
+  // classpath) and return the payload of its one `marker`-prefixed
+  // stdout line, None on any failure (stderr is inherited so child
+  // traces stay attributable).
+  private def forkMain(mainClass: String, args: Seq[String],
+      marker: String): Option[String] =
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java")
+        .getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      cmd.addAll(jvmArgs)
+      cmd.add("-cp")
+      cmd.add(System.getProperty("java.class.path"))
+      cmd.add(mainClass)
+      args.foreach(cmd.add)
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val line = out.linesIterator.find(_.startsWith(marker))
+      if (line.isEmpty)
+        System.err.println(s"[bench] $mainClass ${args.mkString(" ")} " +
+          s"exited rc=$rc without a $marker line")
+      line.map(_.stripPrefix(marker))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] fork of $mainClass failed:")
+      e.printStackTrace()
+      None
+    }
+
+  // GB flagship in a fresh JVM; "" on failure. Called at the TOP of
+  // main, before the suite SparkSession exists. Opt out with
+  // SPARK_GRAFT_GB=0.
   private def runFlagshipForked(): String =
-      if (sys.env.getOrElse("SPARK_GRAFT_GB", "1") == "0") ""
-      else try {
-        val javaBin = new java.io.File(
-          new java.io.File(System.getProperty("java.home"), "bin"), "java")
-          .getAbsolutePath
-        val jvmArgs = java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getInputArguments
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add(javaBin)
-        cmd.addAll(jvmArgs)
-        cmd.add("-cp")
-        cmd.add(System.getProperty("java.class.path"))
-        cmd.add("graft.FlagshipBench")
-        val pb = new ProcessBuilder(cmd)
-        pb.redirectErrorStream(false)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        val rc = proc.waitFor()
-        out.linesIterator.find(_.startsWith("GBJSON:")) match {
-          case Some(line) => line.stripPrefix("GBJSON:")
-          case None =>
-            System.err.println(s"[bench] gb_flagship child exited rc=$rc " +
-              "without a GBJSON line")
-            ""
-        }
-      } catch { case NonFatal(e) =>
-        System.err.println("[bench] gb_flagship fork failed:")
-        e.printStackTrace()
-        ""
+    if (sys.env.getOrElse("SPARK_GRAFT_GB", "1") == "0") ""
+    else forkMain("graft.FlagshipBench", Nil, "GBJSON:").getOrElse("")
+
+  // The heaviest r14 queries by in-suite time (the whole graph family)
+  // plus the verdict-named m12/m13/d29/t35 — the set whose in-suite
+  // inflation needed attribution. Override with
+  // SPARK_GRAFT_SOLO_QUERIES (comma-separated), disable with
+  // SPARK_GRAFT_SOLO=0.
+  private val defaultSoloQueries = Seq(
+    "g5_coreness", "g2_triangles", "g3_clustering", "g10_shortest_paths",
+    "g9_communities", "g1_pagerank", "m13_dct_phash_pairs",
+    "g8_reachability", "g6_supplier_overlap", "m12_dct_phash",
+    "d29_edit_distance_pairs", "t35_bpe_encode")
+
+  // One fresh JVM per solo query ([[SoloBench]] protocol); returns the
+  // `"solo":{...},` fragment, "" when disabled or fully failed.
+  private def runSoloForked(): String =
+    if (sys.env.getOrElse("SPARK_GRAFT_SOLO", "1") == "0") ""
+    else {
+      val names = sys.env.get("SPARK_GRAFT_SOLO_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(defaultSoloQueries)
+        .filter(SparkEntry.queries.contains)
+      val entries = names.flatMap { q =>
+        forkMain("graft.SoloBench", Seq(q), "SOLOJSON:")
+          .map(j => "\"" + q + "\":" + j)
       }
+      if (entries.isEmpty) ""
+      else s""""solo":${entries.mkString("{", ",", "}")},"solo_note":"per-query FORKED FRESH JVM, 3 warm runs at sf0.001 then min of 3 timed runs at the target SF (the gb_flagship protocol) - immune to suite-JVM code-cache/profile pressure by construction; divergence from the in-suite queries.<q> column attributes to suite pressure, and code comments may cite ONLY this column",""".stripMargin
+    }
 }

@@ -68,9 +68,9 @@ case class Opaque(child: Expression) extends UnaryExpression
   * format.
   *
   * Why a custom Expression (SURVEY.md §7.3 ladder): `gettimestamp` goes
-  * through `DateTimeFormatter` — measured ~137 s for the two-column
-  * parse over a 3 GB corpus at local[32], ~20× the cost of the text
-  * scan + split that feeds it, making timestamp parse the single
+  * through `DateTimeFormatter` — design-time A/B: ~20× the cost of the
+  * text scan + split that feeds it for the two-column parse over a
+  * 3 GB corpus at local[32], making timestamp parse the single
   * dominant cost of the flagship pipeline at reference volume. A
   * fixed-layout parse is pure digit arithmetic on the UTF8String bytes
   * (no formatter, no exceptions, no allocation) and emits as one static

@@ -33,8 +33,8 @@ object TextFunctions {
     * Take a column reference, not a tokenization expression: every
     * `element_at(w, …)` in the lambda re-evaluates its argument
     * expression, so passing `tokens(text)` directly re-tokenizes the
-    * document ~3n times per shingle (measured 21s -> 0.7s at sf0.1 for
-    * the dedup pipeline after materializing the tokens first).
+    * document ~3n times per shingle (rewrite-time A/B at sf0.1: ~30×
+    * on the dedup pipeline after materializing the tokens first).
     */
   def shinglesFromTokens(w: Column, n: Int): Column = {
     val grams = transform(

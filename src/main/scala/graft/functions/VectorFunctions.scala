@@ -48,9 +48,9 @@ object VectorFunctions {
     * clean data is value-identical since the divisor is nonzero there).
     *
     * Guard shape: `dot / nullif(denom, 0)` — a plain generated branch,
-    * no TryEval try/catch. NOTE (r8 bisect): ANY per-row guard costs
-    * ~1.4x on an O(n²) pair join (4.6s unguarded vs 6.2-6.5s with
-    * either try_divide or nullif on s4 at sf0.1) — so the quadratic
+    * no TryEval try/catch. NOTE (r8 bisect, design A/B): ANY per-row
+    * guard costs ~1.4x on an O(n²) pair join (try_divide and nullif
+    * alike, s4 at sf0.1) — so the quadratic
     * paths (Similarity.knnJoin, Dedup.embeddingNearDupPairs) do NOT
     * call this: they pre-filter zero-norm vectors once per row and
     * divide unguarded. This guarded form is for the broadcast top-k

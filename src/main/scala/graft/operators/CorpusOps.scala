@@ -70,11 +70,12 @@ object CorpusOps {
     * tokenize+shingle HOF chain into a Filter below these projections,
     * where the un-aliased tokens expression re-evaluates PER LAMBDA
     * ELEMENT (the TextFunctions.shinglesFromTokens gotcha) on the
-    * un-spread scan — measured 22-28s at sf0.1. The InMemoryRelation
+    * un-spread scan — rewrite-time A/B at sf0.1: ~20× the cached
+    * form. The InMemoryRelation
     * truncates that lineage: the inferred filter stays a cheap size()
     * probe on the materialized column, and the shingle table is
-    * computed once for all consumers (~1.1s at sf0.1 for the whole d11
-    * operator — bench_out.json, reproducible via `runMain graft.Bench`).
+    * computed once for all consumers (current per-query numbers live in
+    * bench_out.json, reproducible via `runMain graft.Bench`).
     * Spark keys the cache by plan, so d11 and d14 in one session share
     * ONE InMemoryRelation. Lifecycle ends with the query — Bench/Verify
     * clearCache between queries. At cluster scale this is a persist of

@@ -214,7 +214,7 @@ object Dedup {
       // shingle HOF chain into a Filter below these projections, where
       // the un-aliased `prep` sub-expression is re-evaluated PER LAMBDA
       // ELEMENT (the TextFunctions.shinglesFromTokens gotcha) —
-      // measured 0.4s -> 12s at sf0.1 for the table build. The filter
+      // rewrite-time A/B at sf0.1: a 30× table-build blowup. The filter
       // is also semantically redundant: explode() emits nothing for an
       // empty array, so shingle-less docs can never reach a candidate
       // join, a signature, or a verify branch.
@@ -240,11 +240,11 @@ object Dedup {
     * edits), threshold 0.7. Candidate generation uses MinHash-LSH
     * banding, NOT prefix filtering: char 5-grams over this corpus's
     * tiny vocabulary have a flat, high document frequency, so even a
-    * rarest-30% prefix explodes (measured 50-70s at sf0.1), and r=2
-    * banding floods because BACKGROUND pair similarity is ~0.2 (81s).
+    * rarest-30% prefix explodes (design-time A/B at sf0.1: ~30× the
+    * shipped form), and r=2 banding floods because BACKGROUND pair
+    * similarity is ~0.2 (~45× the shipped form).
     * r=8 x 16 bands: background p99=0.26 -> false-candidate rate
-    * ~1e-5; true pairs >= 0.93 -> miss probability ~2e-6 (1.8s at
-    * sf0.1). Candidates are verified with EXACT Jaccard — output
+    * ~1e-5; true pairs >= 0.93 -> miss probability ~2e-6. Candidates are verified with EXACT Jaccard — output
     * equals the exact quadratic oracle.
     */
   def charGramPairs(s: SparkSession, dir: String, t: Double = 0.7): DataFrame =
@@ -409,7 +409,8 @@ object Dedup {
     * low-entropy corpora: a FIRST cut of this operator joined on gram
     * content alone and produced 24.8M candidates over 5000 docs at
     * sf0.1 (boilerplate corpora share most of their gram VOCABULARY
-    * at wildly different offsets — measured 18 s); position+length
+    * at wildly different offsets — an order of magnitude slower at
+    * design-time A/B); position+length
     * residuals cut that to the low thousands with the identical
     * output.
     *
@@ -868,16 +869,6 @@ object Dedup {
       canonical.as("canonical_url"))
   }
 
-  /** d37's STREAMING form — the crawl-frontier URL gate: every incoming
-    * doc canonicalizes in-stream (stateless projection, no state store)
-    * and probes the STATIC keeper table (batch d37's output, the
-    * d23/d35 stream-static pattern) — emitting, per incoming doc, its
-    * canonical URL and whether a keeper already holds it. A crawler
-    * consumes the `known = false` rows (fetch) and drops the rest
-    * (skip) — the cheapest dedup decision in the ingest path, made
-    * before a byte of content is read. Spec-asserted equal to the
-    * batch join on the same slice.
-    */
   /** d38 — token-sort-invariant exact dedup: group documents by the
     * md5 of their SORTED lowercase token sequence, so two docs that
     * are word-for-word reorderings of each other (shuffled boilerplate
@@ -912,6 +903,20 @@ object Dedup {
       .orderBy(col("sig"))
   }
 
+  /** d37's STREAMING form — the crawl-frontier URL gate: every incoming
+    * doc canonicalizes in-stream (stateless projection, no state store)
+    * and probes the STATIC keeper table (batch d37's output, the
+    * d23/d35 stream-static pattern) — emitting, per incoming doc, its
+    * canonical URL and whether a keeper already holds it. A crawler
+    * consumes the `known = false` rows (fetch) and drops the rest
+    * (skip) — the cheapest dedup decision in the ingest path, made
+    * before a byte of content is read. Spec-asserted equal to the
+    * batch join on the same slice.
+   
+    * The static side is an ordinary DataFrame — HttpIngestSpec drives
+    * this same gate with the keeper table read over the `http://`
+    * transport (the two r14 transports composed).
+    */
   def urlNoveltyStream(streamDocs: DataFrame, keepers: DataFrame): DataFrame =
     withCanonicalUrl(streamDocs.select(col("doc_id"), col("source")))
       .join(keepers.select(col("canonical_url"),
@@ -969,8 +974,8 @@ object Dedup {
     //    via explode — `pairs.select(a,b).union(pairs.select(b,a))`
     //    would execute the entire (expensive) pair-generation pipeline
     //    twice inside the cache-materialization job, since the cache
-    //    sits above the union (measured: 5.3s -> 2.6s for d13's edge
-    //    build at sf0.1).
+    //    sits above the union (rewrite-time A/B at sf0.1: ~2× on
+    //    d13's edge build).
     //  - repartition by dst WITHOUT a partition count: AQE coalesces
     //    the exchange by bytes, so the KB-sized near-dup graphs of the
     //    common case collapse to one task per round while a

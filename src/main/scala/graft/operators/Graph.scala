@@ -407,14 +407,15 @@ object Graph {
     * H-value) counts + a descending cumulative window — see
     * corenessOver), so no degree-sized array ever materializes per
     * vertex — the right 100× shape regardless of constant factors (no
-    * per-vertex array can OOM on a hub). Measured at sf0.1 after the
-    * r14 convergence early-exit: 6.25 s standalone min-of-3 (TimeQ,
-    * runs 6.35/7.10/6.25) and 8.3–8.5 s inside the full bench suite
-    * (min of both passes across two r14 runs; 8.29 s in the final
-    * 221-query artifact), vs the r13 fixed-6-round unroll's 9.97 s
-    * suite time — the saved round plus eager per-round
-    * materialization; r13's verdict showed the counting-agg rewrite
-    * alone was timing-neutral vs collect_list under the suite JVM,
+    * per-vertex array can OOM on a hub). Timing: see the bench
+    * artifact's `solo.g5_coreness` field (per-query forked fresh JVM,
+    * min of 3 — the ONE protocol code comments may reference; this
+    * comment carried in-suite numbers twice and both went stale
+    * against the round artifact, so absolute numbers now live in the
+    * artifact alone). Design A/B records, not current claims: the r14
+    * convergence early-exit saved one full round versus the r13
+    * fixed-6-round unroll; the r13 counting-agg rewrite was
+    * timing-neutral vs collect_list —
     * its win is the hub-safety shape. At
     * billion-vertex scale drop the broadcast hint (edges are already
     * hash-partitioned by dst). Convergence on real graphs is a
@@ -578,8 +579,8 @@ object Graph {
     * generation is now a SELF-JOIN on the customer key — the same
     * C(n,2) pairs, but STREAMED by the join iterator (no per-row
     * array), co-partitioned on c, AQE-skew-splittable, and FASTER
-    * than the HOF form it replaced (6.3 s → 2.8 s at sf0.1: no
-    * collect_set shuffle of full supplier arrays). Hubs above
+    * than the HOF form it replaced (r12 rewrite-time A/B at sf0.1,
+    * ~2.3×: no collect_set shuffle of full supplier arrays). Hubs above
     * `maxFanout` suppliers are EXCLUDED from pair generation outright
     * (the d2-style cap, here a hard filter): a customer connected to
     * everything carries no substitutability signal and only quadratic

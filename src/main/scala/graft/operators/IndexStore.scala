@@ -368,8 +368,8 @@ object IndexStore {
         minhashScheme + ("mod" -> mod.toString))
     }
     // probe signatures via the per-row HOF fold (the stream form, run
-    // in batch): measured 6.6 s vs 12.9 s for the explode→MinHashAgg
-    // formulation at sf0.1 — the per-row fold needs no shuffle and no
+    // in batch): rewrite-time A/B at sf0.1, ~2× over the
+    // explode→MinHashAgg formulation — the per-row fold needs no shuffle and no
     // 500k-row explode for a 1/3-corpus increment, and it is
     // arithmetically identical (StreamingSpec's parity claim).
     //

@@ -275,7 +275,7 @@ object Multimodal {
     * `slice` of it. The previous form rebuilt every frame with 64
     * independent `substr(o+j, 1)` calls, and UTF8String positional
     * substr scans from the string head — O(offset) per sample, O(len²)
-    * per document; measured 3.3s → 2.1s at sf0.1 for the one-pass
+    * per document; rewrite-time A/B at sf0.1: ~1.6× for the one-pass
     * layout (the residual is the per-frame aggregate folds, which are
     * the operator's actual work).
     */
@@ -323,8 +323,9 @@ object Multimodal {
     // both lets ride the m12 `bind` combinator: a withColumn alias
     // would be re-inlined by projection collapse into every consumer
     // (9 references to the sample array here), re-splitting the text
-    // per reference — measured 17.4 s (bench, 32 threads) → 1.3 s
-    // warm (TimeQ, 4 threads) at sf0.1 for the bound form
+    // per reference — rewrite-time A/B at sf0.1: the bound form was
+    // >10× faster than the re-inlined one (historical decision
+    // record; current numbers live in the bench artifact)
     val stats = Multimodal.bind(
       transform(filter(split(col("text"), ""), c => c =!= ""),
         c => ascii(c).cast("long"))) { samples =>
@@ -726,9 +727,9 @@ object Multimodal {
     * consumers INSIDE one projection. Chained `withColumn`s do not
     * survive here: Catalyst's projection collapse re-inlines the alias
     * into every consumer, so the m12 pipeline below would re-split and
-    * re-DCT the text at each of its ~1 000 inner references (measured:
-    * the sf0.01 query went from hours to ~2 s when the stages became
-    * lambda-bound).
+    * re-DCT the text at each of its ~1 000 inner references
+    * (rewrite-time A/B: the sf0.01 query went from hours to seconds
+    * when the stages became lambda-bound).
     */
   private def bind(x: Column)(body: Column => Column): Column =
     element_at(transform(array(x), body), 1)

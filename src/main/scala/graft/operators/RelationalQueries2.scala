@@ -136,9 +136,9 @@ object RelationalQueries2 {
     * countDistinct with non-distinct aggs triggers Spark's
     * distinct-aggregate rewrite, which regroups the WHOLE scan by
     * l_orderkey and forces the HLL sketches to be built per key and
-    * merged across ~N/4 groups — measured 3.8 s vs 0.9 s warm at sf0.1
-    * for the split shape (two column-pruned scans beat one 4-level
-    * aggregate chain).
+    * merged across ~N/4 groups — rewrite-time A/B at sf0.1: ~4× in
+    * favor of the split shape (two column-pruned scans beat one
+    * 4-level aggregate chain).
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)

@@ -112,8 +112,8 @@ object Similarity {
     // predicate over n rows), so the O(n²) inner loop runs a plain IEEE
     // divide with a provably nonzero divisor. Guarding the divide
     // itself (try_divide in r7, or dot/nullif(denom,0)) costs ~1.4x on
-    // this hot path — measured 4.6s plain vs 6.2-6.5s guarded at sf0.1
-    // (the r8 bisect of the r7 s-family regression; the guard inhibits
+    // this hot path — r8 rewrite-time A/B at sf0.1, bisecting the r7
+    // s-family regression (historical record; the guard inhibits
     // codegen/JIT around the 64-iteration dot loop). Result is
     // identical: a zero/null vector produced only null cosines, which
     // ranked nowhere. Two nonzero float norms cannot underflow to a
@@ -377,7 +377,8 @@ object Similarity {
     * Centroids train on a DETERMINISTIC 20% hash sample: centroid
     * quality needs on the order of 100 points per cell, not the corpus —
     * training on the full table made the index build cost more than the
-    * scan it saves (measured 4.0s vs 1.7s brute force at sf0.1).
+    * scan it saves (rewrite-time A/B at sf0.1: full-table training
+    * built at ~2.4× the brute-force scan's cost).
     * Hash-partition init, `lloydIters` Lloyd rounds over the sample,
     * then K × dim doubles to the driver. The corpus-side cell
     * assignment is ONE scan, then checkpointed.
@@ -909,11 +910,12 @@ object Similarity {
     * bit-identical to DuckDB's list_reduce; PQ has no SQL oracle, and
     * the interpreted fold dominated the n·m·codes candidate stream.
     * Together with the 16×16 layout and the per-round checkpoint,
-    * sf0.1 warm time went 26.3s -> 3.0s. ||c||² is precomputed once per
+    * rewrite-time sf0.1 warm time improved ~9× (historical A/B
+    * record). ||c||² is precomputed once per
     * centroid. (Also rejected, with measurements: driver-collected
     * codebook + literal-array argmin à la IVF — fine at 16 cells, but
-    * 2048 literal dot expressions made planning/codegen the bottleneck,
-    * 44s/pass.)
+    * 2048 literal dot expressions made planning/codegen the
+    * bottleneck, an order of magnitude over the shipped form.)
     */
   private def pqTrain(subv: DataFrame, m: Int, nCodes: Int,
       iters: Int, sub: Int): (DataFrame, DataFrame) = {
@@ -941,7 +943,7 @@ object Similarity {
     // budget. Each round's centroid table is localCheckpoint'ed (tiny:
     // m·codes rows) — without the lineage cut, round r's plan re-runs
     // every earlier round's full n·m·codes candidate pass (the d13
-    // recompute pathology; measured 12s -> ~4s at sf0.1), and the
+    // recompute pathology; rewrite-time A/B at sf0.1: ~3×), and the
     // pinned stats keep the broadcast decision on the fixpoint frame.
     def materialized(cent: DataFrame): DataFrame =
       org.apache.spark.sql.graft.Shims.localCheckpointWithStats(

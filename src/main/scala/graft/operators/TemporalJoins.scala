@@ -116,12 +116,14 @@ object TemporalJoins {
     * sorts each side separately — so a right side that is already
     * bucketed/sorted (the 100 TB quotes-table layout) skips its sort
     * and shuffle entirely, and the merge is O(|L|+|R|) with one
-    * buffered row of state. Measured at sf0.1 events ×100 (10M rows,
-    * min-of-3 after warmup, r14): native 0.73 s vs window form
-    * 1.01 s — the per-side sorts beat the union sort even with
-    * NEITHER side pre-laid-out, and the unsafe-projected key path
-    * (AsOfJoinExec, r13 verdict #3) is worth a further ~12% over the
-    * interpreted eval it replaced (0.83 s) before any layout help.
+    * buffered row of state. Design A/B record (r14, standalone
+    * min-of-3 at sf0.1 events ×100 — a historical decision record,
+    * not a current-artifact claim; current numbers live in the bench
+    * artifact): the native exec beat the window form ~1.4× — the
+    * per-side sorts beat the union sort even with NEITHER side
+    * pre-laid-out — and the unsafe-projected key path (AsOfJoinExec,
+    * r13 verdict #3) was worth a further ~12% over the interpreted
+    * eval it replaced, before any layout help.
     */
   def asOfNativeEvents(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

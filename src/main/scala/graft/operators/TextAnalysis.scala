@@ -1228,7 +1228,7 @@ object TextAnalysis {
     * never joins back to anything and never sorts. (A window-min
     * formulation with uncached branches computes the same values but
     * pays a full per-shingle sort plus a SECOND md5 shingling pass:
-    * measured 10.5 s → 0.6 s at sf0.1 after switching to hash
+    * rewrite-time A/B at sf0.1, ~17× after switching to hash
     * aggregates and caching the shared shingle relation.) n_shingles
     * comes free from the shingle-array length. Docs with no shingles
     * (< 3 tokens) have no novelty to measure and are absent, matching

@@ -145,8 +145,9 @@ object TaxiCsv {
     * BARRIER on the projection it appears in. Without it, Catalyst
     * substitutes the projected aliases into every downstream predicate:
     * the speed filters become ~8 copies of the parse chain inside one
-    * scan Filter, re-evaluated per row (measured 41-120 s on a 3 GB
-    * corpus vs seconds with the barrier — FilterExec's short-circuit
+    * scan Filter, re-evaluated per row (rewrite-time A/B on a 3 GB
+    * corpus: an order of magnitude over the barriered form —
+    * FilterExec's short-circuit
     * codegen does no common-subexpression elimination). One
     * non-deterministic field pins the WHOLE projection: no predicate
     * pushes through, so consumers' filters operate on these columns as

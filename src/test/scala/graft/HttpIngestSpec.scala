@@ -109,6 +109,68 @@ class HttpIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming crawl gate composes with the http transport: static keepers read over http://") {
+    // the two r14 transports composed (r14 verdict #8): d37's
+    // streaming URL-novelty gate runs with its STATIC side — the
+    // batch keeper table — read via http:// from the loopback server,
+    // and must emit exactly what the same gate emits with the keeper
+    // DataFrame held in-session. Parquet over http exercises the
+    // transport's random access (footer seek + column chunk ranges),
+    // not just the streaming line read the taxi tests cover.
+    HttpIngest.enable(spark)
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"))
+    // StreamingSpec's slice: one never-crawled domain (src3 — novel)
+    // plus re-crawls of known domains (doc_id % 8 — known)
+    val isIncoming = col("source") === "src3" ||
+      pmod(col("doc_id"), lit(8)) === 0
+    val keepers = graft.operators.Dedup
+      .withCanonicalUrl(docs.filter(!isIncoming))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val base = Paths.get("target", "test-tmp")
+    Files.createDirectories(base)
+    val kdir = Files.createTempDirectory(base, "httpkeepers")
+    keepers.coalesce(1).write.mode("overwrite")
+      .parquet(kdir.resolve("k").toString)
+    val part = Files.list(kdir.resolve("k")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val bytes = Files.readAllBytes(Paths.get(part))
+
+    withServer(("/keepers.parquet", bytes, true)) { port =>
+      val keepersHttp = spark.read.parquet(
+        s"http://127.0.0.1:$port/keepers.parquet")
+      // the transport must hand back the exact table (footer seek +
+      // column-chunk range reads) before the gate composes on it
+      assert(keepersHttp.count() === keepers.count())
+      assert(keepersHttp.join(keepers, Seq("canonical_url", "keeper_id"))
+        .count() === keepers.count())
+      val incoming = docs.filter(isIncoming)
+      val d = Files.createTempDirectory(base, "httpgate").toString
+      incoming.repartition(2).write.mode("overwrite").parquet(d)
+      val stream = spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      val q = graft.operators.Dedup.urlNoveltyStream(stream, keepersHttp)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("http_gate_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+
+      val got = spark.table("http_gate_out")
+      val want = graft.operators.Dedup.urlNoveltyStream(incoming, keepers)
+      assert(got.count() > 0)
+      val joined = got.as("g").join(want.as("b"), Seq("doc_id"), "full_outer")
+      assert(joined.filter(
+        col("g.canonical_url").isNull || col("b.canonical_url").isNull ||
+          col("g.canonical_url") =!= col("b.canonical_url") ||
+          col("g.known") =!= col("b.known")).count() === 0,
+        "http-fed gate diverged from the in-session gate")
+      // the gate differentiates through the http-read static side
+      assert(got.filter(col("known")).count() > 0)
+      assert(got.filter(!col("known")).count() > 0)
+    }
+  }
+
   test("read-only and missing-file contracts") {
     HttpIngest.enable(spark)
     withServer(("/ok.csv", "1,2\n".getBytes("UTF-8"), true)) { port =>
