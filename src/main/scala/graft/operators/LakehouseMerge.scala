@@ -381,6 +381,36 @@ object LakehouseMerge {
         }
     }
 
+  /** q95's STREAMING form — schema evolution under CONTINUOUS ingest
+    * (the writer-upgrade-mid-life rollout): the table's early versions
+    * were published by a writer that didn't know `n_urgent`; this is
+    * the UPGRADED writer — every micro-batch summarizes WITH the
+    * evolved column and merges into whatever head it finds, widening
+    * the schema in place on its first publish ([[mergeInto]]'s
+    * read-schema-merge branch: pre-evolution rows stay NULL, never
+    * zero-filled). Same foreachBatch + rebase contract as
+    * [[upsertOrdersStream]]; StreamingSpec pins that streaming the
+    * post-upgrade feed over a pre-evolution base equals the one-shot
+    * batch evolution row-for-row, nulls included.
+    */
+  def upsertOrdersStreamEvolved(streamOrders: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamOrders.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val delta = summarizeUrgent(batch
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate"), col("o_orderpriority"))).cache()
+          if (publishedVersion(s, path) == 0)
+            publishBaseVersion(s, path, delta)
+          else
+            mergeDeltaWithRebase(s, path, delta)
+          delta.unpersist()
+          ()
+        }
+    }
+
   /** q89 — TIME-TRAVEL version diff: read versions 1 and 2 of the
     * published table CONCURRENTLY (immutable staged directories make
     * this free — publishing v2 never touched v1's files) and emit the

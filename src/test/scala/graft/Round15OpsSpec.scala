@@ -112,6 +112,77 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(!f.exists(orphan))
   }
 
+  test("streaming schema evolution: an upgraded writer widens a pre-evolution table mid-stream") {
+    import graft.operators.LakehouseMerge
+    val path = tmpTable()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val base = Paths.get("target", "test-tmp")
+
+    // the OLD writer publishes v1 (plain schema, no n_urgent) from the
+    // first slice — one file, one micro-batch
+    val oldDir = Files.createTempDirectory(base, "evoold").toString
+    orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .drop("o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(oldDir)
+    val oldSchema = orders.drop("o_orderpriority").schema
+    val q1 = LakehouseMerge.upsertOrdersStream(
+      spark.readStream.schema(oldSchema).parquet(oldDir), path).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(LakehouseMerge.publishedVersion(spark, path) == 1)
+    assert(!LakehouseMerge.readVersion(spark, path, 1)
+      .columns.contains("n_urgent"))
+
+    // the UPGRADED writer streams the remaining feed (2 files → 2
+    // batches), widening the schema on its first publish
+    val newDir = Files.createTempDirectory(base, "evonew").toString
+    orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 1)
+      .repartition(2).write.mode("overwrite").parquet(newDir)
+    val q2 = LakehouseMerge.upsertOrdersStreamEvolved(
+      spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(newDir), path).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(LakehouseMerge.publishedVersion(spark, path) == 3,
+      "one widened version per post-upgrade batch")
+
+    // the final table equals the one-shot evolution recompute: full
+    // masses for everyone; n_urgent = urgent count within the
+    // post-upgrade feed for customers it touched, NULL for the rest
+    val evolvedFeed = pmod(col("o_orderkey"), lit(3)) =!= 1
+    val want = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderdate").cast("date")).as("last_orderdate"),
+        when(sum(when(evolvedFeed, 1L).otherwise(0L)) > 0,
+          sum(when(evolvedFeed &&
+            col("o_orderpriority").startsWith("1-"), 1L).otherwise(0L)))
+          .as("n_urgent"))
+      .orderBy(col("o_custkey")).collect()
+    val got = LakehouseMerge.readTable(spark, path)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("total_price"),
+        col("last_orderdate"), col("n_urgent"))
+      .orderBy(col("o_custkey")).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getDouble(2) == w.getDouble(2))
+      assert(g.getDate(3) == w.getDate(3))
+      assert(g.isNullAt(4) == w.isNullAt(4),
+        s"cust ${g.getLong(0)}: n_urgent null-ness diverged")
+      if (!g.isNullAt(4)) assert(g.getLong(4) == w.getLong(4))
+    }
+    assert(got.exists(_.isNullAt(4)) && got.exists(!_.isNullAt(4)),
+      "both pre-evolution NULLs and evolved values must occur")
+    // time travel to the pre-evolution v1 under the head schema:
+    // the missing column null-fills
+    val v1As = LakehouseMerge.readVersionAs(spark, path, 1,
+      LakehouseMerge.readTable(spark, path).schema)
+    assert(v1As.filter(col("n_urgent").isNotNull).count() == 0)
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
