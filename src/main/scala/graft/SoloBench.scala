@@ -30,6 +30,18 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE line to stdout: `SOLOJSON:{"solo_sec":…,"runs":[…]}` —
   * the fragment [[Bench]] embeds per query under the artifact's
   * `solo` object.
+  *
+  * Thread-count sensitivity (r15 root-cause of the "inflation"): the
+  * solo tier runs at the SAME `SPARK_GRAFT_CPUS` as the suite so the
+  * suite-vs-solo comparison isolates suite-JVM pressure alone. But
+  * the ITERATIVE graph queries (vertex-sized relations, many small
+  * jobs per round) carry per-task scheduling overhead proportional
+  * to thread count at test scale: measured r15, g5 solo min-of-3 was
+  * 6.5 s at local[4] (matching the retired r14 TimeQ claim) vs
+  * ~11.5 s at local[32], g2 4.8 s vs 6.0 s — identical code and
+  * plan. At 100 TB more partitions buy real parallelism; at sf0.1
+  * they buy scheduler overhead. Compare solo numbers round-over-round
+  * ONLY at the same CPUS setting.
   */
 object SoloBench {
   def main(args: Array[String]): Unit = {
