@@ -31,7 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // 190 queries' generated classes overflow the default 240m code
   // cache (r12: JIT stopped upgrading late-suite hot loops once the
-  // cache filled — the flagship regression's mechanism); 512m keeps
-  // every plan's tier-4 code resident across the whole suite
-  "-XX:ReservedCodeCacheSize=512m",
+  // cache filled — the flagship regression's mechanism); 512m kept
+  // every plan's tier-4 code resident at 190 queries, 1g is the same
+  // headroom ratio at 231+ (the r14->r15 suite) — capacity, not a
+  // tuning knob: flushing a hot loop's tier-4 code mid-suite is the
+  // diagnosed in-suite inflation mechanism
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -330,6 +330,9 @@ object SparkEntry {
     // Version diff ACROSS the evolution boundary: the pre-evolution
     // side is read under the evolved schema (read-schema-merge)
     "q96_evolution_diff" -> (LakehouseMerge.evolutionDiff(_, _)),
+    // OPTIMIZE: compaction + range-clustering as an audited version
+    // publish (data-preserving by the mass audit; layout spec-pinned)
+    "q97_optimize_compact" -> (LakehouseMerge.optimizedSummary(_, _)),
     // Token-sort-invariant dedup: word-reordered docs collapse at
     // d1's one-shuffle cost (the pre-shingle gate)
     "d38_token_sort_dedup" -> (Dedup.tokenSortDedup(_, _)),
@@ -1944,6 +1947,17 @@ object SparkEntry {
         |  CAST(d.d_urgent AS BIGINT) AS n_urgent_delta
         |FROM delta d LEFT JOIN pre p USING (o_custkey)
         |ORDER BY d.o_custkey""".stripMargin,
+
+    // q97: OPTIMIZE must be invisible in the data — the post-compact
+    // reader view equals the full per-customer recompute exactly (the
+    // q88 oracle); the layout change (file count, clustering) is
+    // spec-pinned, not SQL-observable.
+    "q97_optimize_compact" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  max(CAST(o_orderdate AS DATE)) AS last_orderdate
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-

@@ -99,6 +99,12 @@ object LakehouseMerge {
     s"target/graft_table/orders_summary_evo/L2_$tag"
   }
 
+  private def optTablePath(s: SparkSession, dir: String): String = {
+    val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_opt_" +
+      IndexStore.corpusTag(s, dir, "orders.parquet")
+    s"target/graft_table/orders_summary_opt/L2_$tag"
+  }
+
   private def fs(s: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -500,6 +506,64 @@ object LakehouseMerge {
     if (publishedVersion(s, path) < 2)
       mergeDeltaWithRebase(s, path, summarize(
         orders.filter(pmod(col("o_orderkey"), lit(mod)) === 0)))
+    readTable(s, path)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("total_price"),
+        col("last_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q97 — OPTIMIZE: file compaction + range-clustering as a VERSION
+    * PUBLISH, completing the store's maintenance triad (q88 merge,
+    * q94 vacuum, q97 optimize — Delta OPTIMIZE / Iceberg
+    * rewrite_data_files, public). A streaming-ingested table drifts
+    * into many small, unordered files (every micro-batch publish
+    * writes at the session's shuffle parallelism); OPTIMIZE publishes
+    * a new version with the IDENTICAL rows laid out right: bin-packed
+    * into few files, range-clustered + sorted on the access key, so
+    * downstream point/range reads prune to one file by parquet
+    * min/max instead of opening all of them. Because it rides the
+    * same write-audit-publish path, the rewrite is crash-safe (an
+    * unpublished optimize is invisible) and PROVABLY data-preserving:
+    * the audit expects exactly the previous manifest's masses — any
+    * dropped or duplicated row fails the publish. Readers of the old
+    * version are untouched (immutable staged dirs); the superseded
+    * fragmented files are q94-vacuum's concern, not OPTIMIZE's.
+    *
+    * The registered query returns the reader view through the head —
+    * oracled against the full recompute (the layout must be
+    * invisible in the data for the hash to agree); the file-count
+    * drop, per-file key-range disjointness (the pruning evidence),
+    * and empty version-diff are spec-pinned (Round15OpsSpec).
+    *
+    * Scale posture: ONE pruned read of the fragmented version and one
+    * range-shuffle write, proportional to the optimized version's
+    * size — and at 100 TB, OPTIMIZE runs per-partition on the q91
+    * partition-owned layout, compacting only partitions whose
+    * small-file count crossed a threshold (the q91 cost argument:
+    * touched partitions only). Reference: no maintenance surface
+    * (`Sample.cs:1-264`; SURVEY §2.3 absent category).
+    */
+  def optimizedSummary(s: SparkSession, dir: String,
+      targetFiles: Int = 2): DataFrame = {
+    val path = optTablePath(s, dir)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    if (publishedVersion(s, path) < 1)
+      // v1 deliberately FRAGMENTED: written at high parallelism — the
+      // small-files state continuous ingest drifts into
+      publishBaseVersion(s, path, summarize(orders).repartition(64))
+    if (publishedVersion(s, path) < 2) {
+      val current = readVersion(s, path, 1)
+      val optimized = current
+        .repartitionByRange(targetFiles, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"))
+      val (r1, om1, pm1) = readManifestRow(s, path, 1)
+      val dataDir = writeVersion(optimized, path, 2)
+      // data-preserving by audit: v2 must carry v1's masses EXACTLY
+      auditAndPublish(s, path, 2, dataDir, r1, om1, pm1)
+    }
     readTable(s, path)
       .select(col("o_custkey"), col("n_orders"),
         col("total_dec").cast("double").as("total_price"),
