@@ -903,6 +903,33 @@ object Dedup {
       .orderBy(col("sig"))
   }
 
+  /** d38's STREAMING form (mirror #14) — the token-sort gate in the
+    * ingest path: each incoming doc computes its sorted-token md5
+    * signature in-stream (the same codegen projection as batch d38)
+    * and first-seen-wins state keeps one doc per signature —
+    * word-for-word reorderings arriving later are dropped before they
+    * cost a byte of downstream shingling. Same state contract as
+    * [[exactDedupStream]] (d1's mirror): first-SEEN keeper (arrival
+    * order, where batch keeps min doc_id — the spec equates the
+    * SIGNATURE set, which is order-free), optional watermark to bound
+    * state on unbounded feeds.
+    */
+  def tokenSortDedupStream(streamDocs: DataFrame,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val sigd = streamDocs.select(
+      streamDocs.columns.map(col) :+
+        md5(array_join(array_sort(toks), " ")).as("sig"): _*)
+    watermark match {
+      case Some((tsCol, delay)) =>
+        sigd.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("sig")
+          .select(col("doc_id"), col("sig"))
+      case None =>
+        sigd.select(col("doc_id"), col("sig")).dropDuplicates("sig")
+    }
+  }
+
   /** d37's STREAMING form — the crawl-frontier URL gate: every incoming
     * doc canonicalizes in-stream (stateless projection, no state store)
     * and probes the STATIC keeper table (batch d37's output, the

@@ -242,6 +242,35 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(hist(0).getString(3) == hist(1).getString(3))
   }
 
+  test("streaming token-sort gate keeps exactly batch d38's signature set") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val base = Paths.get("target", "test-tmp")
+    val d = Files.createTempDirectory(base, "tokensortstream").toString
+    docs.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(docs.schema).parquet(d)
+    val q = Dedup.tokenSortDedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tokensort_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("tokensort_out")
+    val want = Dedup.tokenSortDedup(spark, sfDir)
+    // one keeper per signature; the signature set equals batch d38's
+    assert(got.count() === want.count())
+    assert(got.select("sig").distinct().count() === got.count())
+    assert(got.as("g").join(want.as("b"), Seq("sig"), "full_outer")
+      .filter(col("g.doc_id").isNull || col("b.keeper_id").isNull)
+      .count() === 0)
+    // every kept (doc_id, sig) is a genuine member of that token
+    // multiset group (first-SEEN keeper — arrival order, not min id)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val members = docs.select(col("doc_id"),
+      md5(array_join(array_sort(toks), " ")).as("sig"))
+    assert(got.join(members, Seq("doc_id", "sig")).count() === got.count())
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
