@@ -333,6 +333,31 @@ object SparkEntry {
     // OPTIMIZE: compaction + range-clustering as an audited version
     // publish (data-preserving by the mass audit; layout spec-pinned)
     "q97_optimize_compact" -> (LakehouseMerge.optimizedSummary(_, _)),
+    // Per-file min/max statistics + metadata-pruned range read on the
+    // range-clustered store (Delta data-skipping / Iceberg manifest
+    // pruning): the scan opens only files whose stats intersect the
+    // predicate — O(files) planning, never O(rows)
+    "q98_stats_skipping" -> (DataSkipping.skippingRead(_, _)),
+    // Z-ORDER clustering (Morton over normalized range-ranks) + the
+    // same stats tier: predicates on EITHER dimension prune, which
+    // linear clustering can't do (spec-witnessed)
+    "q99_zorder_skipping" -> (DataSkipping.zorderRead(_, _)),
+    // CHANGE DATA FEED: the row-level change log of the whole version
+    // chain (insert/update + exact deltas per version), read under the
+    // head schema across the q95 evolution boundary
+    "q100_change_feed" -> (LakehouseMerge.changeFeed(_, _)),
+    // Per-file bloom bitsets over the UNclustered key: point lookups
+    // prune files where min/max is useless; no false negatives by
+    // construction
+    "q101_bloom_lookup" -> (DataSkipping.bloomLookup(_, _)),
+    // Full tri-modal MERGE DML (matched-delete / matched-update /
+    // not-matched-insert) as one audited version publish; the action
+    // counts land in the manifest as a DML ledger
+    "q102_merge_dml" -> (MergeDml.mergedCustomers(_, _)),
+    // The DML merge's change feed: insert/update/delete events
+    // (deletes carry the pre-image — the event type q100's additive
+    // feed can never produce)
+    "q103_dml_feed" -> (MergeDml.dmlChangeFeed(_, _)),
     // Token-sort-invariant dedup: word-reordered docs collapse at
     // d1's one-shuffle cost (the pre-shingle gate)
     "d38_token_sort_dedup" -> (Dedup.tokenSortDedup(_, _)),
@@ -1958,6 +1983,101 @@ object SparkEntry {
         |    AS total_price,
         |  max(CAST(o_orderdate AS DATE)) AS last_orderdate
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q98: skipping must be invisible in the data — the pruned-path
+    // read equals the plain filtered recompute exactly; the file-
+    // count witness (scanned < total, skipped ranges disjoint from
+    // the predicate) is spec-pinned, not SQL-observable.
+    "q98_stats_skipping" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  max(CAST(o_orderdate AS DATE)) AS last_orderdate
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 220
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q99: same contract on the Z-ordered store's date dimension —
+    // the curve layout must not change a single row.
+    "q99_zorder_skipping" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  max(CAST(o_orderdate AS DATE)) AS last_orderdate
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+        |  AND DATE '1995-03-31'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q100: the oracle rebuilds the whole feed from the raw mod-3
+    // slices — per (version, custkey) the slice masses are the
+    // deltas, first-appearance = insert, and the evolved column's
+    // delta is zero before v3 (null-filled history reads as zero
+    // mass). Conservation must hold through all three publishes for
+    // the hashes to agree; all-integer + exact decimal: bit-exact.
+    "q100_change_feed" ->
+      """WITH s AS (
+        |  SELECT CASE CAST(o_orderkey % 3 AS INT) WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 ELSE 3 END AS version,
+        |    o_custkey, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS p,
+        |    sum(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+        |      AS u
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(version AS INT) AS version, o_custkey,
+        |  CASE WHEN row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY version) = 1
+        |    THEN 'insert' ELSE 'update' END AS change,
+        |  CAST(n AS BIGINT) AS n_orders_delta,
+        |  CAST(p AS DOUBLE) AS price_delta,
+        |  CAST(CASE WHEN version = 3 THEN u ELSE 0 END AS BIGINT)
+        |    AS n_urgent_delta
+        |FROM s ORDER BY version, o_custkey""".stripMargin,
+
+    // q101: bloom pruning has NO false negatives by construction, so
+    // the point-lookup equals the IN-list recompute row-for-row;
+    // false-positive file opens are invisible here (the residual
+    // filter drops their rows) and only measurable in the spec's
+    // file-count witness.
+    "q101_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 321, 888, 1203, 1497)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q102: MERGE semantics collapse to one closed-form SELECT — kept
+    // odd keys unchanged, surviving even keys revised (+100), closed
+    // even keys gone (deleted if they existed, no-op if not). The
+    // engine must reproduce it through classify→stage→audit→publish.
+    // Exact decimal arithmetic on both sides: bit-exact.
+    "q102_merge_dml" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(CASE WHEN c_custkey % 2 = 0
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) + 100
+        |    ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS DOUBLE)
+        |    AS acctbal
+        |FROM customer
+        |WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q103: the event classification in closed form — every source
+    // key (even) emits exactly one event unless it is a
+    // never-existed closed account (the MERGE no-op).
+    "q103_dml_feed" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'insert'
+        |       WHEN c_acctbal < 0 THEN 'delete'
+        |       ELSE 'update' END AS change,
+        |  CAST(CASE WHEN c_custkey % 4 <> 0 AND c_acctbal < 0
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2))
+        |    ELSE CAST(c_acctbal AS DECIMAL(18,2)) + 100 END AS DOUBLE)
+        |    AS acctbal
+        |FROM customer
+        |WHERE c_custkey % 2 = 0
+        |  AND NOT (c_custkey % 4 = 0 AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
 
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-

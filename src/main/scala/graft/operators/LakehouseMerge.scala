@@ -621,6 +621,71 @@ object LakehouseMerge {
       .orderBy(col("o_custkey"))
   }
 
+  /** q100 — CHANGE DATA FEED: the row-level change log of the WHOLE
+    * version chain, v1 through head, as one ordered relation — the
+    * Delta CDF / Iceberg changelog-scan primitive (public). Each row
+    * is (version, key, change, deltas): version 1 emits every base
+    * row as an insert; each later version emits the rows its publish
+    * touched, classified insert/update. This is the incremental-
+    * consumer surface in full generality — a downstream materialized
+    * view replays the feed from any version it has already absorbed
+    * instead of re-scanning the table, and the feed crosses the q95
+    * schema-evolution boundary: every version is read UNDER the head
+    * schema ([[readVersionAs]]), so the evolved column's delta is
+    * well-defined feed-wide (null-filled history = zero mass).
+    *
+    * Built on the evolution table (three versions, the boundary
+    * between v2 and v3), so the feed exercises both the plain and
+    * the evolved diff. Because the merge is mass-additive, "touched"
+    * ≡ "n_orders grew" — deletes cannot occur and every change
+    * classifies cleanly (q89's argument, chain-wide).
+    *
+    * Exactness: deltas are exact bigint/decimal differences; the
+    * oracle recomputes the whole feed from the raw mod-3 slices —
+    * conservation must hold through all three publishes AND the
+    * evolution for the hashes to agree.
+    *
+    * Scale posture: one co-keyed left join per consecutive version
+    * pair — each pair touches two VERSION relations (customer-sized,
+    * never the fact table), bucketed at 100 TB → zero Exchange (the
+    * q78 layout); the union is plan-level only. A consumer wanting
+    * just (vFrom, vHead] slices the loop bounds — cost proportional
+    * to versions consumed, the CDF contract.
+    */
+  def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    evolvedOrdersSummary(s, dir) // ensure v1..v3 are published
+    val path = evoTablePath(s, dir)
+    val head = publishedVersion(s, path)
+    val headSchema = readVersion(s, path, head).schema
+    val zeroDec = lit(0).cast("decimal(28,2)")
+    def deltasOf(v: Int): DataFrame = {
+      val cur = readVersionAs(s, path, v, headSchema).as("b")
+      if (v == 1)
+        cur.select(lit(1).as("version"), col("o_custkey"),
+          lit("insert").as("change"),
+          col("n_orders").as("n_orders_delta"),
+          col("total_dec").cast("double").as("price_delta"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent_delta"))
+      else {
+        val prev = readVersionAs(s, path, v - 1, headSchema).as("a")
+        cur.join(prev, Seq("o_custkey"), "left")
+          .filter(col("a.n_orders").isNull ||
+            col("b.n_orders") =!= col("a.n_orders"))
+          .select(lit(v).as("version"), col("o_custkey"),
+            when(col("a.n_orders").isNull, lit("insert"))
+              .otherwise(lit("update")).as("change"),
+            (col("b.n_orders") - coalesce(col("a.n_orders"), lit(0L)))
+              .as("n_orders_delta"),
+            (col("b.total_dec") - coalesce(col("a.total_dec"), zeroDec))
+              .cast("double").as("price_delta"),
+            (coalesce(col("b.n_urgent"), lit(0L)) -
+              coalesce(col("a.n_urgent"), lit(0L))).as("n_urgent_delta"))
+      }
+    }
+    (1 to head).map(deltasOf).reduce(_.unionByName(_))
+      .orderBy(col("version"), col("o_custkey"))
+  }
+
   /** q96 — version diff ACROSS the schema-evolution boundary: the
     * q89 change report between v2 (pre-evolution schema) and v3
     * (evolved), with the pre-evolution side read UNDER the evolved
