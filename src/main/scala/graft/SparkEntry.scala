@@ -358,6 +358,15 @@ object SparkEntry {
     // (deletes carry the pre-image — the event type q100's additive
     // feed can never produce)
     "q103_dml_feed" -> (MergeDml.dmlChangeFeed(_, _)),
+    // The DML feed in the FULL CDF vocabulary (update events as
+    // pre+post image pairs) — what makes a downstream SUM maintainable
+    // from the feed alone (streaming MV spec rides on it)
+    "q105_dml_feed_cdf" -> (MergeDml.dmlChangeFeedCdf(_, _)),
+    // PARTITION-SPEC EVOLUTION: history stays under the coarse spec
+    // (year), new data lands under the finer one (year, month); one
+    // read spans both — directory pruning on each version's own spec,
+    // residual row filter where the spec predates the column
+    "q104_partition_evolution" -> (PartitionEvolution.monthlyRead(_, _)),
     // Token-sort-invariant dedup: word-reordered docs collapse at
     // d1's one-shuffle cost (the pre-shingle gate)
     "d38_token_sort_dedup" -> (Dedup.tokenSortDedup(_, _)),
@@ -2078,6 +2087,50 @@ object SparkEntry {
         |WHERE c_custkey % 2 = 0
         |  AND NOT (c_custkey % 4 = 0 AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+
+    // q105: the 4-type vocabulary in closed form — update keys emit
+    // BOTH images (pre = raw balance, post = revised), inserts the
+    // post only, deletes the pre only.
+    "q105_dml_feed_cdf" ->
+      """WITH e AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS pre,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS post,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'insert'
+        |         WHEN c_acctbal < 0 THEN 'delete'
+        |         ELSE 'update' END AS action
+        |  FROM customer
+        |  WHERE c_custkey % 2 = 0
+        |    AND NOT (c_custkey % 4 = 0 AND c_acctbal < 0))
+        |SELECT c_custkey, change, c_nationkey,
+        |  CAST(acctbal AS DOUBLE) AS acctbal
+        |FROM (
+        |  SELECT c_custkey, 'insert' AS change, c_nationkey,
+        |    post AS acctbal FROM e WHERE action = 'insert'
+        |  UNION ALL
+        |  SELECT c_custkey, 'delete', c_nationkey, pre
+        |  FROM e WHERE action = 'delete'
+        |  UNION ALL
+        |  SELECT c_custkey, 'update_preimage', c_nationkey, pre
+        |  FROM e WHERE action = 'update'
+        |  UNION ALL
+        |  SELECT c_custkey, 'update_postimage', c_nationkey, post
+        |  FROM e WHERE action = 'update')
+        |ORDER BY c_custkey, change""".stripMargin,
+
+    // q104: evolution must be invisible in the data — the two-spec
+    // union read equals the plain monthly recompute. All-integer +
+    // exact decimal: bit-exact.
+    "q104_partition_evolution" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT)
+        |    AS o_month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1998
+        |  AND month(CAST(o_orderdate AS DATE)) BETWEEN 1 AND 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d34: the identical rolling-hash boundary rule (init-free
     // list_reduce == Spark's 0-seeded fold, first step < P), char-

@@ -58,7 +58,7 @@ object MergeDml {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def tablePath(s: SparkSession, dir: String): String = {
+  private[graft] def tablePath(s: SparkSession, dir: String): String = {
     val tag = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_dml_" +
       IndexStore.corpusTag(s, dir, "customer.parquet")
     s"target/graft_table/customer_dml/L1_$tag"
@@ -218,6 +218,59 @@ object MergeDml {
         when(col("action") === "delete", col("t_bal"))
           .otherwise(col("s_acctbal")).cast("double").as("acctbal"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** q105 — the merge's change feed in the FULL CDF vocabulary:
+    * `_change_type ∈ insert | update_preimage | update_postimage |
+    * delete` (the Delta change-data-feed contract, public). q103's
+    * post-image-only events cannot maintain a downstream SUM — an
+    * update's contribution to an aggregate is `post − pre`, so the
+    * feed must carry BOTH images as separate rows. With them, every
+    * event row reduces to one SIGNED delta (insert → +post, delete →
+    * −pre, update_preimage → −pre, update_postimage → +post) and a
+    * downstream materialized view is a plain streaming aggregation
+    * of the feed — no custom state at all ([[dmlMvStream]];
+    * spec-pinned equal to the v2−v1 recompute).
+    */
+  def dmlChangeFeedCdf(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureMerged(s, dir)
+    val cls = classify(readVersion(s, path, 1), mergeSource(s, dir))
+    val ins = cls.filter(col("action") === "insert")
+      .select(col("c_custkey"), lit("insert").as("change"),
+        col("s_nat").as("c_nationkey"),
+        col("s_acctbal").cast("double").as("acctbal"))
+    val del = cls.filter(col("action") === "delete")
+      .select(col("c_custkey"), lit("delete").as("change"),
+        col("t_nat").as("c_nationkey"),
+        col("t_bal").cast("double").as("acctbal"))
+    val updPre = cls.filter(col("action") === "update")
+      .select(col("c_custkey"), lit("update_preimage").as("change"),
+        col("t_nat").as("c_nationkey"),
+        col("t_bal").cast("double").as("acctbal"))
+    val updPost = cls.filter(col("action") === "update")
+      .select(col("c_custkey"), lit("update_postimage").as("change"),
+        col("s_nat").as("c_nationkey"),
+        col("s_acctbal").cast("double").as("acctbal"))
+    ins.unionByName(del).unionByName(updPre).unionByName(updPost)
+      .orderBy(col("c_custkey"), col("change"))
+  }
+
+  /** The streaming MV consumer of the CDF: per-nation NET change of
+    * (account count, balance mass) maintained as a plain streaming
+    * aggregation over signed event deltas — the reason the feed
+    * carries pre-images. Batch-parity: the final state equals the
+    * v2−v1 per-nation diff exactly (Round15OpsSpec). Scale posture:
+    * one shuffle on the group key, state = O(nations); the feed
+    * itself arrives pre-sharded by the CDF's version/file layout. */
+  def dmlMvStream(feed: DataFrame): DataFrame = {
+    val sign = when(col("change").isin("insert", "update_postimage"),
+      lit(1)).otherwise(lit(-1))
+    feed.groupBy(col("c_nationkey"))
+      .agg(sum(when(col("change") === "insert", 1L)
+          .when(col("change") === "delete", -1L).otherwise(0L))
+          .as("n_accounts_delta"),
+        sum(sign * col("acctbal").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("balance_delta"))
   }
 
   /** The DML ledger (manifest history) — spec surface. */

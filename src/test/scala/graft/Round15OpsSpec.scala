@@ -403,13 +403,78 @@ class Round15OpsSpec extends AnyFunSuite {
       v2.getLong(5))
   }
 
-  private def mergePath(s: org.apache.spark.sql.SparkSession): String = {
-    // mirror of MergeDml.tablePath (private): resolve via the store
-    // root — exactly one DML table exists for this corpus tag
-    val root = new java.io.File("target/graft_table/customer_dml")
-    root.listFiles().filter(_.isDirectory).map(_.getPath)
-      .find(p => new java.io.File(s"$p/manifest_v1/_SUCCESS").exists)
-      .getOrElse(fail(s"no published DML table under $root"))
+  private def mergePath(s: org.apache.spark.sql.SparkSession): String =
+    // THE table for this spec's corpus — never "any published table
+    // under the root": tables for other SFs coexist there
+    graft.operators.MergeDml.tablePath(s, sfDir)
+
+  test("q104 partition evolution: old spec prunes by year + residual month, new spec prunes both dirs") {
+    import graft.operators.PartitionEvolution
+    val path = PartitionEvolution.ensurePublished(spark, sfDir)
+    // both eras hold data (the evolution actually spans history)
+    assert(spark.read.parquet(s"$path/data_v1").count() > 0)
+    assert(spark.read.parquet(s"$path/data_v2").count() > 0)
+    // 1998-Q1: the coarse-spec v1 has no 1998 directory at all (its
+    // years all predate it) — year pruning eliminates the version
+    assert(PartitionEvolution.matchingDirs(spark, path, 1, 1998, 1, 3)
+      .isEmpty)
+    // the evolved spec prunes to exactly the three month directories
+    assert(PartitionEvolution.matchingDirs(spark, path, 2, 1998, 1, 3)
+      .size === 3)
+    // a pre-1998 quarter exercises the RESIDUAL path: v1's year dir
+    // matches (month pruning impossible under its spec — one dir),
+    // v2 contributes no directory
+    assert(PartitionEvolution.matchingDirs(spark, path, 1, 1996, 4, 6)
+      .size === 1)
+    assert(PartitionEvolution.matchingDirs(spark, path, 2, 1996, 4, 6)
+      .isEmpty)
+    // and the residual month filter on v1 returns exactly the raw
+    // recompute for that quarter (evolution invisible in the data)
+    val got = PartitionEvolution.readMonths(spark, path, 1996, 4, 6)
+    val want = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate").cast("date")) === 1996 &&
+        month(col("o_orderdate").cast("date")).between(4, 6))
+    assert(got.count() === want.count())
+    // the plan's partition pruning is real: the v2 branch scan for
+    // 1998-Q1 reads only the pruned directories
+    val plan = PartitionEvolution.monthlyRead(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      "expected directory-level PartitionFilters in the scan")
+  }
+
+  test("q105 CDF streaming MV: signed-delta aggregation equals the v2-v1 per-nation recompute") {
+    import graft.operators.MergeDml
+    val feed = MergeDml.dmlChangeFeedCdf(spark, sfDir)
+    val base = Paths.get("target", "test-tmp")
+    val d = Files.createTempDirectory(base, "cdffeed").toString
+    feed.repartition(3).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val q = MergeDml.dmlMvStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("dml_mv").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dml_mv")
+    assert(got.count() > 0)
+    val path = mergePath(spark)
+    def agg(v: Int) = MergeDml.readVersion(spark, path, v)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal")).cast("decimal(28,2)").as("m"))
+    val zero = lit(0).cast("decimal(28,2)")
+    val want = agg(2).as("b")
+      .join(agg(1).as("a"), Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        (coalesce(col("b.n"), lit(0L)) - coalesce(col("a.n"), lit(0L)))
+          .as("n_accounts_delta"),
+        (coalesce(col("b.m"), zero) - coalesce(col("a.m"), zero))
+          .cast("decimal(28,2)").as("balance_delta"))
+    // full-outer: a nation absent from the feed has zero delta in the
+    // recompute; decimal equality is exact end-to-end
+    assert(got.as("g").join(want.as("w"), Seq("c_nationkey"), "full_outer")
+      .filter(coalesce(col("g.n_accounts_delta"), lit(0L)) =!=
+          coalesce(col("w.n_accounts_delta"), lit(0L)) ||
+        coalesce(col("g.balance_delta"), zero) =!=
+          coalesce(col("w.balance_delta"), zero)).count() === 0)
   }
 
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {

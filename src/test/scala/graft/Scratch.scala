@@ -3,31 +3,26 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val dir = "/root/testdata/sf0.001"
-    import graft.operators.DataSkipping
-
-    val lin = DataSkipping.ensureLinear(spark, dir)
-    val (f1, t1, d1) = DataSkipping.prunedRangeRead(spark, lin,
-      "custkey", 100L, 220L)
-    println(s"LIN custkey[100,220]: files $f1/$t1 rows ${d1.count()}")
-    val (f2, t2, d2) = DataSkipping.prunedRangeRead(spark, lin,
-      "orderdate", java.sql.Date.valueOf("1995-01-01"),
-      java.sql.Date.valueOf("1995-03-31"))
-    println(s"LIN date[95Q1]: files $f2/$t2 rows ${d2.count()}")
-
-    val z = DataSkipping.ensureZorder(spark, dir)
-    val (f3, t3, d3) = DataSkipping.prunedRangeRead(spark, z,
-      "orderdate", java.sql.Date.valueOf("1995-01-01"),
-      java.sql.Date.valueOf("1995-03-31"))
-    println(s"Z date[95Q1]: files $f3/$t3 rows ${d3.count()}")
-    val (f4, t4, d4) = DataSkipping.prunedRangeRead(spark, z,
-      "custkey", 100L, 220L)
-    println(s"Z custkey[100,220]: files $f4/$t4 rows ${d4.count()}")
-
-    val (f5, t5, d5) = DataSkipping.prunedBloomRead(spark, lin,
-      Seq(1L, 7L, 32L, 321L, 888L, 1203L, 1497L))
-    println(s"BLOOM 7 keys: files $f5/$t5 rows ${d5.count()}")
-    d5.show(10, false)
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.operators.MergeDml
+    val feed = MergeDml.dmlChangeFeedCdf(spark, sfDir)
+    val mvBatch = MergeDml.dmlMvStream(feed)
+    mvBatch.orderBy("c_nationkey").show(5, false)
+    val root = new java.io.File("target/graft_table/customer_dml")
+    val path = root.listFiles().filter(_.isDirectory).map(_.getPath)
+      .find(p => new java.io.File(s"$p/manifest_v1/_SUCCESS").exists).get
+    def agg(v: Int) = MergeDml.readVersion(spark, path, v)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal")).cast("decimal(28,2)").as("m"))
+    val zero = lit(0).cast("decimal(28,2)")
+    agg(2).as("b").join(agg(1).as("a"), Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        (coalesce(col("b.n"), lit(0L)) - coalesce(col("a.n"), lit(0L)))
+          .as("n_accounts_delta"),
+        (coalesce(col("b.m"), zero) - coalesce(col("a.m"), zero))
+          .cast("decimal(28,2)").as("balance_delta"))
+      .orderBy("c_nationkey").show(5, false)
     spark.stop()
   }
 }
