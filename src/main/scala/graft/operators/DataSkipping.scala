@@ -298,6 +298,64 @@ object DataSkipping {
   }
 
   // ---------------------------------------------------------------
+  // Streaming ingest (stats maintained per batch)
+  // ---------------------------------------------------------------
+
+  /** CONTINUOUS ingest into a stats-skipping store: every micro-batch
+    * lands one clustered data file plus its read-back stats row
+    * (ranges + bloom, the same schema [[publish]] writes), appended
+    * to the store's stats directory — so the metadata-pruned read
+    * path stays correct while the table grows. The per-batch order
+    * is data-then-stats (stats-last = the batch's publish marker):
+    * a crash between the two leaves an orphan data file that NO
+    * stats row names, and since the pruned reader plans only from
+    * stats rows ([[survivors]]), the orphan is invisible — the
+    * store-wide crash contract, carried per batch. Batch-parity is
+    * spec-pinned: after the feed drains, a pruned range read equals
+    * the one-shot batch recompute, and every stats row's ranges
+    * bound its file exactly.
+    *
+    * Scale posture: per batch, one local sort + one file write + one
+    * file-sized stats aggregate — no global shuffle, no compaction
+    * on the ingest path (small-file drift is q97 OPTIMIZE's job,
+    * stats refresh included by construction since OPTIMIZE republishes
+    * through [[publish]]).
+    */
+  def streamIngestStats(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val dataDir = s"data_b${id}_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        batch.coalesce(1).sortWithinPartitions(col("o_custkey"))
+          .write.mode("errorifexists").parquet(s"$path/$dataDir")
+        val back = s.read.parquet(s"$path/$dataDir")
+          .withColumn("file", col("_metadata.file_path"))
+        val ranges = back.groupBy(col("file"))
+          .agg(min(col("o_custkey")).as("min_custkey"),
+            max(col("o_custkey")).as("max_custkey"),
+            min(col("o_orderdate")).as("min_orderdate"),
+            max(col("o_orderdate")).as("max_orderdate"),
+            count(lit(1)).as("n_rows"))
+        val blooms = back
+          .select(col("file"),
+            explode(array(bloomPositions(col("o_orderkey")): _*)).as("pos"))
+          .groupBy(col("file"), (col("pos") / 64).cast("int").as("word"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(pos % 64 AS INT)))").as("mask"))
+          .groupBy(col("file"))
+          .agg(map_from_entries(collect_list(struct(col("word"),
+            col("mask")))).as("bloom"))
+        ranges.join(blooms, Seq("file"))
+          .withColumn("data_dir", lit(dataDir))
+          .coalesce(1).write.mode("append")
+          .parquet(s"$path/filestats_v1")
+        ()
+      }
+    }
+
+  // ---------------------------------------------------------------
   // Registered queries
   // ---------------------------------------------------------------
 

@@ -477,6 +477,48 @@ class Round15OpsSpec extends AnyFunSuite {
           coalesce(col("w.balance_delta"), zero)).count() === 0)
   }
 
+  test("streaming stats ingest: per-batch stats rows keep the pruned read path batch-equal") {
+    import graft.operators.DataSkipping
+    val base = Paths.get("target", "test-tmp")
+    val store = Files.createTempDirectory(base, "streamskip").toString
+    val feedDir = Files.createTempDirectory(base, "streamfeed").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+    orders.repartition(4).write.mode("overwrite").parquet(feedDir)
+    val q = DataSkipping.streamIngestStats(
+      spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir), store)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // one stats row per landed file, ranges bound their files exactly
+    val stats = DataSkipping.statsDf(spark, store)
+    assert(stats.count() === 4)
+    stats.collect().foreach { r =>
+      val f = spark.read.parquet(r.getString(0))
+      val b = f.agg(min("o_custkey"), max("o_custkey")).head()
+      assert(r.getLong(1) === b.getLong(0) && r.getLong(2) === b.getLong(1))
+    }
+    // the pruned read equals the one-shot batch recompute
+    val (scanned, total, pruned) =
+      DataSkipping.prunedRangeRead(spark, store, "custkey", 40L, 70L)
+    assert(total === 4)
+    val want = orders.filter(col("o_custkey").between(40L, 70L))
+    assert(pruned.count() === want.count())
+    assert(pruned.select("o_orderkey").exceptAll(
+      want.select("o_orderkey")).count() === 0)
+    // crash window: an orphan data file no stats row names is
+    // invisible to the pruned reader
+    orders.limit(5).coalesce(1).write.mode("errorifexists")
+      .parquet(s"$store/data_borphan_deadbeef")
+    val (_, total2, pruned2) =
+      DataSkipping.prunedRangeRead(spark, store, "custkey", 40L, 70L)
+    assert(total2 === 4)
+    assert(pruned2.count() === want.count())
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
