@@ -362,6 +362,9 @@ object SparkEntry {
     // pre+post image pairs) — what makes a downstream SUM maintainable
     // from the feed alone (streaming MV spec rides on it)
     "q105_dml_feed_cdf" -> (MergeDml.dmlChangeFeedCdf(_, _)),
+    // Metadata-only COUNT: wholly-covered files answer from manifest
+    // row counts, only boundary files are opened (count-from-manifests)
+    "q106_metadata_count" -> (DataSkipping.metadataCount(_, _)),
     // PARTITION-SPEC EVOLUTION: history stays under the coarse spec
     // (year), new data lands under the finer one (year, month); one
     // read spans both — directory pruning on each version's own spec,
@@ -2087,6 +2090,13 @@ object SparkEntry {
         |WHERE c_custkey % 2 = 0
         |  AND NOT (c_custkey % 4 = 0 AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+
+    // q106: the number must be identical whether it came from
+    // manifest metadata or a scan — the shortcut is unobservable in
+    // SQL; which files were opened is the spec's witness.
+    "q106_metadata_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders WHERE o_custkey BETWEEN 64 AND 640""".stripMargin,
 
     // q105: the 4-type vocabulary in closed form — update keys emit
     // BOTH images (pre = raw balance, post = revised), inserts the

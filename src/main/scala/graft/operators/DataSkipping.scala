@@ -367,6 +367,60 @@ object DataSkipping {
         max(col("o_orderdate")).as("last_orderdate"))
       .orderBy(col("o_custkey"))
 
+  /** Remove data files NO stats row names — the orphan debris of
+    * mid-batch crashes (data landed, stats didn't). Readers never
+    * see orphans ([[survivors]] plans from stats rows only), so this
+    * is pure space reclamation, safe at any time; returns the count
+    * removed. O(files) listing + set difference — metadata-tier. */
+  private[graft] def vacuumOrphans(s: SparkSession, path: String): Int = {
+    val f = fs(s, path)
+    val named = statsDf(s, path).select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getParent
+        .getName).toSet
+    val base = new org.apache.hadoop.fs.Path(path)
+    val orphans = f.listStatus(base).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("data_") &&
+        !named.contains(p.getName))
+    orphans.foreach(p => f.delete(p, true))
+    orphans.size
+  }
+
+  /** The metadata-only COUNT: for a key-range predicate, files whose
+    * stats range lies WHOLLY inside the predicate contribute their
+    * manifest `n_rows` without being opened; only BOUNDARY files
+    * (partial overlap) are scanned, with the residual predicate.
+    * This is the Iceberg answer-count-from-manifests primitive
+    * (public) — on a range-clustered 100 TB table, a selective
+    * count costs two boundary files + a metadata scan. Returns
+    * (boundary files scanned, total files, count). */
+  private[graft] def countWhere(s: SparkSession, path: String,
+      column: String, lo: Any, hi: Any): (Int, Int, Long) = {
+    val stats = statsDf(s, path)
+      .select(col("file"), col(s"min_$column").as("mn"),
+        col(s"max_$column").as("mx"), col("n_rows")).collect()
+    val total = stats.length
+    val inside = stats.filter(r =>
+      geq(r.get(1), lo) && leq(r.get(2), hi))
+    val boundary = stats.filter(r =>
+      leq(r.get(1), hi) && geq(r.get(2), lo) &&
+        !(geq(r.get(1), lo) && leq(r.get(2), hi)))
+    val metaCount = inside.map(_.getLong(3)).sum
+    val scanCount =
+      if (boundary.isEmpty) 0L
+      else s.read.parquet(boundary.map(_.getString(0)).toSeq: _*)
+        .filter(col(s"o_$column").geq(lit(lo)) &&
+          col(s"o_$column").leq(lit(hi))).count()
+    (boundary.length, total, metaCount + scanCount)
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case _ => sys.error(s"unsupported stats bound types: $a / $b")
+  }
+  private def geq(a: Any, b: Any): Boolean = cmp(a, b) >= 0
+  private def leq(a: Any, b: Any): Boolean = cmp(a, b) <= 0
+
   /** q98 — stats-skipping range read on the linear store: the
     * per-customer summary for custkey ∈ [100, 220], read through the
     * pruned path. Oracled against the plain filtered recompute — the
@@ -391,6 +445,19 @@ object DataSkipping {
       java.sql.Date.valueOf("1995-01-01"),
       java.sql.Date.valueOf("1995-03-31"))
     summarize(df)
+  }
+
+  /** q106 — the metadata-only count as a registered query: total
+    * orders with custkey ∈ [64, 640] on the linear store, answered
+    * from manifest row counts for wholly-covered files + a residual
+    * scan of the boundary files only ([[countWhere]]; the boundary
+    * witness is spec-pinned). Oracle: the plain COUNT recompute —
+    * the metadata shortcut must be invisible in the number. */
+  def metadataCount(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureLinear(s, dir)
+    val (_, _, n) = countWhere(s, path, "custkey", 64L, 640L)
+    import s.implicits._
+    Seq(n).toDF("n_orders")
   }
 
   /** q101 — bloom point-lookup: fetch seven specific orders by key

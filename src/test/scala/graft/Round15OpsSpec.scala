@@ -519,6 +519,43 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(pruned2.count() === want.count())
   }
 
+  test("q106 metadata count: wholly-covered files are never opened; orphan vacuum reclaims unnamed files") {
+    import graft.operators.DataSkipping
+    val path = DataSkipping.ensureLinear(spark, sfDir)
+    val (boundary, total, n) =
+      DataSkipping.countWhere(spark, path, "custkey", 30L, 120L)
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").between(30L, 120L)).count()
+    assert(n === want)
+    // on the range-clustered layout a wide interior range has ≤2
+    // boundary files regardless of how many it covers
+    assert(boundary <= 2, s"boundary files: $boundary/$total")
+    val covered = DataSkipping.statsDf(spark, path)
+      .filter(col("min_custkey") >= 30L && col("max_custkey") <= 120L)
+      .count()
+    assert(covered > 0, "predicate must wholly cover at least one file")
+    // orphan vacuum on an isolated copy of the store (never mutate
+    // the shared cached store other specs read)
+    val base = Paths.get("target", "test-tmp")
+    val copy = Files.createTempDirectory(base, "skipvac").toString
+    val f = fs(copy)
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(path), f,
+      new org.apache.hadoop.fs.Path(copy, "store"), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    val store = s"$copy/store"
+    Tables.orders(spark, sfDir).limit(3).coalesce(1)
+      .write.parquet(s"$store/data_orphan_cafe")
+    assert(DataSkipping.vacuumOrphans(spark, store) === 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$store/data_orphan_cafe")))
+    // named data dirs survive and the pruned read still answers
+    val (_, _, n2) =
+      DataSkipping.countWhere(spark, store, "custkey", 30L, 120L)
+    assert(n2 === want)
+    assert(DataSkipping.vacuumOrphans(spark, store) === 0)
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
