@@ -181,6 +181,41 @@ object LakehouseMerge {
     filled.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** TIMESTAMP-based time travel (the Delta `TIMESTAMP AS OF` /
+    * Iceberg snapshot-at-timestamp primitive, public): resolve the
+    * newest version whose PUBLISH instant is ≤ `ts` and read it.
+    * The publish instant is the `_SUCCESS` marker's filesystem
+    * modification time — the atomic event that made the version
+    * visible — so no manifest schema change is needed and the
+    * mapping is exactly "what a reader at that wall-clock moment
+    * saw". Versions published after `ts` are invisible; a `ts`
+    * before the first publish throws (no table existed). O(versions)
+    * metadata probes, no data touched until the read.
+    * Deterministic given the store's history, but wall-clock-keyed —
+    * spec-driven (Round15OpsSpec brackets each publish with clock
+    * readings), not oracle-registered. */
+  private[graft] def versionAsOf(s: SparkSession, path: String,
+      ts: Long): Int = {
+    val f = fs(s, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    require(f.exists(base), s"no table at $path")
+    val candidates = f.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest_v") =>
+        n.stripPrefix("manifest_v").toInt }
+      .filter { v =>
+        val m = new org.apache.hadoop.fs.Path(
+          s"$path/manifest_v$v/_SUCCESS")
+        f.exists(m) && f.getFileStatus(m).getModificationTime <= ts
+      }
+    require(candidates.nonEmpty,
+      s"no version of $path was published at or before $ts")
+    candidates.max
+  }
+
+  private[graft] def readTableAsOf(s: SparkSession, path: String,
+      ts: Long): DataFrame =
+    readVersion(s, path, versionAsOf(s, path, ts))
+
   /** Drop the persisted table for `dir` entirely (bench cold-path
     * probe; Hadoop FS so cluster paths work). */
   def invalidateOrdersSummary(s: SparkSession, dir: String,

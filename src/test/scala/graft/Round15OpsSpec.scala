@@ -556,6 +556,48 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(DataSkipping.vacuumOrphans(spark, store) === 0)
   }
 
+  test("timestamp time travel: AS OF resolves exactly the version a reader at that instant saw") {
+    import graft.operators.LakehouseMerge
+    val path = tmpTable()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    def slice(k: Int) = orders.filter(pmod(col("o_orderkey"), lit(3)) === k)
+    // bracket each publish with clock readings; FS mtimes land
+    // between them (same clock, millisecond granularity — sleep past
+    // the boundary to keep the brackets strict)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    val q1 = LakehouseMerge.upsertOrdersStream(
+      spark.readStream.schema(orders.schema).parquet {
+        val base = Paths.get("target", "test-tmp")
+        val d = Files.createTempDirectory(base, "asof1").toString
+        slice(1).coalesce(1).write.mode("overwrite").parquet(d); d
+      }, path).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Thread.sleep(1100)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    val q2 = LakehouseMerge.upsertOrdersStream(
+      spark.readStream.schema(orders.schema).parquet {
+        val base = Paths.get("target", "test-tmp")
+        val d = Files.createTempDirectory(base, "asof2").toString
+        slice(2).coalesce(1).write.mode("overwrite").parquet(d); d
+      }, path).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val t2 = System.currentTimeMillis()
+    assert(LakehouseMerge.publishedVersion(spark, path) === 2)
+    // before the first publish: no table for that reader
+    intercept[IllegalArgumentException] {
+      LakehouseMerge.versionAsOf(spark, path, t0)
+    }
+    // between the publishes: v1; after both: v2 (the head)
+    assert(LakehouseMerge.versionAsOf(spark, path, t1) === 1)
+    assert(LakehouseMerge.versionAsOf(spark, path, t2) === 2)
+    assert(LakehouseMerge.readTableAsOf(spark, path, t1).count() ===
+      LakehouseMerge.readVersion(spark, path, 1).count())
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
