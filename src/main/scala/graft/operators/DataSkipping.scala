@@ -76,9 +76,25 @@ object DataSkipping {
     s"target/graft_table/orders_skip/$kind/L1_$tag"
   }
 
+  /** Highest `filestats_vN` with a `_SUCCESS` marker; 0 if none.
+    * The stats snapshot IS the published view of the store — readers
+    * resolve the head version and plan from its rows alone, so a
+    * compaction ([[optimizeStore]]) supersedes old data files simply
+    * by publishing the next snapshot. */
+  private[graft] def statsVersion(s: SparkSession, path: String): Int = {
+    val f = fs(s, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(base)) 0
+    else f.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("filestats_v") =>
+        n.stripPrefix("filestats_v").toInt }
+      .filter(v => f.exists(
+        new org.apache.hadoop.fs.Path(s"$path/filestats_v$v/_SUCCESS")))
+      .sorted.lastOption.getOrElse(0)
+  }
+
   private def published(s: SparkSession, path: String): Boolean =
-    fs(s, path).exists(
-      new org.apache.hadoop.fs.Path(s"$path/filestats_v1/_SUCCESS"))
+    statsVersion(s, path) >= 1
 
   // ---------------------------------------------------------------
   // Morton (Z-order) interleave
@@ -224,8 +240,10 @@ object DataSkipping {
   // Pruned read
   // ---------------------------------------------------------------
 
-  private[graft] def statsDf(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/filestats_v1")
+  private[graft] def statsDf(s: SparkSession, path: String): DataFrame = {
+    val v = math.max(statsVersion(s, path), 1)
+    s.read.parquet(s"$path/filestats_v$v")
+  }
 
   /** Files whose stats row says the predicate CAN match, as full
     * paths. The collect is manifest-bounded (O(files), the Iceberg
@@ -317,9 +335,10 @@ object DataSkipping {
     *
     * Scale posture: per batch, one local sort + one file write + one
     * file-sized stats aggregate — no global shuffle, no compaction
-    * on the ingest path (small-file drift is q97 OPTIMIZE's job,
-    * stats refresh included by construction since OPTIMIZE republishes
-    * through [[publish]]).
+    * on the ingest path; small-file drift is [[optimizeStore]]'s
+    * job, which rewrites the published files and lands the next
+    * stats snapshot (stats refresh by construction — the snapshot IS
+    * the publish), with ingest continuing into the new head.
     */
   def streamIngestStats(stream: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -347,13 +366,74 @@ object DataSkipping {
           .groupBy(col("file"))
           .agg(map_from_entries(collect_list(struct(col("word"),
             col("mask")))).as("bloom"))
+        // append to the HEAD snapshot (post-OPTIMIZE batches land in
+        // the new version's stats; Spark's append commit refreshes
+        // the _SUCCESS marker, so the first-ever batch also publishes)
+        val v = math.max(statsVersion(s, path), 1)
         ranges.join(blooms, Seq("file"))
           .withColumn("data_dir", lit(dataDir))
           .coalesce(1).write.mode("append")
-          .parquet(s"$path/filestats_v1")
+          .parquet(s"$path/filestats_v$v")
         ()
       }
     }
+
+  /** OPTIMIZE for the streamed skipping store: continuous ingest
+    * drifts into one small file per micro-batch; this rewrites ALL
+    * currently-published files into `targetFiles` range-clustered,
+    * key-sorted files and publishes the NEXT stats snapshot — data
+    * first, stats last (`errorifexists` + `_SUCCESS`), so a crash
+    * anywhere leaves the old snapshot serving and the new files as
+    * vacuumable orphans (the store-wide crash contract). Row
+    * conservation is audited against the read-back before the
+    * publish; superseded old files become [[vacuumOrphans]] debris
+    * the moment the new head lands (head-only retention — this
+    * store's snapshots are layout versions, not time travel, which
+    * lives in the lakehouse stores). Post-OPTIMIZE ingest appends to
+    * the new head's stats, so streaming and compaction interleave
+    * indefinitely. */
+  private[graft] def optimizeStore(s: SparkSession, path: String,
+      targetFiles: Int): Unit = {
+    val head = statsVersion(s, path)
+    require(head >= 1, s"no published stats at $path")
+    val old = statsDf(s, path)
+    val oldFiles = old.select(col("file")).collect()
+      .map(_.getString(0)).toSeq
+    val expRows = old.agg(sum(col("n_rows"))).head().getLong(0)
+    val dataDir = s"data_opt${head + 1}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.read.parquet(oldFiles: _*)
+      .repartitionByRange(targetFiles, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("errorifexists").parquet(s"$path/$dataDir")
+    val back = s.read.parquet(s"$path/$dataDir")
+      .withColumn("file", col("_metadata.file_path"))
+    val gotRows = back.count()
+    require(gotRows == expRows,
+      s"OPTIMIZE audit failed at $path: rewrote $gotRows rows, " +
+        s"expected $expRows — NOT publishing")
+    val ranges = back.groupBy(col("file"))
+      .agg(min(col("o_custkey")).as("min_custkey"),
+        max(col("o_custkey")).as("max_custkey"),
+        min(col("o_orderdate")).as("min_orderdate"),
+        max(col("o_orderdate")).as("max_orderdate"),
+        count(lit(1)).as("n_rows"))
+    val blooms = back
+      .select(col("file"),
+        explode(array(bloomPositions(col("o_orderkey")): _*)).as("pos"))
+      .groupBy(col("file"), (col("pos") / 64).cast("int").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(pos % 64 AS INT)))").as("mask"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("word"),
+        col("mask")))).as("bloom"))
+    LakehouseMerge.clearUnpublishedManifest(s,
+      s"$path/filestats_v${head + 1}")
+    ranges.join(blooms, Seq("file"))
+      .withColumn("data_dir", lit(dataDir))
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"$path/filestats_v${head + 1}")
+  }
 
   // ---------------------------------------------------------------
   // Registered queries

@@ -517,6 +517,33 @@ class Round15OpsSpec extends AnyFunSuite {
       DataSkipping.prunedRangeRead(spark, store, "custkey", 40L, 70L)
     assert(total2 === 4)
     assert(pruned2.count() === want.count())
+
+    // OPTIMIZE: the 4 per-batch files compact into 2 range-clustered
+    // ones under the NEXT stats snapshot; pruned reads stay equal,
+    // the superseded per-batch files (and the crash orphan) become
+    // vacuumable debris, and post-OPTIMIZE ingest appends to the new
+    // head
+    DataSkipping.optimizeStore(spark, store, targetFiles = 2)
+    assert(DataSkipping.statsVersion(spark, store) === 2)
+    val stats2 = DataSkipping.statsDf(spark, store)
+    assert(stats2.count() === 2)
+    val (_, t3, pruned3) =
+      DataSkipping.prunedRangeRead(spark, store, "custkey", 40L, 70L)
+    assert(t3 === 2 && pruned3.count() === want.count())
+    assert(DataSkipping.vacuumOrphans(spark, store) === 5,
+      "4 superseded batch files + 1 crash orphan reclaimed")
+    val (_, _, pruned4) =
+      DataSkipping.prunedRangeRead(spark, store, "custkey", 40L, 70L)
+    assert(pruned4.count() === want.count())
+    // ingest continues into the optimized head
+    val extraDir = Files.createTempDirectory(base, "streamfeed2").toString
+    orders.limit(7).coalesce(1).write.mode("overwrite").parquet(extraDir)
+    val q2 = DataSkipping.streamIngestStats(
+      spark.readStream.schema(orders.schema).parquet(extraDir), store)
+      .start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(DataSkipping.statsVersion(spark, store) === 2)
+    assert(DataSkipping.statsDf(spark, store).count() === 3)
   }
 
   test("q106 metadata count: wholly-covered files are never opened; orphan vacuum reclaims unnamed files") {
