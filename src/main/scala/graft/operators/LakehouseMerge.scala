@@ -216,6 +216,46 @@ object LakehouseMerge {
       ts: Long): DataFrame =
     readVersion(s, path, versionAsOf(s, path, ts))
 
+  /** Snapshot RETENTION: expire every version older than the newest
+    * `keepLast` (Iceberg `expire_snapshots` / Delta log retention,
+    * public) — the q94 argument on THIS store: version history is
+    * time travel, and unbounded history is unbounded storage. Order
+    * is manifest-first, data-second: deleting `manifest_vN` makes
+    * time travel to vN fail CLEANLY at resolution (the q94 reader
+    * contract) before any data byte disappears, and the data pass is
+    * a SWEEP — every `data_v*` directory named by NO surviving
+    * manifest goes — so a crash between the two phases leaves only
+    * orphans the next run's sweep reclaims (idempotent by
+    * construction). Readers of retained versions are untouched:
+    * their staged dirs are named by surviving manifests and never
+    * swept. Returns (manifests expired, data dirs reclaimed).
+    *
+    * Scale posture: O(versions) manifest reads + one directory
+    * listing — metadata-tier; the deletes are proportional to
+    * expired data, the point of running it. */
+  private[graft] def expireVersions(s: SparkSession, path: String,
+      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the head")
+    val f = fs(s, path)
+    val head = publishedVersion(s, path)
+    require(head >= 1, s"no published version at $path")
+    val cutoff = head - keepLast + 1
+    val expired = (1 until cutoff).filter(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"$path/manifest_v$v/_SUCCESS")))
+    expired.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest_v$v"), true)
+    }
+    val survivors = (1 to head).filter(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"$path/manifest_v$v/_SUCCESS")))
+      .map(v => dataDirOf(s, path, v)).toSet
+    val orphans = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("data_v") &&
+        !survivors.contains(p.getName))
+    orphans.foreach(p => f.delete(p, true))
+    (expired.size, orphans.size)
+  }
+
   /** Drop the persisted table for `dir` entirely (bench cold-path
     * probe; Hadoop FS so cluster paths work). */
   def invalidateOrdersSummary(s: SparkSession, dir: String,

@@ -625,6 +625,40 @@ class Round15OpsSpec extends AnyFunSuite {
       LakehouseMerge.readVersion(spark, path, 1).count())
   }
 
+  test("expire snapshots: expired versions fail cleanly, head readers untouched, crash debris swept") {
+    import graft.operators.LakehouseMerge
+    val path = tmpTable()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val base = Paths.get("target", "test-tmp")
+    // three publishes through the streaming upsert (3 batches)
+    val feed = Files.createTempDirectory(base, "expirefeed").toString
+    (0 to 2).foreach { k =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(s"$feed/b$k")
+    }
+    val q = LakehouseMerge.upsertOrdersStream(
+      spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$feed/b*"), path)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(LakehouseMerge.publishedVersion(spark, path) === 3)
+    val headCount = LakehouseMerge.readTable(spark, path).count()
+
+    val (expired, swept) = LakehouseMerge.expireVersions(spark, path, 1)
+    assert(expired === 2 && swept === 2)
+    // head untouched; expired versions fail cleanly at resolution
+    assert(LakehouseMerge.readTable(spark, path).count() === headCount)
+    intercept[Exception] { LakehouseMerge.readVersion(spark, path, 1) }
+    // idempotent
+    assert(LakehouseMerge.expireVersions(spark, path, 1) === ((0, 0)))
+    // crash window: a manifest-less data dir (phase-1 crash debris)
+    // is invisible and the next run sweeps it
+    fs(path).mkdirs(new org.apache.hadoop.fs.Path(s"$path/data_v9_dead"))
+    assert(LakehouseMerge.expireVersions(spark, path, 1) === ((0, 1)))
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
