@@ -284,8 +284,13 @@ object DataSkipping {
     * survives iff for EVERY probe key at least one of its k
     * positions' bits could be a member — i.e. the file's bitset has
     * all k bits of SOME probe key set. Bits are checked driver-side
-    * against the manifest-bounded stats rows (file count × 256
-    * words — metadata, not data). */
+    * against the manifest-bounded stats rows (file count × 2 KB —
+    * metadata, not data; at the extreme 10^5-file tail of a 100 TB
+    * table that collect is ~200 MB, so the production form joins the
+    * probe positions against the stats RELATION instead and collects
+    * only the surviving file names — same plan, the collect moves
+    * one step later; the registered shape keeps the simpler driver
+    * check). */
   private[graft] def prunedBloomRead(s: SparkSession, path: String,
       keys: Seq[Long]): (Int, Int, DataFrame) = {
     val rows = statsDf(s, path)
