@@ -64,7 +64,7 @@ object MergeDml {
     s"target/graft_table/customer_dml/L1_$tag"
   }
 
-  private def publishedVersion(s: SparkSession, path: String): Int = {
+  private[graft] def publishedVersion(s: SparkSession, path: String): Int = {
     val f = fs(s, path)
     val base = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(base)) 0
@@ -105,14 +105,22 @@ object MergeDml {
     require(gotRows == expRows && gotMass.compareTo(expMass) == 0,
       s"DML audit failed for v$v at $path: staged ($gotRows rows, " +
         s"$gotMass mass) expected ($expRows, $expMass) — NOT publishing")
-    require(publishedVersion(s, path) == v - 1,
-      s"publish conflict at $path (head moved)")
+    if (publishedVersion(s, path) != v - 1)
+      throw new LakehouseMerge.PublishConflictException(
+        s"publish conflict at $path: head moved past v${v - 1} — " +
+          "rebase required")
     import s.implicits._
     LakehouseMerge.clearUnpublishedManifest(s, s"$path/manifest_v$v")
-    Seq((v, gotRows, gotMass.toPlainString, dataDir, nIns, nUpd, nDel))
+    try Seq((v, gotRows, gotMass.toPlainString, dataDir, nIns, nUpd, nDel))
       .toDF("version", "n_rows", "acct_mass", "data_dir",
         "n_inserted", "n_updated", "n_deleted")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/manifest_v$v")
+    catch { case scala.util.control.NonFatal(e) =>
+      if (publishedVersion(s, path) >= v)
+        throw new LakehouseMerge.PublishConflictException(
+          s"publish conflict at $path: another writer landed v$v first")
+      else throw e
+    }
   }
 
   private def customers(s: SparkSession, dir: String): DataFrame =
@@ -146,19 +154,34 @@ object MergeDml {
           .cast("decimal(18,2)").as("s_acctbal"),
         (col("c_acctbal") < 0).as("closed"))
 
-  private def ensureMerged(s: SparkSession, dir: String): String = {
-    val path = tablePath(s, dir)
-    if (publishedVersion(s, path) < 1) {
-      val base = customers(s, dir)
-        .filter(pmod(col("c_custkey"), lit(4)) =!= 0)
-      val m = base.agg(count(lit(1)),
-        sum(col("c_acctbal")).cast("decimal(28,2)")).head()
-      val d = stage(base, path, 1)
-      auditAndPublish(s, path, 1, d, m.getLong(0), m.getDecimal(1),
-        m.getLong(0), 0L, 0L)
-    }
-    if (publishedVersion(s, path) < 2) {
-      val cls = classify(readVersion(s, path, 1), mergeSource(s, dir))
+  private[graft] def publishBaseAt(s: SparkSession, dir: String,
+      path: String): Unit = {
+    val base = customers(s, dir)
+      .filter(pmod(col("c_custkey"), lit(4)) =!= 0)
+    val m = base.agg(count(lit(1)),
+      sum(col("c_acctbal")).cast("decimal(28,2)")).head()
+    val d = stage(base, path, 1)
+    auditAndPublish(s, path, 1, d, m.getLong(0), m.getDecimal(1),
+      m.getLong(0), 0L, 0L)
+  }
+
+  /** One MERGE of [[mergeSource]] into the table at `path`, with
+    * OPTIMISTIC RETRY (the q88 rebase contract, on DML): on a publish
+    * conflict the loser deletes its own staged files, RE-CLASSIFIES
+    * against the head that won — MERGE actions are defined against
+    * the table as it IS, so rebasing is re-running the classification,
+    * never replaying stale actions — re-audits and re-publishes.
+    * `beforePublish` is the spec's interleaving injection point.
+    * Returns the published version. */
+  private[graft] def mergeStepAt(s: SparkSession, dir: String,
+      path: String, maxRetries: Int = 3,
+      beforePublish: Int => Unit = _ => ()): Int = {
+    var attempt = 0
+    var published = -1
+    while (published < 0) {
+      val head = publishedVersion(s, path)
+      require(head >= 1, s"no published version at $path")
+      val cls = classify(readVersion(s, path, head), mergeSource(s, dir))
         .cache()
       val post = cls.filter(col("action").isin("keep", "update", "insert"))
         .select(col("c_custkey"),
@@ -182,11 +205,31 @@ object MergeDml {
           .cast("decimal(28,2)")).head()
       val (nIns, nUpd, nDel, nKeep) =
         (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
-      val d = stage(post, path, 2)
-      auditAndPublish(s, path, 2, d, nKeep + nUpd + nIns,
-        e.getDecimal(4), nIns, nUpd, nDel)
+      val v = head + 1
+      val d = stage(post, path, v)
+      beforePublish(attempt)
+      try {
+        auditAndPublish(s, path, v, d, nKeep + nUpd + nIns,
+          e.getDecimal(4), nIns, nUpd, nDel)
+        published = v
+      } catch { case _: LakehouseMerge.PublishConflictException =>
+        fs(s, path).delete(
+          new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new LakehouseMerge.PublishConflictException(
+            s"DML merge at $path lost $attempt publish races — giving up")
+      }
       cls.unpersist()
+      ()
     }
+    published
+  }
+
+  private def ensureMerged(s: SparkSession, dir: String): String = {
+    val path = tablePath(s, dir)
+    if (publishedVersion(s, path) < 1) publishBaseAt(s, dir, path)
+    if (publishedVersion(s, path) < 2) { mergeStepAt(s, dir, path); () }
     path
   }
 

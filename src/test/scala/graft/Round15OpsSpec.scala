@@ -659,6 +659,35 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(LakehouseMerge.expireVersions(spark, path, 1) === ((0, 1)))
   }
 
+  test("DML merge rebase: the loser re-classifies against the interleaved head; replay is idempotent") {
+    import graft.operators.MergeDml
+    val path = tmpTable()
+    MergeDml.publishBaseAt(spark, sfDir, path)
+    // two writers race the SAME merge: the winner publishes v2 inside
+    // the loser's stage→publish window; the loser's v2 conflicts,
+    // rebases (re-classifies against v2) and publishes v3
+    var interleaved = false
+    val v = MergeDml.mergeStepAt(spark, sfDir, path,
+      beforePublish = attempt => if (attempt == 0 && !interleaved) {
+        interleaved = true
+        assert(MergeDml.mergeStepAt(spark, sfDir, path) === 2)
+      })
+    assert(v === 3)
+    // idempotence: re-applying MERGE actions against the already-
+    // merged head changes nothing — v3 equals v2 row-for-row
+    val v2 = MergeDml.readVersion(spark, path, 2)
+    val v3 = MergeDml.readVersion(spark, path, 3)
+    assert(v3.count() === v2.count())
+    assert(v3.exceptAll(v2).count() === 0)
+    // and the v3 ledger records the no-op shape: nothing inserted or
+    // deleted on replay (the deletes were already gone, the inserts
+    // already present — they reclassify as updates to equal values)
+    val m3 = spark.read.parquet(s"$path/manifest_v3").head()
+    assert(m3.getLong(4) === 0L && m3.getLong(6) === 0L,
+      s"replay must insert/delete nothing: $m3")
+    assert(m3.getLong(5) > 0L)
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
