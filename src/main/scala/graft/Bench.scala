@@ -311,12 +311,18 @@ object Bench {
       // loss at this SF is in the artifact, not just the contract
       val g6Capped = graft.operators.Graph
         .supplierOverlapCappedCount(spark, sfDir)
+      // q101's bloom false-positive rate, probed stats-only against
+      // 200 absent keys — the BloomBits scaladoc's derived estimate
+      // as a measured per-round number (saturated at this layout's
+      // rows/file; the production lever is m ∝ rows/file)
+      val bloomFpr = graft.operators.DataSkipping.bloomFalsePositiveRate(
+        spark, graft.operators.DataSkipping.ensureLinear(spark, sfDir))
       spark.catalog.clearCache()
       System.err.println(f"[bench] accuracy: s2 $rS2%.3f s3 $rS3%.3f " +
         f"s10 $rS10%.3f s13 $rS13%.3f s16 $rS16%.3f q27 ±$hllErr%.4f " +
         f"d14 fn=$falseNeg extra=$extra/$corpus q87 ±$q87Err%.5f " +
-        f"g6 capped=$g6Capped")
-      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"q87_max_rel_err":$q87Err,"g6_capped_customers":$g6Capped,"""
+        f"g6 capped=$g6Capped bloom fpr=$bloomFpr%.3f")
+      s""""s2_recall_at5":$rS2,"s3_recall_at5":$rS3,"s10_recall_at5":$rS10,"s13_recall_at5":$rS13,"s16_recall_at3":$rS16,"q27_hll_rel_err":$hllErr,"d14_false_negatives":$falseNeg,"d14_extra_flag_frac":${extra.toDouble / corpus},"q87_max_rel_err":$q87Err,"g6_capped_customers":$g6Capped,"q101_bloom_fpr":$bloomFpr,"""
     } catch { case NonFatal(e) =>
       System.err.println("[bench] accuracy block failed:")
       e.printStackTrace()

@@ -320,6 +320,39 @@ object DataSkipping {
     (files.size, total, df)
   }
 
+  /** Measured bloom FALSE-POSITIVE rate: the fraction of (absent key,
+    * file) pairs the bitsets fail to prune, probed stats-only (no
+    * data read). Published as a bench-artifact observability field
+    * (`q101_bloom_fpr`) so the [[BloomBits]] scaladoc's derived
+    * estimate is a measured number per round — at the test shape the
+    * bitsets run saturated (~10k keys × 3 probes on 16384 bits) and
+    * the honest rate is high; the production lever is m ∝ rows/file
+    * (the 2 KB/file figure), which this field tracks if the layout
+    * ever changes. */
+  private[graft] def bloomFalsePositiveRate(s: SparkSession,
+      path: String, probes: Int = 200): Double = {
+    val rows = statsDf(s, path).select(col("bloom")).collect()
+    def positions(k: Long): Seq[(Int, Long)] = BloomSeeds.map { seed =>
+      val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(k, org.apache.spark.sql.types.LongType, 42L)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(seed, org.apache.spark.sql.types.IntegerType, h1)
+      val m = (h % BloomBits + BloomBits) % BloomBits
+      ((m / 64).toInt, 1L << (m % 64).toInt)
+    }
+    // keys far above any orderkey in the corpus: all absent
+    val keys = (1 to probes).map(i => 10_000_000_000L + i * 7919L)
+    val hits = keys.map { k =>
+      val p = positions(k)
+      rows.count { r =>
+        val bloom = r.getMap[Int, Long](0)
+        p.forall { case (w, bit) =>
+          bloom.get(w).exists(mask => (mask & bit) != 0L) }
+      }
+    }.sum
+    hits.toDouble / (probes.toLong * rows.length)
+  }
+
   // ---------------------------------------------------------------
   // Streaming ingest (stats maintained per batch)
   // ---------------------------------------------------------------
