@@ -365,6 +365,10 @@ object SparkEntry {
     // Metadata-only COUNT: wholly-covered files answer from manifest
     // row counts, only boundary files are opened (count-from-manifests)
     "q106_metadata_count" -> (DataSkipping.metadataCount(_, _)),
+    // JOIN-driven runtime file pruning: the filtered dim's key range
+    // prunes fact files through the stats manifest before the scan
+    // (dynamic pruning on unpartitioned files)
+    "q107_join_pruned" -> (DataSkipping.joinPrunedRead(_, _)),
     // PARTITION-SPEC EVOLUTION: history stays under the coarse spec
     // (year), new data lands under the finer one (year, month); one
     // read spans both — directory pruning on each version's own spec,
@@ -2097,6 +2101,17 @@ object SparkEntry {
     "q106_metadata_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders WHERE o_custkey BETWEEN 64 AND 640""".stripMargin,
+
+    // q107: runtime pruning must be invisible — the join equals the
+    // plain recompute; which fact files were opened is the spec's
+    // witness, not SQL-observable.
+    "q107_join_pruned" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = 7 AND c.c_acctbal > 5000.0
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
 
     // q105: the 4-type vocabulary in closed form — update keys emit
     // BOTH images (pre = raw balance, post = revised), inserts the

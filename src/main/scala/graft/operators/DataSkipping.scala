@@ -280,6 +280,34 @@ object DataSkipping {
       s.read.parquet(any).filter(lit(false))
     }
 
+  /** Key-SET membership pruning on the clustered column: a file
+    * survives iff its [min, max] interval contains at least one
+    * probe key (sorted keys + binary search per stats row — O(files
+    * × log keys) driver-side metadata work). The scan then applies
+    * the exact `isin` residual. An empty key set opens zero files. */
+  private[graft] def prunedKeySetRead(s: SparkSession, path: String,
+      column: String, keys: Seq[Long]): (Int, Int, DataFrame) = {
+    val sorted = keys.sorted.toArray
+    val stats = statsDf(s, path)
+      .select(col("file"), col(s"min_$column").cast("long"),
+        col(s"max_$column").cast("long")).collect()
+    val total = stats.length
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      if (sorted.isEmpty) return false
+      val i = java.util.Arrays.binarySearch(sorted, lo)
+      val at = if (i >= 0) i else -i - 1
+      at < sorted.length && sorted(at) <= hi
+    }
+    val files = stats.collect {
+      case r if anyIn(r.getLong(1), r.getLong(2)) => r.getString(0)
+    }.toSeq
+    val residual =
+      if (keys.isEmpty) lit(false)
+      else col(s"o_$column").isin(keys: _*)
+    val df = readFiles(s, path, files).filter(residual)
+    (files.size, total, df)
+  }
+
   /** Bloom-pruned point-lookup over `o_orderkey` probes: a file
     * survives iff for EVERY probe key at least one of its k
     * positions' bits could be a member — i.e. the file's bitset has
@@ -576,6 +604,49 @@ object DataSkipping {
     val (_, _, n) = countWhere(s, path, "custkey", 64L, 640L)
     import s.implicits._
     Seq(n).toDF("n_orders")
+  }
+
+  /** q107 — JOIN-driven runtime file pruning: the q81 dynamic-
+    * partition-pruning idea carried onto the stats tier (Iceberg
+    * runtime filtering / semijoin pushdown, public). A selective
+    * dimension filter implies a MEMBERSHIP set on the fact table's
+    * join keys; instead of scanning every fact file and letting the
+    * join drop rows, the dim side's keys probe the per-file
+    * INTERVALS: a fact file is opened iff its [min, max] contains at
+    * least one dim key. The key-SET probe matters — the dim's keys
+    * are scattered across the clustered key space (nation is
+    * independent of custkey), so the single [min(keys), max(keys)]
+    * range bound would cover nearly every file and prune nothing,
+    * while per-key interval membership prunes every file that owns
+    * only inter-key gaps. Pruning is a superset filter (the join
+    * discards range co-residents) — never a semantics change. (The
+    * bloom tier plays the same role for the UNclustered key, q101;
+    * each stats column serves the predicate shape it can answer.)
+    *
+    * The dim key collect is bounded by dim selectivity — the
+    * standard runtime-filter build side; at a scale where even the
+    * filtered dim is huge, the build side coarsens to the dim keys'
+    * sorted-run intervals (or a bloom), probed against the same
+    * stats rows. Oracle: the plain join recompute — runtime pruning
+    * must be invisible in the data; the file-count witness at a
+    * spec-controlled selectivity is Round15OpsSpec's. Scale posture:
+    * O(files) metadata probes + a broadcast dim join (the q4 star
+    * shape) — fact scan cost tracks dim selectivity, not table
+    * size. */
+  def joinPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureLinear(s, dir)
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 7 && col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"))
+    val keys = dim.select(col("c_custkey")).collect()
+      .map(_.getLong(0)).toSeq
+    val (_, _, facts) = prunedKeySetRead(s, path, "custkey", keys)
+    facts.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("total_price"))
+      .orderBy(col("c_custkey"), col("o_orderkey"))
   }
 
   /** q101 — bloom point-lookup: fetch seven specific orders by key

@@ -688,6 +688,41 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(m3.getLong(5) > 0L)
   }
 
+  test("q107 join pruning: a sparse key set prunes interval-owning files; single range bound cannot") {
+    import graft.operators.DataSkipping
+    val path = DataSkipping.ensureLinear(spark, sfDir)
+    // a spec-controlled sparse key set spanning the whole key space:
+    // the single [min,max] bound covers every file (prunes nothing),
+    // per-key interval membership prunes the gap-owning files
+    val custMax = Tables.customer(spark, sfDir)
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val keys = Seq(1L, custMax / 2, custMax - 1)
+    val (scanned, total, df) =
+      DataSkipping.prunedKeySetRead(spark, path, "custkey", keys)
+    assert(scanned < total, s"no pruning: $scanned/$total")
+    assert(scanned >= 1)
+    // the single range bound spanning the same keys touches all files
+    val (rangeScanned, _, _) = DataSkipping.prunedRangeRead(spark, path,
+      "custkey", keys.min, keys.max)
+    assert(rangeScanned === total,
+      "a scattered key set's [min,max] must cover every file here")
+    // data equality with the plain recompute
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isin(keys: _*)).count()
+    assert(df.count() === want)
+    // empty key set: zero files, empty result
+    val (s0, _, empty) =
+      DataSkipping.prunedKeySetRead(spark, path, "custkey", Seq.empty)
+    assert(s0 === 0 && empty.count() === 0L)
+    // the registered join itself matches its plain-join recompute
+    val got = DataSkipping.joinPrunedRead(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") === 7 && col("c_acctbal") > 5000.0)
+    val wantJoin = Tables.orders(spark, sfDir).join(dim,
+      col("o_custkey") === col("c_custkey")).count()
+    assert(got.count() === wantJoin)
+  }
+
   test("q94 registered query: witness column matches the manifest owners at sf0.001") {
     val got = CowErasure.vacuumedSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
