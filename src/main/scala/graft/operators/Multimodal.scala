@@ -26,6 +26,20 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** The byte-plane sample array as ONE codegen'd pass (r15
+    * optimization): replaces `transform(split(text, ""), ascii)` and
+    * its empty-filtered variant — per-char UTF8String allocation plus
+    * an interpreted lambda per element — with
+    * [[graft.functions.AsciiCodes]] (value-identical; the trailing ""
+    * element Java's split(-1) yields was consumed by no operator:
+    * every index/slice is bounded by the char count, and the filtered
+    * sites dropped it explicitly). Guide §1.2 step 2 / §4.
+    */
+  private[graft] def asciiCodes(c: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.functions.AsciiCodes(
+        org.apache.spark.sql.graft.Shims.expression(c)))
+
   /** A media row: opaque payload + declared type. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 
@@ -285,7 +299,7 @@ object Multimodal {
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= width)
       .select(col("doc_id"),
-        transform(split(col("text"), ""), c => ascii(c)).as("samples"),
+        asciiCodes(col("text")).as("samples"),
         posexplode(sequence(lit(1), col("n") - (width - 1), lit(stride))))
       .withColumnRenamed("col", "o")
       .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
@@ -327,8 +341,7 @@ object Multimodal {
     // >10× faster than the re-inlined one (historical decision
     // record; current numbers live in the bench artifact)
     val stats = Multimodal.bind(
-      transform(filter(split(col("text"), ""), c => c =!= ""),
-        c => ascii(c).cast("long"))) { samples =>
+      asciiCodes(col("text")).cast("array<bigint>")) { samples =>
       transform(sequence(lit(0), lit(2)), ch =>
         Multimodal.bind(transform(sequence(ch + 1, size(samples), lit(3)),
           i => element_at(samples, i))) { xs =>
@@ -398,9 +411,8 @@ object Multimodal {
     require(side % p == 0, s"side $side must be divisible by patch $p")
     val g = side / p
     val dims = g * g
-    val codes = transform(
-      slice(filter(split(col("text"), ""), c => c =!= ""), 1, side * side),
-      c => ascii(c).cast("long"))
+    val codes =
+      slice(asciiCodes(col("text")), 1, side * side).cast("array<bigint>")
     // patch kk (row-major pr=kk÷g, pc=kk%g) pools elements j
     // (r=j÷p, c=j%p) at plane index (pr·p+r)·side + pc·p + c (+1 for
     // element_at's 1-base) — all integer Column arithmetic
@@ -500,8 +512,7 @@ object Multimodal {
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
-        posexplode(transform(
-          filter(split(col("text"), ""), c => c =!= ""), c => ascii(c))))
+        posexplode(asciiCodes(col("text"))))
       .select(col("doc_id"),
         floor(col("pos") * bits / col("n")).cast("int").as("bk"),
         col("col").as("c"))
@@ -555,8 +566,7 @@ object Multimodal {
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= width)
       .select(col("doc_id"),
-        transform(filter(split(col("text"), ""), c => c =!= ""),
-          c => ascii(c)).as("samples"),
+        asciiCodes(col("text")).as("samples"),
         posexplode(sequence(lit(1), col("n") - (width - 1), lit(width))))
       .withColumnRenamed("col", "o")
       .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
@@ -616,7 +626,7 @@ object Multimodal {
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= width)
       .select(col("doc_id"),
-        transform(split(col("text"), ""), c => ascii(c)).as("samples"),
+        asciiCodes(col("text")).as("samples"),
         posexplode(sequence(lit(1), col("n") - (width - 1), lit(stride))))
       .withColumnRenamed("col", "o")
       .select(col("doc_id"), col("pos").cast("int").as("fi"),
@@ -663,7 +673,7 @@ object Multimodal {
     docs
       .filter(length(col("text")) >= side * side)
       .select(col("doc_id"),
-        transform(split(col("text"), ""), c => ascii(c)).as("samples"))
+        asciiCodes(col("text")).as("samples"))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(grid * grid - 1))).as("patch_idx"),
         col("samples"))
@@ -735,43 +745,25 @@ object Multimodal {
     element_at(transform(array(x), body), 1)
 
   /** The two-relation form for spec-planted corpora. Uses the leading
-    * side² bytes as a row-major side×side plane (m11's contract). */
+    * side² bytes as a row-major side×side plane (m11's contract).
+    *
+    * r15 optimization (guide §1.2 step 2): the whole DCT chain — row
+    * pass, column pass, median, threshold bits — runs as ONE codegen'd
+    * expression ([[graft.functions.DctPhash64]], same fixed-point
+    * matrix, same integer arithmetic) instead of the lambda-bound HOF
+    * tree this method used to build: higher-order functions evaluate
+    * interpreted per element, and the tree walked ~3 000 multiply-add
+    * lambda evaluations per document. Value-identical by construction
+    * (MultimodalSpec pins the expression against the original HOF tree
+    * on random planes; the DuckDB hash oracle is unchanged). In-suite
+    * A/B at sf0.1: m12 5.60 s → see OPTIMIZATION_r15.md.
+    */
   private[graft] def dctHashFrom(docs: DataFrame,
       side: Int = 16, block: Int = 8): DataFrame = {
-    val m = typedlit(dctMatrix(side, block))
-    val pow2 = typedlit((0 until block * block - 1).map(1L << _))
-    val pE = transform(split(col("text"), ""), c => ascii(c))
-    // row pass: a[u·side + c] = Σ_r M[u][r] · p(r, c)
-    def aOf(p: Column): Column = transform(
-      sequence(lit(0), lit(block * side - 1)), j => {
-        val u = j.divide(lit(side)).cast("int")
-        val c = pmod(j, lit(side))
-        aggregate(sequence(lit(0), lit(side - 1)), lit(0L),
-          (acc, r) => acc
-            + element_at(m, (u * side + r + 1).cast("int"))
-            * element_at(p, (r * side + c + 1).cast("int")))
-      })
-    // column pass: coefs[u·block + v] = Σ_c a[u·side + c] · M[v][c]
-    def coefsOf(a: Column): Column = transform(
-      sequence(lit(0), lit(block * block - 1)), k => {
-        val u = k.divide(lit(block)).cast("int")
-        val v = pmod(k, lit(block))
-        aggregate(sequence(lit(0), lit(side - 1)), lit(0L),
-          (acc, c) => acc
-            + element_at(a, (u * side + c + 1).cast("int"))
-            * element_at(m, (v * side + c + 1).cast("int")))
-      })
-    // exact median of the 63 non-DC coefficients (32nd smallest), then
-    // bit k−1 per coefficient strictly above it
-    def bitsOf(cf: Column): Column =
-      bind(element_at(array_sort(slice(cf, 2, block * block - 1)),
-          block * block / 2)) { med =>
-        aggregate(sequence(lit(1), lit(block * block - 1)), lit(0L),
-          (acc, k) => acc + when(element_at(cf, k + 1) > med,
-            element_at(pow2, k)).otherwise(lit(0L)))
-      }
-    val phash =
-      bind(pE)(p => bind(aOf(p))(a => bind(coefsOf(a))(cf => bitsOf(cf))))
+    val phash = org.apache.spark.sql.graft.Shims.column(
+      graft.functions.DctPhash64(
+        org.apache.spark.sql.graft.Shims.expression(col("text")),
+        side, block))
     docs
       .filter(length(col("text")) >= side * side)
       .select(col("doc_id"), phash.as("phash"))
@@ -851,17 +843,33 @@ object Multimodal {
   def byteEntropy(s: SparkSession, dir: String): DataFrame =
     byteEntropyFrom(Tables.documents(s, dir))
 
-  /** The relation form for spec-planted payloads. */
-  private[graft] def byteEntropyFrom(docs: DataFrame): DataFrame =
-    byteHistogram(docs)
-      .agg(count(lit(1)).as("n_distinct_bytes"),
-        max(col("c")).as("mode_count"),
-        sum(col("c") * col("c")).as("sum_c2"))
+  /** The relation form for spec-planted payloads.
+    *
+    * r15 optimization (guide §2.4 — remove shuffles outright): the
+    * histogram statistics are computed per document inside ONE
+    * codegen'd projection ([[graft.functions.CharStats]]) instead of
+    * exploding a row per char and shuffling twice (count per
+    * (doc, value), then the per-doc rollup). Value-identical: the
+    * per-value counts, their count/max/Σc², and the one IEEE divide
+    * are the same integers (MultimodalSpec pins the expression against
+    * the explode+groupBy form; the DuckDB hash oracle is unchanged).
+    */
+  private[graft] def byteEntropyFrom(docs: DataFrame): DataFrame = {
+    val stats = org.apache.spark.sql.graft.Shims.column(
+      graft.functions.CharStats(
+        org.apache.spark.sql.graft.Shims.expression(col("text"))))
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        stats.as("st"))
       .select(col("doc_id"), col("n").as("n_bytes"),
-        col("n_distinct_bytes"), col("mode_count"), col("sum_c2"),
-        (col("sum_c2").cast("double")
+        col("st.n_distinct_bytes").as("n_distinct_bytes"),
+        col("st.mode_count").as("mode_count"),
+        col("st.sum_c2").as("sum_c2"),
+        (col("st.sum_c2").cast("double")
           / (col("n") * col("n")).cast("double")).as("collision_prob"))
       .orderBy(col("doc_id"))
+  }
 
   /** m14's Shannon companion: bits/byte over the same histogram. NOT
     * hash-gated (ln ulp drift across engines plus an order-unpinned
@@ -884,9 +892,7 @@ object Multimodal {
     docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
-        explode(transform(
-          filter(split(col("text"), ""), c => c =!= ""),
-          c => ascii(c))).as("b"))
+        explode(asciiCodes(col("text"))).as("b"))
       .groupBy(col("doc_id"), col("n"), col("b"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n"))
