@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased whitespace tokens, empties dropped. */
+  /** Lowercased whitespace tokens, empties dropped — the codegen'd
+    * TokensLower kernel (one pass over the UTF-8 bytes; r15). Value-
+    * identical to [[tokensSql]], which ShingleExprsSpec pins it
+    * against.
+    */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      TokensLower(org.apache.spark.sql.graft.Shims.expression(c)))
+
+  /** The pre-kernel HOF formulation of [[tokens]] — kept as the
+    * executable reference (and the shape the DuckDB oracles mirror).
+    */
+  def tokensSql(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
   /** Distinct token set (order not significant downstream). */
@@ -62,6 +73,45 @@ object TextFunctions {
     */
   def hash64Sql(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ── r15 shingle/chunk kernel wrappers (see ShingleExprs) ───────────
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.Shims.column(e)
+  private def kexp(c: Column) = org.apache.spark.sql.graft.Shims.expression(c)
+
+  /** Distinct hashed word n-gram shingles of `c` (the docShingles
+    * chain — tokens → n-grams → array_distinct → hash64 — as one
+    * kernel).
+    */
+  def wordShingles64(c: Column, n: Int): Column = kcol(WordShingles64(kexp(c), n))
+
+  /** Distinct hashed char n-gram shingles of an already-normalized
+    * string.
+    */
+  def charShingles64(c: Column, n: Int): Column = kcol(CharShingles64(kexp(c), n))
+
+  /** Distinct word n-gram shingle STRINGS (the un-hashed form the
+    * CorpusOps contamination tier joins on).
+    */
+  def wordShingleStrs(c: Column, n: Int): Column = kcol(WordShingleStrs(kexp(c), n))
+
+  /** Winnowing fingerprint set (ordered k-gram hashes → distinct
+    * window-w minima).
+    */
+  def winnowFps64(c: Column, k: Int, w: Int): Column = kcol(WinnowFps64(kexp(c), k, w))
+
+  /** Content-defined chunks of `c` (rolling-hash boundaries, w-char
+    * window, modulus m).
+    */
+  def cdcChunkArr(c: Column, w: Int, m: Int): Column =
+    kcol(CdcChunkArr(kexp(c), w, m, RollB, RollP))
+
+  /** Positional xxhash64 q-gram array of an already-normalized string. */
+  def posGramsXx64(c: Column, q: Int): Column = kcol(PosGramsXx64(kexp(c), q))
+
+  /** MinHash signature of a pre-hashed shingle array<long>. */
+  def minhashSig(c: Column, params: Seq[(Long, Long)], p: Long): Column =
+    kcol(MinHashSig(kexp(c), params, p))
 
   /** Whitespace-normalized text: trim + collapse runs of whitespace. */
   def normalized(c: Column): Column =

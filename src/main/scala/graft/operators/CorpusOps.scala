@@ -62,34 +62,29 @@ object CorpusOps {
     * contaminated docs only — shingles are per-doc distinct, so
     * n_shared counts distinct shared shingles.
     */
-  /** The cached corpus shingle table d11 and d14 share. The cache is
-    * load-bearing (the Dedup.prefixFilteredPairs pattern, for a
-    * different reason): InferFiltersFromGenerate puts a `size(sh) > 0`
-    * filter back under each explode EVEN WITH no explicit filter in
-    * this code, and predicate pushdown then clones the whole
-    * tokenize+shingle HOF chain into a Filter below these projections,
-    * where the un-aliased tokens expression re-evaluates PER LAMBDA
-    * ELEMENT (the TextFunctions.shinglesFromTokens gotcha) on the
-    * un-spread scan — rewrite-time A/B at sf0.1: ~20× the cached
-    * form. The InMemoryRelation
-    * truncates that lineage: the inferred filter stays a cheap size()
-    * probe on the materialized column, and the shingle table is
-    * computed once for all consumers (current per-query numbers live in
-    * bench_out.json, reproducible via `runMain graft.Bench`).
-    * Spark keys the cache by plan, so d11 and d14 in one session share
-    * ONE InMemoryRelation. Lifecycle ends with the query — Bench/Verify
-    * clearCache between queries. At cluster scale this is a persist of
-    * the shingle table every branch reads; swap in MEMORY_AND_DISK_SER
-    * or a checkpoint if executors are memory-tight. Tables.spread
-    * parallelizes the CPU-heavy shingling past the single-row-group
-    * scan, as in Dedup.
+  /** The cached corpus shingle table d11 and d14 share. Shingling is
+    * the one-pass WordShingleStrs kernel (r15; string shingles — the
+    * contamination tier joins on gram STRINGS and d14 xxhashes them,
+    * so string identity is part of this tier's contract, unlike the
+    * Dedup tier's hashed-long shingles). The cache remains
+    * load-bearing: the eval-slice and corpus-slice branches both read
+    * this relation, and Spark keys the cache by plan, so d11 and d14
+    * in one session share ONE InMemoryRelation (it also keeps
+    * InferFiltersFromGenerate's size(sh) > 0 probe on the materialized
+    * column instead of re-running the kernel below the projection).
+    * Lifecycle ends with the query — Bench/Verify clearCache between
+    * queries. At cluster scale this is a persist of the shingle table
+    * every branch reads; swap in MEMORY_AND_DISK_SER or a checkpoint
+    * if executors are memory-tight. Tables.spread parallelizes the
+    * CPU-heavy shingling past the single-row-group scan, as in Dedup.
     */
   private def docShinglesCached(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .transform(Tables.spread(_, col("doc_id")))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        coalesce(wordShingleStrs(col("text"), 3),
+          array().cast("array<string>")).as("sh"))
       .cache()
 
   def decontaminate(s: SparkSession, dir: String,
@@ -107,8 +102,9 @@ object CorpusOps {
     * and neither applies to a streaming relation).
     */
   private def shingled(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+    docs.select(col("doc_id"),
+      coalesce(wordShingleStrs(col("text"), n),
+        array().cast("array<string>")).as("sh"))
 
   /** The static side of streaming decontamination, BUNDLED with the
     * benchMod it was built from: the bench-shingle set and the corpus

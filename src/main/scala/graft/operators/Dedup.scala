@@ -150,74 +150,64 @@ object Dedup {
       .select(col("doc_id"), col("fp"))
 
   // ── Shared shingle prep ───────────────────────────────────────────────
-  /** (doc_id, sh: array<string> of distinct word-3-gram shingles, sz).
-    * Tokens are materialized in their own projection before shingling —
-    * see TextFunctions.shinglesFromTokens for why this matters.
+  /** (doc_id, sh: array<long> of distinct hashed word-3-gram shingles,
+    * sz). The whole tokenize→shingle→distinct→hash chain is ONE
+    * codegen'd kernel (r15; graft.functions.WordShingles64) — the
+    * pre-kernel HOF formulation lives in ShingleExprsSpec as the
+    * executable reference the kernel is pinned against.
     */
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
-    docShinglesBy(s, dir, tokens, w => shinglesFromTokens(w, 3))
+    docShinglesBy(s, dir, t => wordShingles64(t, 3))
 
   /** Character n-gram variant: shingles = distinct n-char substrings of
-    * the whitespace-normalized text.
+    * the whitespace-normalized text (normalization stays a codegen'd
+    * built-in; gram+distinct+hash is the CharShingles64 kernel).
     */
   private def docCharShingles(s: SparkSession, dir: String, n: Int): DataFrame =
-    docShinglesBy(s, dir, normalized, base =>
-      array_distinct(when(length(base) >= n,
-        transform(sequence(lit(1), length(base) - (n - 1)),
-          i => base.substr(i, lit(n)))).otherwise(array())))
+    docShinglesBy(s, dir, t => charShingles64(normalized(t), n))
 
-  /** Shingle prep with a two-phase projection: `prep` is materialized
-    * into its own column BEFORE `gram` runs, because lambda bodies
-    * re-evaluate argument *expressions* per element (see
-    * TextFunctions.shinglesFromTokens).
-    *
-    * Shingles are HASHED to 64-bit longs (md5-derived, the engine's
-    * standard hash64) immediately after shingling: every downstream
-    * consumer — df counts, prefix ranks, band keys, minhash, the
-    * verify intersections — needs shingle IDENTITY, not text. Long
-    * arrays cut the verify join's shuffle volume ~8x vs string arrays
-    * and make every join key a primitive. Set sizes and intersection
-    * sizes are preserved exactly unless md5 collides on this corpus's
+  /** Shingles are HASHED to 64-bit longs (md5-derived, the engine's
+    * standard hash64) inside the kernel: every downstream consumer —
+    * df counts, prefix ranks, band keys, minhash, the verify
+    * intersections — needs shingle IDENTITY, not text. Long arrays cut
+    * the verify join's shuffle volume ~8x vs string arrays and make
+    * every join key a primitive. Set sizes and intersection sizes are
+    * preserved exactly unless md5 collides on this corpus's
     * ~27k-shingle vocabulary (P ~ 1e-10 at 60 bits) — the Jaccard
     * values, and hence the oracle hash, are unchanged.
     */
   private def docShinglesBy(s: SparkSession, dir: String,
-      prep: Column => Column, gram: Column => Column): DataFrame =
+      shingle: Column => Column): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       // Hash-spread docs before the CPU-heavy shingling: locally the
       // table is one row group = one task; on a cluster this is the
       // same shuffle the explode/groupBy below needs anyway.
       .transform(Tables.spread(_, col("doc_id")))
-      .transform(shingleProject(_, prep, gram))
+      .transform(shingleProject(_, shingle))
 
   /** The (doc_id, text) → (doc_id, sh, sz) shingle projection shared by
     * the batch tables and the streaming near-dup path (a readStream
     * relation can't be spread()/cached, so the batch wrapper above owns
-    * those concerns).
+    * those concerns). The coalesce preserves the old HOF chain's
+    * null-text behavior (null → empty set via the `when` fallback, so
+    * sz = 0, not null).
     */
-  private def shingleProject(docs: DataFrame,
-      prep: Column => Column, gram: Column => Column,
+  private def shingleProject(docs: DataFrame, shingle: Column => Column,
       carry: Seq[String] = Nil): DataFrame = {
     // `carry` columns ride through unchanged (the streaming path keeps
     // its event-time column so a watermark can bound downstream state)
     val ex = carry.map(col)
     docs
-      .select(col("doc_id") +: ex :+ prep(col("text")).as("base"): _*)
-      .select(col("doc_id") +: ex :+ gram(col("base")).as("shs"): _*)
-      // hash64(g) only touches the lambda variable, so this transform
-      // is safe from the per-element re-evaluation gotcha above
-      .select(col("doc_id") +: ex :+ transform(col("shs"), g => hash64(g)).as("sh"): _*)
+      .select(col("doc_id") +: ex :+
+        coalesce(shingle(col("text")), array().cast("array<long>")).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
   }
-      // NO .filter(sz > 0): predicate pushdown would clone the whole
-      // shingle HOF chain into a Filter below these projections, where
-      // the un-aliased `prep` sub-expression is re-evaluated PER LAMBDA
-      // ELEMENT (the TextFunctions.shinglesFromTokens gotcha) —
-      // rewrite-time A/B at sf0.1: a 30× table-build blowup. The filter
-      // is also semantically redundant: explode() emits nothing for an
-      // empty array, so shingle-less docs can never reach a candidate
-      // join, a signature, or a verify branch.
+      // NO .filter(sz > 0) here: semantically redundant — explode()
+      // emits nothing for an empty array, so shingle-less docs can
+      // never reach a candidate join, a signature, or a verify branch
+      // (and pushdown would clone the kernel call into a Filter below
+      // the projection, paying the scan twice).
 
   private def jaccard(shA: Column, shB: Column, szA: Column, szB: Column): Column = {
     val inter = size(array_intersect(shA, shB)).cast("double")
@@ -448,9 +438,11 @@ object Dedup {
     // relation feeds both the df count and the prefix ranking, and
     // re-deriving it re-runs the explode+hash over every char.
     val grams = norm.filter(col("len") >= q)
+      // gram array via the PosGramsXx64 kernel (r15): same xxhash64
+      // over the same q-char slices, one pass instead of an
+      // interpreted transform+substr per position
       .select(col("doc_id"), col("len"),
-        posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
-          i => xxhash64(col("t").substr(i, lit(q))))))
+        posexplode(posGramsXx64(col("t"), q)))
       .withColumnRenamed("col", "g")
       .cache()
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -529,23 +521,17 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature as array<long> of length 128, computed
-    * by the one-pass MinHashAgg TypedImperativeAggregate (single long[]
-    * buffer updated per shingle; map-side combinable — see
-    * graft.functions.MinHashAgg).
+    * by the codegen'd MinHashSig PROJECTION over the already-
+    * materialized shingle array (r15; arithmetic identical to the
+    * MinHashAgg aggregate it replaced). The old explode → partial agg
+    * → Exchange → final agg dataflow is gone outright (guide §2.4):
+    * the signature is a per-row function of `sh`, so nothing needs to
+    * shuffle. The sz > 0 filter reproduces the explode form's
+    * dropping of shingle-less docs (explode emitted no row for them).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.Shims
-    // shingles arrive pre-hashed to 60-bit longs (docShinglesBy) —
-    // reduce mod p is all that's left to map them into the permutation
-    // domain
-    val hv = pmod(col("g"), lit(MinhashP))
-    val sig = Shims.column(
-      graft.functions.MinHashAgg(Shims.expression(hv), hashParams, MinhashP)
-        .toAggregateExpression())
-    docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(sig.as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.filter(col("sz") > 0)
+      .select(col("doc_id"), minhashSig(col("sh"), hashParams, MinhashP).as("sig"))
 
   /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
     * Output contract matches jaccardPairs (the LSH is a candidate
@@ -630,7 +616,7 @@ object Dedup {
     val shingled = shingleProject(
       docs.select(col("doc_id"), col("text"))
         .transform(Tables.spread(_, col("doc_id"))),
-      tokens, w => shinglesFromTokens(w, 3))
+      t => wordShingles64(t, 3))
     val sigs = minhashSignatures(shingled)
     MinhashIndex(
       sigs.select(col("doc_id"),
@@ -693,19 +679,16 @@ object Dedup {
     */
   private[graft] def signDocs(src: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
-    // materialize hv before the 128 per-permutation traversals: lambda
-    // bodies re-evaluate argument EXPRESSIONS per element (the
-    // shinglesFromTokens gotcha), so the mod-p reduction gets its own
-    // projection
-    val shingled = shingleProject(src, tokens, w => shinglesFromTokens(w, 3),
-        carry)
-      .filter(col("sz") > 0) // array_min of an empty array is null
-      .withColumn("hv", transform(col("sh"), g => pmod(g, lit(MinhashP))))
-    val sig = array(hashParams.map { case (a, b) =>
-      array_min(transform(col("hv"), x => pmod(x * a + b, lit(MinhashP))))
-    }: _*)
+    // one codegen'd kernel per stage (r15): WordShingles64 for the
+    // shingle set, MinHashSig for the 128-permutation signature — the
+    // old form walked 128 interpreted array HOFs per row. Arithmetic
+    // identical (min over (a·(g mod p)+b) mod p); sz > 0 keeps the old
+    // empty-set exclusion (array_min of an empty array was null).
+    val shingled = shingleProject(src, t => wordShingles64(t, 3), carry)
+      .filter(col("sz") > 0)
     shingled.select(col("doc_id") +: carry.map(col) ++:
-      Seq(col("sh"), col("sz"), sig.as("sig")): _*)
+      Seq(col("sh"), col("sz"),
+        minhashSig(col("sh"), hashParams, MinhashP).as("sig")): _*)
   }
 
   /** Candidate generation + exact-Jaccard verify over an already-
@@ -893,8 +876,7 @@ object Dedup {
 
   /** d38's kernel on any (doc_id, text) relation. */
   private[graft] def tokenSortGroups(docs: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-    val sig = md5(array_join(array_sort(toks), " "))
+    val sig = md5(array_join(array_sort(tokens(col("text"))), " "))
     docs.select(col("doc_id"), col("text"), sig.as("sig"))
       .groupBy(col("sig"))
       .agg(min(col("doc_id")).as("keeper_id"),
@@ -916,10 +898,9 @@ object Dedup {
     */
   def tokenSortDedupStream(streamDocs: DataFrame,
       watermark: Option[(String, String)] = None): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
     val sigd = streamDocs.select(
       streamDocs.columns.map(col) :+
-        md5(array_join(array_sort(toks), " ")).as("sig"): _*)
+        md5(array_join(array_sort(tokens(col("text"))), " ")).as("sig"): _*)
     watermark match {
       case Some((tsCol, delay)) =>
         sigd.withWatermark(tsCol, delay)
@@ -1522,21 +1503,15 @@ object Dedup {
   /** The relation form for spec-planted corpora ((doc_id, text)). */
   private[graft] def winnowPairsFrom(docsIn: DataFrame, k: Int = 3,
       w: Int = 4, minShared: Int = 3, maxDocFreq: Int = 50): DataFrame = {
-    import graft.functions.TextFunctions.{hash64, tokens}
-    val docs = docsIn
-      .select(col("doc_id"), tokens(col("text")).as("wds"))
-      .filter(size(col("wds")) >= k + w - 1) // at least one full window
-    // ORDERED gram hashes (winnowing is positional — no array_distinct
-    // here, unlike shinglesFromTokens' set semantics)
-    val grams = transform(
-      sequence(lit(0), size(col("wds")) - k),
-      i => hash64(concat_ws(" ",
-        (0 until k).map(j => element_at(col("wds"), i + j + 1)): _*)))
-    val fps = docs
-      .withColumn("h", grams)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("h")) - (w - 1)),
-        i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
+    // tokens → ordered k-gram hashes (positional, NO distinct) →
+    // distinct window-w minima: one codegen'd kernel (r15,
+    // WinnowFps64; the pre-kernel HOF chain is the executable
+    // reference in ShingleExprsSpec). Docs with fewer than k+w-1
+    // tokens yield an empty array — explode emits nothing, exactly
+    // what the old size filter did.
+    val fps = docsIn
+      .select(col("doc_id"),
+        explode(winnowFps64(col("text"), k, w)).as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))
     val kept = fps.join(rare, Seq("fp"))
@@ -1586,31 +1561,17 @@ object Dedup {
     * persisted chunk store.
     */
   private[graft] def cdcChunks(docsIn: DataFrame,
-      w: Int = 8, m: Int = 64): DataFrame = {
-    val d = docsIn
+      w: Int = 8, m: Int = 64): DataFrame =
+    // The whole char-explode → O(n·w) interpreted rolling-hash fold →
+    // span-zip chain is one codegen'd kernel (r15, CdcChunkArr; the
+    // pre-kernel HOF chain is the executable reference in
+    // ShingleExprsSpec). Boundary rule unchanged: hash of the trailing
+    // w-char window ≡ 0 mod m, fold starting at 0 — matching the
+    // oracle's init-free list_reduce exactly.
+    docsIn
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
-        filter(split(col("text"), ""), c => c =!= "").as("chars"))
-      .withColumn("codes", transform(col("chars"), c => ascii(c).cast("long")))
-      .withColumn("n", size(col("chars")))
-    // boundary at i (1-based) iff polyhash(codes[i-w+1..i]) % m == 0;
-    // the fold starts at 0 so its first step reduces to codes[i-w+1]
-    // (< P), matching the oracle's init-free list_reduce exactly
-    val bnd = when(col("n") >= w,
-      filter(sequence(lit(w), col("n")), i =>
-        pmod(aggregate(slice(col("codes"), i - w + 1, lit(w)), lit(0L),
-          (acc, c) => pmod(acc * lit(RollB) + c, lit(RollP))),
-          lit(m.toLong)) === 0L)).otherwise(array().cast("array<int>"))
-    d.withColumn("ss", concat(array(lit(0)), bnd))
-      .withColumn("ee", concat(bnd, array(col("n"))))
-      .select(col("doc_id"), col("chars"),
-        explode(filter(zip_with(col("ss"), col("ee"),
-          (a, b) => struct(a.as("s"), b.as("e"))),
-          x => x.getField("e") > x.getField("s"))).as("span"))
-      .select(col("doc_id"),
-        array_join(slice(col("chars"), col("span.s") + 1,
-          col("span.e") - col("span.s")), "").as("chunk"))
-  }
+        explode(cdcChunkArr(col("text"), w, m)).as("chunk"))
 
   /** The relation form for spec-planted corpora ((doc_id, text)). */
   private[graft] def cdcChunkDedupFrom(docsIn: DataFrame,
