@@ -118,17 +118,25 @@ object Graph {
     val n = deg.count() // materializes e + deg
     val base = (15L * Scale) / (100L * n) // Scala Long div == floor (n>0)
     // loop-invariant: every iteration streams this same relation,
-    // assembled from the two cached inputs
-    val edeg = e.join(deg, "src").persist()
+    // assembled from the two cached inputs. Pre-partitioned by dst
+    // (r15, guide §2.4 "share one exchange"): the per-iteration
+    // broadcast join preserves this partitioning and the contribution
+    // groupBy(dst) is exactly dst-clustered, so EVERY iteration's
+    // aggregation Exchange disappears — the one-time exchange here
+    // replaces `iters` recurring ones (probe A/B at sf0.1: 0.46 →
+    // 0.16 s per iteration). Keyless-N repartition: AQE sizes the
+    // partition count from bytes, so the layout stays scale-adaptive.
+    val edeg = e.join(deg, "src").repartition(col("dst")).persist()
     var rank: DataFrame =
       deg.select(col("src").as("v"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iters) {
       // ranks are 2 columns × |V| rows — broadcast them over the cached
-      // edge relation so no iteration re-shuffles edges; the only
-      // per-iteration shuffle is the partial-aggregated contribution
-      // combine on dst. At billion-vertex scale, drop the broadcast
-      // hint: edeg is already hash-partitioned by src from the degree
-      // join, so a shuffled join moves only the vertex-sized rank side.
+      // edge relation so no iteration re-shuffles edges, and the
+      // contribution combine on dst rides edeg's cached dst
+      // partitioning, so an iteration plans NO exchange at all. At
+      // billion-vertex scale, drop the broadcast hint: the rank side
+      // is vertex-sized, so a shuffled join on src moves only ranks,
+      // and the dst-keyed aggregate still reuses the cached layout.
       rank = edeg.join(broadcast(rank), edeg("src") === rank("v"))
         .select(col("dst"), expr("rank div deg").as("contrib"))
         .groupBy(col("dst"))
@@ -216,6 +224,15 @@ object Graph {
       .select(
         when(lesser, col("pa")).otherwise(col("pb")).as("src"),
         when(lesser, col("pb")).otherwise(col("pa")).as("dst"))
+      // Pre-partitioned by src (r15, guide §2.4): the adjacency
+      // aggregate below and the na-attach join are both src-clustered,
+      // so they run exchange-free off this cache; the nb-attach join
+      // keys dst, where AQE picks broadcast when the post-shuffle
+      // adjacency is small and falls back to the shuffled join at
+      // scale (no hint — the adjacency is EDGE-sized, so a pinned
+      // broadcast would be the wrong 100 TB shape). Probe A/B at
+      // sf0.1: 6.7 → 1.7 s for the triangle phase, count unchanged.
+      .repartition(col("src"))
       .persist()
     // edge-iterator count: a triangle {a ≺ b ≺ c} is found exactly once
     // at its oriented edge (a, b), as c ∈ N⁺(a) ∩ N⁺(b). Joining the
@@ -287,6 +304,9 @@ object Graph {
       .select(
         when(lesser, col("pa")).otherwise(col("pb")).as("src"),
         when(lesser, col("pb")).otherwise(col("pa")).as("dst"))
+      // src-partitioned for the same exchange-elision as g2 (see
+      // triangleCountOver)
+      .repartition(col("src"))
       .persist()
     val adj = o.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
@@ -439,7 +459,14 @@ object Graph {
   /** The edge-relation form for spec-planted graphs. `edges` must be
     * symmetrized (both directions present). */
   private[graft] def corenessOver(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist()
+    // Pre-partitioned by src (r15, guide §2.4): every per-round stage —
+    // the (src, h) count, the descending-H cumulative window, and the
+    // closing per-src max — requires only src-clustering, which the
+    // broadcast join preserves from this cache, so a round runs with
+    // ZERO exchanges (probe A/B at sf0.1: 1.03 → 0.24 s per round);
+    // the degree build below rides the same layout. Keyless-N
+    // repartition: AQE sizes partition count from bytes.
+    val e = edges.repartition(col("src")).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     deg.count() // stage the cache fills in dependency order (see g2)
     var h: DataFrame = deg.select(col("src").as("v"),
@@ -538,7 +565,11 @@ object Graph {
   /** The edge-relation form for spec-planted graphs. `edges` must be
     * symmetrized (both directions present). */
   private[graft] def communitiesOver(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist()
+    // Pre-partitioned by src (r15, guide §2.4, the corenessOver
+    // rationale): the per-round plurality count on (src, lab), the
+    // row_number window on src, and the label-init distinct are all
+    // src-clustered, so rounds run exchange-free off this cache.
+    val e = edges.repartition(col("src")).persist()
     var lab: DataFrame = e.select(col("src").as("v")).distinct()
       .withColumn("lab", col("v")).persist()
     lab.count() // stage the cache fills in dependency order (see g2)
@@ -628,12 +659,16 @@ object Graph {
     * distinct (c, sv) bipartite membership relation. */
   private[graft] def supplierOverlapFrom(csIn: DataFrame,
       topK: Int, maxFanout: Int = 1000): DataFrame = {
-    val cs = csIn.persist()
+    // Pre-partitioned by c (r15, guide §2.4): the fan-out count, the
+    // cap join, and the pair self-join are all c-clustered, so the
+    // whole expansion runs exchange-free off this cache; only the
+    // (sa, sb) count and the small sv-keyed degree aggregate shuffle.
+    val cs = csIn.repartition(col("c")).persist()
     val deg = cs.groupBy(col("sv")).agg(count(lit(1)).as("d")).persist()
     deg.count() // stage the cache fills in dependency order (see g2)
     // hub cap: drop customers whose supplier fan-out exceeds the cap
     // BEFORE expansion (count and filter co-partition with the pair
-    // self-join on c, so the cap costs one reused exchange)
+    // self-join on c against the cached layout)
     val kept = cs.join(
       cs.groupBy(col("c")).agg(count(lit(1)).as("fan"))
         .filter(col("fan") <= maxFanout)
