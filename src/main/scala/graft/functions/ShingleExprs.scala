@@ -374,6 +374,30 @@ object ShingleExprs {
     new GenericArrayData(out.toArray)
   }
 
+  /** The BPE wrap (t29/t35): every code point of `s` wrapped in the
+    * \\u0001…\\u0002 open/close markers — byte-identical to
+    * concat(A, array_join(filter(split(s, "")), B+A), B) in one pass
+    * (A c₁ (B A) c₂ … cₙ B ≡ per-char A cᵢ B concatenated).
+    */
+  def wrapSyms(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val offs = codePointOffsets(b)
+    val n = offs.length - 1
+    if (n == 0) return UTF8String.fromBytes(Array[Byte](0x01, 0x02))
+    val out = new Array[Byte](b.length + 2 * n)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      out(pos) = 0x01; pos += 1
+      val len = offs(i + 1) - offs(i)
+      System.arraycopy(b, offs(i), out, pos, len)
+      pos += len
+      out(pos) = 0x02; pos += 1
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** d29's positional gram hashes: xxhash64(seed 42) of each q-code-
     * point gram of the (already normalized) text, in position order.
     * Empty for texts shorter than q (the caller's len filter keeps the
@@ -478,6 +502,18 @@ case class CdcChunkArr(child: Expression, w: Int, m: Int, rollB: Long, rollP: Lo
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ShingleExprs.cdcChunks($c, $w, $m, ${rollB}L, ${rollP}L)")
   override protected def withNewChildInternal(newChild: Expression): CdcChunkArr =
+    copy(child = newChild)
+}
+
+/** BPE per-symbol marker wrap (see ShingleExprs.wrapSyms). */
+case class WrapSyms(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    ShingleExprs.wrapSyms(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleExprs.wrapSyms($c)")
+  override protected def withNewChildInternal(newChild: Expression): WrapSyms =
     copy(child = newChild)
 }
 

@@ -109,6 +109,9 @@ object TextFunctions {
   /** Positional xxhash64 q-gram array of an already-normalized string. */
   def posGramsXx64(c: Column, q: Int): Column = kcol(PosGramsXx64(kexp(c), q))
 
+  /** BPE per-symbol marker wrap (the t29/t35 \u0001...\u0002 form). */
+  def wrapSyms(c: Column): Column = kcol(WrapSyms(kexp(c)))
+
   /** MinHash signature of a pre-hashed shingle array<long>. */
   def minhashSig(c: Column, params: Seq[(Long, Long)], p: Long): Column =
     kcol(MinHashSig(kexp(c), params, p))

@@ -1515,10 +1515,9 @@ object TextAnalysis {
     val words0 = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(A),
-          array_join(filter(split(col("w"), ""), c => c =!= ""), B + A),
-          lit(B)).as("wrapped"),
-        col("cnt"))
+      // the wrap is the WrapSyms kernel (r15) — byte-identical to
+      // concat(A, array_join(filter(split(w, "")), B+A), B)
+      .select(wrapSyms(col("w")).as("wrapped"), col("cnt"))
     var words = words0.persist()
     val nWords = words.count()
     val wordBytes = math.max(64L, nWords * 64L)
@@ -1589,9 +1588,7 @@ object TextAnalysis {
     var cur = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), length(col("w")).as("n_chars"),
-        concat(lit(A),
-          array_join(filter(split(col("w"), ""), c => c =!= ""), B + A),
-          lit(B)).as("wrapped"))
+        wrapSyms(col("w")).as("wrapped")) // the t29 kernel wrap (r15)
     for (k <- 1 to steps) {
       cur = cur.crossJoin(broadcast(merges
           .filter(col("step") === k)
@@ -1602,9 +1599,16 @@ object TextAnalysis {
             concat(lit(A), col("ml"), col("mr"), lit(B))).as("wrapped"))
     }
     cur
+      // pieces = (#occurrences of the B+A separator) + 1: split with
+      // limit -1 keeps empties, so its size is ALWAYS separator
+      // count + 1, and every B+A occurrence lies strictly inside the
+      // stripped substring (wrapped starts with A and ends with B) —
+      // counting via length-minus-replace is value-identical and
+      // avoids a regex split + array materialization per word (r15)
       .select(col("doc_id"), col("n_chars"),
-        size(split(expr("substring(wrapped, 2, length(wrapped) - 2)"),
-          B + A)).as("pieces"))
+        (shiftright(length(col("wrapped")) -
+          length(replace(col("wrapped"), lit(B + A), lit(""))), 1) +
+          lit(1)).as("pieces"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
         sum(col("pieces")).as("n_pieces"))

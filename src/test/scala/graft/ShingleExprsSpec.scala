@@ -212,6 +212,31 @@ class ShingleExprsSpec extends AnyFunSuite {
       fastOrd.map(_.getSeq[String](1)).toSeq)
   }
 
+  test("WrapSyms == concat(A, array_join(split chars, B+A), B)") {
+    val A = "\u0001"; val B = "\u0002"
+    val ref = concat(lit(A),
+      array_join(filter(split(col("w"), ""), c => c =!= ""), B + A), lit(B))
+    val words = textDf().select(explode(tokensSql(col("text"))).as("w"))
+    words.select(TextFunctions.wrapSyms(col("w")).as("fast"), ref.as("ref"))
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(1), r.toString)
+      }
+  }
+
+  test("piece count via length-replace == size(split(inner, B+A))") {
+    val A = "\u0001"; val B = "\u0002"
+    // wrapped strings including post-merge shapes (multi-char symbols)
+    val df = Seq(s"${A}a$B", s"${A}ab$B${A}c$B", s"${A}x$B${A}y$B${A}z$B",
+      s"${A}merged$B${A}q$B").toDF("wrapped")
+    df.select(
+        size(split(expr("substring(wrapped, 2, length(wrapped) - 2)"),
+          B + A)).as("ref"),
+        (shiftright(length(col("wrapped")) -
+          length(replace(col("wrapped"), lit(B + A), lit(""))), 1) +
+          lit(1)).as("fast"))
+      .collect().foreach { r => assert(r.getInt(0) == r.getInt(1), r.toString) }
+  }
+
   test("PosGramsXx64 == transform(sequence, xxhash64(substr(i, q)))") {
     val q = 5
     val df = textDf().select(normalized(col("text")).as("t"))
