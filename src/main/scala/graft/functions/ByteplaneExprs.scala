@@ -169,6 +169,73 @@ object ByteplaneExprs {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](distinct, mode, sumC2))
   }
+
+  // ── r15 frame-fold kernels (m6/m9/m10) ─────────────────────────────
+  // Each replaces `aggregate(slice(samples, start, len), 0L, fold)` —
+  // an interpreted per-element lambda plus a slice allocation per
+  // frame — with one bounds-clamped loop over the backing array.
+  // Slice semantics preserved: 1-based `start`, end clamped to the
+  // array length (frames here are always full-width, but the clamp
+  // keeps the kernel total). Σx² runs in long arithmetic: the HOF
+  // form multiplied int×int (which ANSI-throws beyond ±46340 — never
+  // reachable under the BMP byte-plane contract, char codes < 2^16
+  // only via the long path), value-equal wherever the original
+  // evaluates.
+
+  def sliceSum(arr: ArrayData, start: Int, len: Int): Long = {
+    val n = arr.numElements()
+    var i = math.max(0, start - 1)
+    val end = math.min(n, start - 1 + len)
+    var s = 0L
+    while (i < end) { s += arr.getInt(i); i += 1 }
+    s
+  }
+
+  def sliceSumSq(arr: ArrayData, start: Int, len: Int): Long = {
+    val n = arr.numElements()
+    var i = math.max(0, start - 1)
+    val end = math.min(n, start - 1 + len)
+    var s = 0L
+    while (i < end) { val x = arr.getInt(i).toLong; s += x * x; i += 1 }
+    s
+  }
+
+  /** array_max over the slice — null (boxed) for an empty slice, as
+    * array_max is. */
+  def sliceMax(arr: ArrayData, start: Int, len: Int): Any = {
+    val n = arr.numElements()
+    var i = math.max(0, start - 1)
+    val end = math.min(n, start - 1 + len)
+    if (i >= end) return null
+    var m = arr.getInt(i); i += 1
+    while (i < end) { val x = arr.getInt(i); if (x > m) m = x; i += 1 }
+    m
+  }
+
+  /** m9's banded signature in one pass: st = Σ frame, band b of
+    * `bits` equal sub-slices sets bit b iff bandSum·bits > st —
+    * identical integer arithmetic to the 1 + `bits` unrolled
+    * slice-aggregates it replaces. */
+  def bandedSig(arr: ArrayData, start: Int, width: Int, bits: Int): Long = {
+    val sub = width / bits
+    val n = arr.numElements()
+    val base = start - 1
+    var st = 0L
+    var i = math.max(0, base)
+    val end = math.min(n, base + width)
+    while (i < end) { st += arr.getInt(i); i += 1 }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var sb = 0L
+      var j = math.max(0, base + b * sub)
+      val e = math.min(n, base + b * sub + sub)
+      while (j < e) { sb += arr.getInt(j); j += 1 }
+      if (sb * bits > st) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
 }
 
 /** `ascii_codes(text)`: the byte-plane sample array (one int per
@@ -223,4 +290,81 @@ case class CharStats(child: Expression) extends UnaryExpression
       c => s"graft.functions.ByteplaneExprs.charStats($c)")
   override protected def withNewChildInternal(newChild: Expression): CharStats =
     copy(child = newChild)
+}
+
+/** Frame-fold kernels over (samples, start): one clamped loop instead
+  * of `aggregate(slice(...))` — see ByteplaneExprs.sliceSum*. The
+  * slice length / band count are plan-time literals.
+  */
+case class SliceSumLong(left: Expression, right: Expression, len: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(arr: Any, start: Any): Any =
+    ByteplaneExprs.sliceSum(arr.asInstanceOf[ArrayData],
+      start.asInstanceOf[Int], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) =>
+      s"graft.functions.ByteplaneExprs.sliceSum($a, $s, $len)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SliceSumLong =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SliceSumSqLong(left: Expression, right: Expression, len: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(arr: Any, start: Any): Any =
+    ByteplaneExprs.sliceSumSq(arr.asInstanceOf[ArrayData],
+      start.asInstanceOf[Int], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) =>
+      s"graft.functions.ByteplaneExprs.sliceSumSq($a, $s, $len)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SliceSumSqLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array_max over the slice (null on an empty slice, as array_max). */
+case class SliceMaxInt(left: Expression, right: Expression, len: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(arr: Any, start: Any): Any =
+    ByteplaneExprs.sliceMax(arr.asInstanceOf[ArrayData],
+      start.asInstanceOf[Int], len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = "graft.functions.ByteplaneExprs.sliceMax"
+    nullSafeCodeGen(ctx, ev, (a, s) =>
+      s"""
+         |Object r = $f($a, $s, $len);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Integer) r).intValue(); }
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SliceMaxInt =
+    copy(left = newLeft, right = newRight)
+}
+
+/** m9's banded frame signature (see ByteplaneExprs.bandedSig). */
+case class BandedSig(left: Expression, right: Expression, width: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(arr: Any, start: Any): Any =
+    ByteplaneExprs.bandedSig(arr.asInstanceOf[ArrayData],
+      start.asInstanceOf[Int], width, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) =>
+      s"graft.functions.ByteplaneExprs.bandedSig($a, $s, $width, $bits)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandedSig =
+    copy(left = newLeft, right = newRight)
 }

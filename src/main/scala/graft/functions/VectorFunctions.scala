@@ -60,8 +60,20 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
 
-  /** Squared L2 distance (sequential order). */
-  def l2sq(a: Column, b: Column): Column =
+  /** Squared L2 distance (sequential order) — the native codegen'd
+    * L2SqDist (r15; bit-identical to [[l2sqHof]], which
+    * VectorFunctionsSpec pins it against, including the HOF's
+    * null-on-length-mismatch contract).
+    */
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Shims
+    Shims.column(L2SqDist(Shims.expression(a), Shims.expression(b)))
+  }
+
+  /** The interpreted HOF formulation of [[l2sq]] (the executable
+    * reference; also the shape the DuckDB oracles mirror).
+    */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 }

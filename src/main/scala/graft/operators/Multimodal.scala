@@ -40,6 +40,21 @@ object Multimodal {
       graft.functions.AsciiCodes(
         org.apache.spark.sql.graft.Shims.expression(c)))
 
+  // r15 frame-fold kernels: one clamped loop per frame instead of an
+  // interpreted aggregate(slice(...)) lambda chain — value-identical,
+  // spec-pinned in ByteplaneExprsSpec (guide §1.2 step 2).
+  private def kexp(c: Column) = org.apache.spark.sql.graft.Shims.expression(c)
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.Shims.column(e)
+  private def sliceSumL(arr: Column, start: Column, len: Int): Column =
+    kcol(graft.functions.SliceSumLong(kexp(arr), kexp(start), len))
+  private def sliceSumSqL(arr: Column, start: Column, len: Int): Column =
+    kcol(graft.functions.SliceSumSqLong(kexp(arr), kexp(start), len))
+  private def sliceMaxI(arr: Column, start: Column, len: Int): Column =
+    kcol(graft.functions.SliceMaxInt(kexp(arr), kexp(start), len))
+  private def bandedSig(arr: Column, start: Column, width: Int, bits: Int): Column =
+    kcol(graft.functions.BandedSig(kexp(arr), kexp(start), width, bits))
+
   /** A media row: opaque payload + declared type. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 
@@ -304,13 +319,11 @@ object Multimodal {
       .withColumnRenamed("col", "o")
       .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
         col("o").cast("int").as("frame_offset"),
-        slice(col("samples"), col("o"), lit(width)).as("bytes"))
-      .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
-        (aggregate(col("bytes"), lit(0L), (a, x) => a + x)
+        (sliceSumL(col("samples"), col("o"), width)
           / lit(width.toDouble)).as("mean_amp"),
-        sqrt(aggregate(col("bytes"), lit(0L), (a, x) => a + x * x)
+        sqrt(sliceSumSqL(col("samples"), col("o"), width)
           / lit(width.toDouble)).as("rms_amp"),
-        array_max(col("bytes")).cast("int").as("peak"))
+        sliceMaxI(col("samples"), col("o"), width).as("peak"))
       .orderBy(col("doc_id"), col("frame_offset"))
   }
 
@@ -560,7 +573,6 @@ object Multimodal {
   /** The two-relation form for spec-planted frame streams. */
   private[graft] def shotBoundariesFrom(docs: DataFrame,
       width: Int = 64, bits: Int = 16, threshold: Int = 9): DataFrame = {
-    val sub = width / bits
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
@@ -571,14 +583,7 @@ object Multimodal {
       .withColumnRenamed("col", "o")
       .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
         col("o").cast("int").as("frame_offset"),
-        slice(col("samples"), col("o"), lit(width)).as("bytes"))
-      .withColumn("st", aggregate(col("bytes"), lit(0L), (a, x) => a + x))
-      .withColumn("sig", (0 until bits).map { b =>
-        when(aggregate(slice(col("bytes"), b * sub + 1, sub), lit(0L),
-          (a, x) => a + x) * lit(bits) > col("st"), lit(1L << b))
-          .otherwise(lit(0L))
-      }.reduce(_ + _))
-      .select(col("doc_id"), col("frame_idx"), col("frame_offset"), col("sig"))
+        bandedSig(col("samples"), col("o"), width, bits).as("sig"))
       .withColumn("prev", lag(col("sig"), 1).over(w))
       .filter(col("prev").isNotNull)
       .withColumn("dist",
@@ -630,8 +635,7 @@ object Multimodal {
         posexplode(sequence(lit(1), col("n") - (width - 1), lit(stride))))
       .withColumnRenamed("col", "o")
       .select(col("doc_id"), col("pos").cast("int").as("fi"),
-        aggregate(slice(col("samples"), col("o"), lit(width)), lit(0L),
-          (a, x) => a + x * x).as("ssq"))
+        sliceSumSqL(col("samples"), col("o"), width).as("ssq"))
       .filter(col("ssq") >= threshold)
       .withColumn("grp", col("fi") - row_number().over(wOrd))
       .groupBy(col("doc_id"), col("grp"))

@@ -171,12 +171,13 @@ object Similarity {
   private def labelCentroids(e: DataFrame, dim: Int): DataFrame =
     meanBy(e, col("label"), dim)
 
-  /** Squared-L2 distance to a broadcast `cvec`, as the sequential left
-    * fold both engines evaluate identically (see kmeansAssign).
+  /** Squared-L2 distance to a broadcast `cvec` — the native codegen'd
+    * L2SqDist (r15), bit-identical to the sequential zip_with/aggregate
+    * fold both engines evaluate (see kmeansAssign; the HOF reference
+    * lives in VectorFunctions.l2sqHof, spec-pinned).
     */
-  private def l2sqToCentroid: Column = aggregate(
-    zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
-    lit(0.0), (a, v) => a + v)
+  private def l2sqToCentroid: Column =
+    graft.functions.VectorFunctions.l2sq(col("emb"), col("cvec"))
 
   /** One E-step: every vector joined to its argmin-distance centroid
     * (ties to the smaller label). The centroid table is broadcast; the

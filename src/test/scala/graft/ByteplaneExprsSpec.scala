@@ -116,4 +116,40 @@ class ByteplaneExprsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(fast == hof)
   }
+
+  test("slice-fold kernels == aggregate(slice(...)) HOF forms (m6/m9/m10)") {
+    import org.apache.spark.sql.graft.Shims.{column => kc, expression => ke}
+    val (width, bits) = (16, 4)
+    val sub = width / bits
+    // frames over generated BMP text, same shape as m6/m9/m10
+    val df = (samples(100, width, 200) :+ ("x" * width)).toDF("text")
+      .withColumn("n", length(col("text")))
+      .filter(col("n") >= width)
+      .select(col("text"), asciiCodesCol(col("text")).as("samples"),
+        explode(sequence(lit(1), col("n") - (width - 1), lit(width))).as("o"))
+      .withColumn("o", col("o").cast("int"))
+    val bytes = slice(col("samples"), col("o"), lit(width))
+    val stRef = aggregate(bytes, lit(0L), (a, x) => a + x)
+    val sigRef = (0 until bits).map { b =>
+      when(aggregate(slice(bytes, b * sub + 1, sub), lit(0L),
+        (a, x) => a + x) * lit(bits) > stRef, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.select(
+      kc(graft.functions.SliceSumLong(ke(col("samples")), ke(col("o")), width)).as("s"),
+      stRef.as("sr"),
+      kc(graft.functions.SliceSumSqLong(ke(col("samples")), ke(col("o")), width)).as("q"),
+      aggregate(bytes, lit(0L), (a, x) => a + x * x).as("qr"),
+      kc(graft.functions.SliceMaxInt(ke(col("samples")), ke(col("o")), width)).as("m"),
+      array_max(bytes).as("mr"),
+      kc(graft.functions.BandedSig(ke(col("samples")), ke(col("o")), width, bits)).as("g"),
+      sigRef.as("gr")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"sum $r")
+      assert(r.getLong(2) == r.getLong(3), s"sumsq $r")
+      assert(r.getInt(4) == r.getInt(5), s"max $r")
+      assert(r.getLong(6) == r.getLong(7), s"sig $r")
+    }
+  }
 }

@@ -65,4 +65,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .filter(col("err") > 1e-12).count()
     assert(bad === 0L)
   }
+
+  test("native l2sq == HOF fold bit-for-bit (double, float, mismatch->null)") {
+    import spark.implicits._
+    // corpus float vectors against a shifted copy
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("embedding").as("a"),
+        transform(col("embedding"), x => x * lit(1.25f) + lit(0.5f)).as("b"))
+    val rows = e.select(
+      VectorFunctions.l2sq(col("a"), col("b")).as("fast"),
+      VectorFunctions.l2sqHof(col("a"), col("b")).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+    // double arrays + the HOF's null-on-length-mismatch contract
+    val d = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 9.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+    val dr = d.select(
+      VectorFunctions.l2sq(col("a"), col("b")).as("fast"),
+      VectorFunctions.l2sqHof(col("a"), col("b")).as("ref")).collect()
+    dr.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+  }
 }
