@@ -406,7 +406,12 @@ object Bench {
     "g5_coreness", "g2_triangles", "g3_clustering", "g10_shortest_paths",
     "g9_communities", "g1_pagerank", "m13_dct_phash_pairs",
     "g8_reachability", "g6_supplier_overlap", "m12_dct_phash",
-    "d29_edit_distance_pairs", "t35_bpe_encode")
+    "d29_edit_distance_pairs", "t35_bpe_encode",
+    // r15: the suite's heavy set shifted after the kernel batches —
+    // these joined the top tier (r14 members above are KEPT for
+    // round-over-round comparability; solo entries only ever grow)
+    "g7_backbone_components", "d36_quality_keeper",
+    "d8_containment_pairs", "q36_window_range")
 
   // One fresh JVM per solo query ([[SoloBench]] protocol); returns the
   // `"solo":{...},` fragment, "" when disabled or fully failed.

@@ -159,22 +159,23 @@ object Graph {
     */
   private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     // one shuffle to the per-order sorted part SET, pair expansion as a
-    // map-side HOF comprehension (≤ C(lines-per-order, 2) per order),
-    // one distinct shuffle for the edge set. A self-join formulation
-    // pays the (ok, pk)-distinct shuffle AND the join instead —
-    // measured ~2× slower — and the HOF emits each pair pre-oriented
-    // (the set is sorted ascending, so pa < pb by construction).
+    // map-side kernel (≤ C(lines-per-order, 2) per order), one distinct
+    // shuffle for the edge set. A self-join formulation pays the
+    // (ok, pk)-distinct shuffle AND the join instead — measured ~2×
+    // slower — and the kernel emits each pair pre-oriented (the set is
+    // sorted ascending, so pa < pb by construction). The expansion is
+    // the codegen'd AscPairs kernel (r15): the nested-HOF comprehension
+    // it replaces walked an interpreted lambda per (i, j) and copied
+    // the result through flatten — identical pair list, spec-pinned
+    // against the HOF tree in PairExprsSpec.
     val sets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
       .filter(size(col("ps")) >= 2)
     sets
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ps")) - 2),
-        i => transform(
-          sequence(i + 1, size(col("ps")) - 1),
-          j => struct(element_at(col("ps"), i + 1).as("pa"),
-            element_at(col("ps"), j + 1).as("pb")))))).as("e"))
+      .select(explode(org.apache.spark.sql.graft.Shims.column(
+        graft.functions.AscPairs(org.apache.spark.sql.graft.Shims
+          .expression(col("ps"))))).as("e"))
       .select(col("e.pa"), col("e.pb")).distinct()
   }
 
